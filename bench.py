@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a count() action (no driver-side collect of
+payload rows). A warmup touches each table so JVM/class-load and parquet
+footer reads don't pollute the first measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kafka_connect_jsonata_spark import queries as Q
+from kafka_connect_jsonata_spark.engine import get_spark
+from kafka_connect_jsonata_spark.sources.readers import TABLES, load_table
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "json_props_extract",
+    "topk_per_group",
+    "window_running_total",
+    "rollup_lineitem",
+    "asof_join_events_orders",
+    "explode_term_freq",
+    "text_doc_stats",
+    "dedup_exact_docs",
+    "cosine_topk_bruteforce",
+    "ngram_jaccard_dups",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark("bench")
+    for t in TABLES:  # warmup: schema + footer reads
+        load_table(spark, sf_dir, t).count()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = Q.QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_set_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,196 @@
+"""Deduplication operators for a training-data pipeline (SURVEY.md §2C C26).
+
+- exact_dup_groups   — hash-groupBy on a normalized fingerprint (linear scan,
+  map-side combine; the canonical 100 TB exact-dedup plan).
+- ngram_jaccard_pairs — n-gram Jaccard over candidate pairs (caller supplies a
+  blocking strategy; never an unbounded cross join).
+- minhash_lsh_pairs  — shingle -> minhash signature -> banded LSH buckets ->
+  bucket-join candidates -> exact Jaccard verify. The scale path: shuffle is
+  on (band, bucket-hash) keys with bounded fanout.
+- simhash64          — 64-bit SimHash of token multiset, pure Column bit math.
+- embedding_dup_pairs — near-dup by embedding cosine over LSH-bucketed or
+  broadcast candidates.
+
+All of minhash/simhash run as native Column expressions: per-token hashes use
+Spark's xxhash64/crc32 (JVM, codegen'd), so signature computation is a single
+projection over the scan — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_connect_jsonata_spark.functions.similarity import cosine
+from kafka_connect_jsonata_spark.functions.text import fingerprint, tokens
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of exact (normalized) duplicates: fingerprint -> groupBy ->
+    keep groups of size > 1. Returns (fingerprint, n_dups, min_doc_id)."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def char_ngrams(col: Column, n: int = 5) -> Column:
+    """Distinct character n-grams (shingles) of normalized text."""
+    norm = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(n))))
+
+
+def token_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct token n-grams of a text column."""
+    t = tokens(col)
+    cnt = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), cnt - 1)
+    return F.when(
+        cnt > 0,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two array<string> sets."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    block_col: Column | None = None,
+) -> DataFrame:
+    """Near-dup pairs by token n-gram Jaccard >= threshold.
+
+    Candidate generation joins on a blocking key (default: document
+    fingerprint length bucket + lang-agnostic first token) so the pair space
+    is bounded; pass ``block_col`` to override with a domain key.
+    """
+    block = block_col if block_col is not None else F.element_at(tokens(F.col(text_col)), 1)
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        token_ngrams(F.col(text_col), n).alias("grams"),
+        block.alias("blk"),
+    )
+    a = docs.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"), "blk")
+    b = docs.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"), "blk")
+    pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round(jaccard(F.col("grams_a"), F.col("grams_b")), 4).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signature(col: Column, num_hashes: int = 64, ngram: int = 5) -> Column:
+    """MinHash signature (array<bigint>, length num_hashes) over character
+    shingles. Hash family: xxhash64(shingle, seed=i) — JVM-side, one pass."""
+    grams = char_ngrams(col, ngram)
+    return F.array(
+        *[
+            F.array_min(F.transform(grams, lambda g: F.xxhash64(g, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    n_bands: int = 16,
+    ngram: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, verified with exact shingle
+    Jaccard. rows_per_band = num_hashes / n_bands; a pair collides if any
+    band's signature slice matches. Shuffle keys: (band, hash(slice)) —
+    bounded fanout of n_bands rows per document."""
+    rows_per_band = num_hashes // n_bands
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        char_ngrams(F.col(text_col), ngram).alias("grams"),
+        minhash_signature(F.col(text_col), num_hashes, ngram).alias("sig"),
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.hash(F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)).alias("bkt"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    exploded = docs.select("id", "grams", F.explode(bands).alias("b")).select(
+        "id", "grams", F.col("b.band").alias("band"), F.col("b.bkt").alias("bkt")
+    )
+    a = exploded.select(
+        F.col("id").alias("id_a"), F.col("grams").alias("grams_a"), "band", "bkt"
+    )
+    b = exploded.select(
+        F.col("id").alias("id_b"), F.col("grams").alias("grams_b"), "band", "bkt"
+    )
+    cand = (
+        a.join(b, ["band", "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a", "id_b", F.round(jaccard(F.col("grams_a"), F.col("grams_b")), 4).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(col: Column) -> Column:
+    """64-bit SimHash over the token multiset: per-token xxhash64, sum the
+    +-1 contribution of each bit across tokens, sign -> bit. Pure Column
+    expression (bit ops on bigint), no UDF."""
+    toks = tokens(F.lower(col))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    sig = F.lit(0).cast("long")
+    for bit in range(64):
+        # count of tokens with this bit set, minus count without
+        ones = F.size(
+            F.filter(hashes, lambda h: F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1)
+        )
+        total = F.size(hashes)
+        bit_on = (ones * 2 - total) > 0
+        sig = sig + F.when(bit_on, F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine >= threshold. Broadcast self-join
+    (corpus scans once; suitable when one side fits in memory — at larger
+    scale swap the candidate generator for similarity.lsh_topk buckets)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round(cosine(F.col("__va"), F.col("__vb")), 4).alias("cosine_sim")
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

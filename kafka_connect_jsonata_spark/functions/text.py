@@ -1,0 +1,120 @@
+"""Text analysis operators over a document corpus (SURVEY.md §2C C24).
+
+All hot-path expressions are native Column functions (JVM-side, codegen'd) —
+no Python UDFs — so they run at parquet-scan speed on 100 TB. Tokenization
+is a split+explode, term stats are hash aggregations with map-side combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small stopword sets for the language-ID heuristic and quality scoring.
+# Deliberately tiny: these are heuristics, not models.
+STOPWORDS_EN = ("the", "and", "of", "to", "a", "in", "is", "that", "for", "it")
+STOPWORDS_FR = ("le", "la", "et", "les", "des", "un", "une", "du", "que", "est")
+STOPWORDS_DE = ("der", "die", "und", "das", "ein", "ist", "nicht", "mit", "den", "von")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of a text column (empty tokens removed)."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def avg_token_len(col: Column) -> Column:
+    """Mean token length, NULL on empty text."""
+    t = tokens(col)
+    return F.when(
+        F.size(t) > 0,
+        F.aggregate(t, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x)) / F.size(t),
+    )
+
+
+def _stopword_hits(col: Column, words: tuple[str, ...]) -> Column:
+    toks = tokens(F.lower(col))
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def stopword_ratio(col: Column, words: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    t = tokens(col)
+    return F.when(F.size(t) > 0, _stopword_hits(col, words) / F.size(t)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    n = F.length(col)
+    punct = n - F.length(F.regexp_replace(col, r"[^A-Za-z0-9\s]", ""))
+    return F.when(n > 0, punct.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: enough tokens, sane mean token
+    length, some stopwords, low punctuation noise. Pure Column arithmetic."""
+    tc = token_count(col).cast("double")
+    atl = F.coalesce(avg_token_len(col), F.lit(0.0))
+    sw = stopword_ratio(col)
+    pr = punct_ratio(col)
+    score = (
+        F.least(tc / F.lit(100.0), F.lit(1.0)) * 0.25
+        + F.when((atl >= 3) & (atl <= 10), F.lit(1.0)).otherwise(F.lit(0.0)) * 0.25
+        + F.least(sw * F.lit(5.0), F.lit(1.0)) * 0.25
+        + (F.lit(1.0) - F.least(pr * F.lit(4.0), F.lit(1.0))) * 0.25
+    )
+    return score
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-vote language ID heuristic: en/fr/de/unknown."""
+    en = _stopword_hits(col, STOPWORDS_EN)
+    fr = _stopword_hits(col, STOPWORDS_FR)
+    de = _stopword_hits(col, STOPWORDS_DE)
+    best = F.greatest(en, fr, de)
+    return (
+        F.when(best == 0, F.lit("unknown"))
+        .when(en == best, F.lit("en"))
+        .when(fr == best, F.lit("fr"))
+        .otherwise(F.lit("de"))
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Normalized document fingerprint: md5 over whitespace-collapsed,
+    lowercased text. Identical fingerprints = exact near-normal duplicates."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(col), r"\s+", " ")))
+
+
+def term_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus term frequency: split -> explode -> hash agg (map-side combine
+    makes this a near-linear scan at scale)."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def doc_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document stats table: token count, char count, mean token length,
+    stopword ratio, punctuation ratio, quality, fingerprint, predicted lang."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(c).alias("n_tokens"),
+        char_count(c).alias("n_chars_computed"),
+        F.round(F.coalesce(avg_token_len(c), F.lit(0.0)), 4).alias("avg_token_len"),
+        F.round(stopword_ratio(c), 4).alias("stopword_ratio"),
+        F.round(punct_ratio(c), 4).alias("punct_ratio"),
+        F.round(quality_score(c), 4).alias("quality"),
+        fingerprint(c).alias("fingerprint"),
+        lang_id(c).alias("lang_pred"),
+    )

@@ -1,0 +1,134 @@
+"""Relational lift: multi-record operators the per-record reference cannot
+express (reference JsonataTransformation.java:88-120 touches exactly one
+record; SURVEY.md §2B5/§2C). Each helper is a thin, scale-aware wrapper over a
+Spark built-in so Catalyst keeps full optimization freedom.
+
+Scale rules applied throughout:
+- dimension sides of joins are broadcast explicitly when tiny;
+- aggregations use map-side partial aggregation (free with groupBy/agg);
+- top-k per group is window-rank + filter (no global sort);
+- as-of join avoids the naive theta-join explosion by equi-joining on the
+  entity key and reducing with max() — O(matches) not O(n*m) pairs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def project(df: DataFrame, *cols: Column | str) -> DataFrame:
+    """C3 projection / computed columns."""
+    return df.select(*cols)
+
+
+def keep(df: DataFrame, cond: Column) -> DataFrame:
+    """C4 row filter — the reference's record-drop (A4) lifted to rows.
+    Catalyst pushes this into the parquet scan when possible."""
+    return df.filter(cond)
+
+
+def equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | Column,
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """C5/C6 equi/semi/anti join. ``broadcast_right`` skips the shuffle for a
+    small dimension side — at 100 TB the fact side never moves."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on, how)
+
+
+def theta_join(left: DataFrame, right: DataFrame, cond: Column, how: str = "inner") -> DataFrame:
+    """C7 theta/range join (non-equi condition). Catalyst will pick BNLJ;
+    keep one side broadcast-small or pre-bucketize the range key at scale."""
+    return left.join(right, cond, how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    value_agg: str,
+) -> DataFrame:
+    """C8 as-of join: for each left row, the greatest ``right_ts`` <= left_ts
+    within the same key, exposed as ``asof_<right_ts>``.
+
+    Implementation: equi-join on the key (shuffle on key only) + filter +
+    groupBy(left row id) max — linear in matched pairs, no O(n*m) theta join.
+    ``value_agg`` names the left-side unique id column to regroup on.
+    """
+    j = left.join(
+        right.select(F.col(right_key).alias("__rk"), F.col(right_ts).alias("__rts")),
+        (F.col(left_key) == F.col("__rk")) & (F.col("__rts") <= F.col(left_ts)),
+        "left",
+    )
+    return (
+        j.groupBy(value_agg, *[c for c in left.columns if c != value_agg])
+        .agg(F.max("__rts").alias(f"asof_{right_ts}"))
+    )
+
+
+def hash_agg(df: DataFrame, keys: Sequence[str], *aggs: Column) -> DataFrame:
+    """C9 hash aggregation. Partial (map-side) aggregation is automatic."""
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def rollup_agg(df: DataFrame, keys: Sequence[str], *aggs: Column) -> DataFrame:
+    """C11 rollup."""
+    return df.rollup(*keys).agg(*aggs)
+
+
+def cube_agg(df: DataFrame, keys: Sequence[str], *aggs: Column) -> DataFrame:
+    """C11 cube."""
+    return df.cube(*keys).agg(*aggs)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group: Sequence[str],
+    order: Sequence[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """C12/C13 per-group top-k: window rank + filter. No global sort; each
+    group ranks inside its shuffle partition."""
+    w = Window.partitionBy(*group).orderBy(*order)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def pivot_table(
+    df: DataFrame,
+    group: Sequence[str],
+    pivot_col: str,
+    values: Sequence[str],
+    agg: Column,
+) -> DataFrame:
+    """C17 pivot. Passing explicit ``values`` avoids the extra distinct-scan
+    Spark otherwise runs to discover pivot columns."""
+    return df.groupBy(*group).pivot(pivot_col, list(values)).agg(agg)
+
+
+def unpivot(
+    df: DataFrame, ids: Sequence[str], cols: Sequence[str], var_name: str, value_name: str
+) -> DataFrame:
+    """C17 unpivot (melt)."""
+    return df.unpivot(list(ids), list(cols), var_name, value_name)
+
+
+def dedup_exact(df: DataFrame, keys: Sequence[str], tiebreak: Sequence[Column]) -> DataFrame:
+    """C15 deterministic exact dedup: keep the first row per key under
+    ``tiebreak`` ordering (dropDuplicates keeps an arbitrary row, which is
+    not reproducible across runs/cluster sizes)."""
+    w = Window.partitionBy(*keys).orderBy(*tiebreak)
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )

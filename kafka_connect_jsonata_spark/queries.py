@@ -1,0 +1,647 @@
+"""Named query catalog: one entry per implemented operator from SURVEY.md §2,
+plus the DuckDB oracle SQL for each (the driver's correctness gate).
+
+Determinism discipline (so value hashes match DuckDB exactly):
+- Money/quantity aggregates are summed as DECIMAL (exact) and cast to DOUBLE
+  at the end; both engines produce the identical IEEE value.
+- Derived ratios are computed from those exact values with the same scalar
+  double ops on both sides (deterministic, order-free).
+- Floating-point folds over arrays (cosine etc.) use an explicit left-to-right
+  fold in BOTH engines (Spark ``aggregate``; DuckDB ``list_reduce``).
+- Top-k queries always carry a unique tiebreak key in the ordering.
+- Timestamps are cast to DATE (or epoch seconds) at the boundary; the Spark
+  session runs in UTC.
+
+Each Spark callable takes (spark, sf_dir) and returns a DataFrame; the oracle
+SQL runs on DuckDB views named after the tables.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kafka_connect_jsonata_spark.functions import dedup, similarity, text
+from kafka_connect_jsonata_spark.operators import relational as R
+from kafka_connect_jsonata_spark.sources.readers import load_table
+
+
+def _dec(c: str, scale: int = 2) -> F.Column:
+    return F.col(c).cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# C9/C13: TPC-H-style aggregation queries
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy groupBy with 8 aggregates; partial
+    aggregation makes it one pass over the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(18,2)") + _dec("l_tax"))
+    out = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+        .withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
+    )
+    return out.orderBy("l_returnflag", "l_linestatus")
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       count(*) AS count_order,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, agg, total-order top 10 (unique tiebreak
+    on orderkey keeps the limit deterministic)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+              F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        j.groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with two broadcast dims, agg by nation."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+              nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# C3/C4/C18: projection, filter, JSON ops (the reference's A4 drop + B-path
+# semantics lifted to rows)
+# ---------------------------------------------------------------------------
+
+def filter_project_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return R.project(
+        R.keep(ev, (F.col("event_type") == "purchase") & (F.col("value") > 100)),
+        F.col("event_id"),
+        F.col("user_id"),
+        (_dec("value") * F.lit(2).cast("decimal(18,2)")).cast("double").alias("value2"),
+    )
+
+
+FILTER_PROJECT_SQL = """
+SELECT event_id, user_id,
+       CAST(CAST(value AS DECIMAL(18,2)) * CAST(2 AS DECIMAL(18,2)) AS DOUBLE) AS value2
+FROM events WHERE event_type = 'purchase' AND value > 100
+"""
+
+
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C18 JSON path extraction on events.props — the flagship JSONata idiom
+    (``value.k > 50 ? {...} : null``) expressed as pushed-down Column ops."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select("event_id", "event_type", k.alias("k"))
+        .filter(F.col("k") > 50)
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT event_id, event_type, CAST(props->>'$.k' AS INT) AS k
+FROM events WHERE CAST(props->>'$.k' AS INT) > 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# C12/C13: windows and top-k
+# ---------------------------------------------------------------------------
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = R.top_k_per_group(
+        li.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+        ["l_returnflag"],
+        [F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        3,
+    )
+    return out.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice", "rn")
+
+
+TOPK_SQL = """
+SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rn
+  FROM lineitem) t
+WHERE rn <= 3
+"""
+
+
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+        F.lag("o_orderkey", 1).over(
+            Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        ).alias("prev_orderkey"),
+    )
+
+
+WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+       lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_orderkey
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# C11: rollup / cube
+# ---------------------------------------------------------------------------
+
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return R.rollup_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        F.count("*").alias("n"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return R.cube_agg(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        F.count("*").alias("n"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+    )
+
+
+CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# C5-C8: join family
+# ---------------------------------------------------------------------------
+
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having at least one open order (left-semi: no fanout)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return R.equi_join(
+        cust, orders.select(F.col("o_custkey").alias("c_custkey")), ["c_custkey"], "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+SEMI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+"""
+
+
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders at all (left-anti = NOT EXISTS)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return R.equi_join(
+        cust, orders.select(F.col("o_custkey").alias("c_custkey")), ["c_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def range_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 theta join: parts priced within a size-dependent band of suppliers'
+    account balance decile (synthetic non-equi condition; BNLJ with broadcast
+    dim — the only sane physical plan for a non-equi join)."""
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    cond = (F.col("p_retailprice") >= F.col("s_acctbal") / 5) & (
+        F.col("p_retailprice") < F.col("s_acctbal") / 5 + 50
+    )
+    return (
+        R.theta_join(part, F.broadcast(supp), cond)
+        .select("p_partkey", "s_suppkey", "p_retailprice", "s_acctbal")
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT p_partkey, s_suppkey, p_retailprice, s_acctbal
+FROM part JOIN supplier
+  ON p_retailprice >= s_acctbal / 5 AND p_retailprice < s_acctbal / 5 + 50
+"""
+
+
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 as-of join: latest order date at-or-before each event, per user."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders")
+    out = R.asof_join(ev, orders, "user_id", "o_custkey", "ts", "o_orderdate", "event_id")
+    return out.select(
+        "event_id", "user_id", F.date_format("asof_o_orderdate", "yyyy-MM-dd").alias("asof_date")
+    )
+
+
+ASOF_SQL = """
+SELECT event_id, user_id,
+       strftime((SELECT max(o_orderdate) FROM orders
+             WHERE o_custkey = user_id AND o_orderdate <= ts), '%Y-%m-%d') AS asof_date
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# C14/C15: set ops, distinct, dedup
+# ---------------------------------------------------------------------------
+
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with both a finished and an open order."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(o)
+
+
+SETOP_INTERSECT_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with finished orders but no open orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.subtract(o)  # EXCEPT (set semantics), matching the SQL oracle
+
+
+SETOP_EXCEPT_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select("c_mktsegment").distinct()
+
+
+DISTINCT_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def dedup_first_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C15 deterministic dedup: first lineitem per order by line number."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = R.dedup_exact(
+        li.select("l_orderkey", "l_linenumber", "l_partkey"),
+        ["l_orderkey"],
+        [F.col("l_linenumber").asc(), F.col("l_partkey").asc()],
+    )
+    return out
+
+
+DEDUP_FIRST_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey FROM (
+  SELECT l_orderkey, l_linenumber, l_partkey,
+         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ASC, l_partkey ASC) AS rn
+  FROM lineitem) t
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# C16/C17: explode, pivot
+# ---------------------------------------------------------------------------
+
+def explode_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C16+C24: tokenize+explode documents, top 20 terms by frequency."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = text.term_frequencies(docs)
+    return tf.orderBy(F.col("tf").desc(), F.col("token").asc()).limit(20)
+
+
+TERM_FREQ_SQL = """
+SELECT token, count(*) AS tf FROM (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token FROM documents) t
+WHERE token <> ''
+GROUP BY token ORDER BY tf DESC, token ASC LIMIT 20
+"""
+
+
+def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = R.pivot_table(
+        li,
+        ["l_returnflag"],
+        "l_linestatus",
+        ["F", "O"],
+        F.sum(_dec("l_quantity")).cast("double"),
+    )
+    return out.select("l_returnflag", F.col("F").alias("qty_f"), F.col("O").alias("qty_o"))
+
+
+PIVOT_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+       CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount"
+    )
+    return R.unpivot(
+        li, ["l_orderkey", "l_linenumber"], ["l_quantity", "l_discount"], "measure", "val"
+    )
+
+
+UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount' AS measure, l_discount AS val FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# C24: text analysis
+# ---------------------------------------------------------------------------
+
+def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.doc_stats(docs).select(
+        "doc_id", "n_tokens", "n_chars_computed", "fingerprint"
+    )
+
+
+TEXT_STATS_SQL = """
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS n_tokens,
+       length(text) AS n_chars_computed,
+       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(text.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# Oracle mirrors the same stopword-vote heuristic.
+_LANG_HIT = (
+    "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+    " t -> list_contains({words}, t)))"
+)
+LANG_ID_SQL = f"""
+WITH scored AS (
+  SELECT {_LANG_HIT.format(words=str(list(text.STOPWORDS_EN)))} AS en,
+         {_LANG_HIT.format(words=str(list(text.STOPWORDS_FR)))} AS fr,
+         {_LANG_HIT.format(words=str(list(text.STOPWORDS_DE)))} AS de
+  FROM documents)
+SELECT CASE WHEN greatest(en, fr, de) = 0 THEN 'unknown'
+            WHEN en = greatest(en, fr, de) THEN 'en'
+            WHEN fr = greatest(en, fr, de) THEN 'fr'
+            ELSE 'de' END AS lang_pred,
+       count(*) AS n
+FROM scored GROUP BY 1
+"""
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dup_groups(docs)
+
+
+DEDUP_DOCS_SQL = """
+SELECT fp, count(*) AS n_dups, min(doc_id) AS keep_id FROM (
+  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents) t
+GROUP BY fp HAVING count(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# C25/C26: similarity + near-dup
+# ---------------------------------------------------------------------------
+
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk(q, emb, k=5)
+
+
+COSINE_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_reduce(list_transform(list_zip(q.qv, e.embedding),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)
+         / (sqrt(list_reduce(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+          * sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)))
+         AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, round(sim, 4) AS cosine_sim, rank FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM pairs) t
+WHERE rank <= 5
+"""
+
+
+def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup doc pairs by token 3-gram Jaccard, blocked on first token."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+NGRAM_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS ts
+  FROM documents),
+docs AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(ts) - 2),
+                         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+         ELSE [] END AS grams,
+         ts[1] AS blk
+  FROM toks)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+FROM docs a JOIN docs b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
+  AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+      len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier": q5_local_supplier,
+    "filter_project_events": filter_project_events,
+    "json_props_extract": json_props_extract,
+    "topk_per_group": topk_per_group,
+    "window_running_total": window_running_total,
+    "rollup_lineitem": rollup_lineitem,
+    "cube_orders": cube_orders,
+    "semi_join_customers": semi_join_customers,
+    "anti_join_customers": anti_join_customers,
+    "range_join_parts": range_join_parts,
+    "asof_join_events_orders": asof_join_events_orders,
+    "setop_intersect": setop_intersect,
+    "setop_except": setop_except,
+    "distinct_segments": distinct_segments,
+    "dedup_first_line": dedup_first_line,
+    "explode_term_freq": explode_term_freq,
+    "pivot_returnflag": pivot_returnflag,
+    "unpivot_lineitem": unpivot_lineitem,
+    "text_doc_stats": text_doc_stats,
+    "lang_id_counts": lang_id_counts,
+    "dedup_exact_docs": dedup_exact_docs,
+    "cosine_topk_bruteforce": cosine_topk_bruteforce,
+    "ngram_jaccard_dups": ngram_jaccard_dups,
+}
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_local_supplier": Q5_SQL,
+    "filter_project_events": FILTER_PROJECT_SQL,
+    "json_props_extract": JSON_PROPS_SQL,
+    "topk_per_group": TOPK_SQL,
+    "window_running_total": WINDOW_RUNNING_SQL,
+    "rollup_lineitem": ROLLUP_SQL,
+    "cube_orders": CUBE_SQL,
+    "semi_join_customers": SEMI_JOIN_SQL,
+    "anti_join_customers": ANTI_JOIN_SQL,
+    "range_join_parts": RANGE_JOIN_SQL,
+    "asof_join_events_orders": ASOF_SQL,
+    "setop_intersect": SETOP_INTERSECT_SQL,
+    "setop_except": SETOP_EXCEPT_SQL,
+    "distinct_segments": DISTINCT_SQL,
+    "dedup_first_line": DEDUP_FIRST_SQL,
+    "explode_term_freq": TERM_FREQ_SQL,
+    "pivot_returnflag": PIVOT_SQL,
+    "unpivot_lineitem": UNPIVOT_SQL,
+    "text_doc_stats": TEXT_STATS_SQL,
+    "lang_id_counts": LANG_ID_SQL,
+    "dedup_exact_docs": DEDUP_DOCS_SQL,
+    "cosine_topk_bruteforce": COSINE_TOPK_SQL,
+    "ngram_jaccard_dups": NGRAM_JACCARD_SQL,
+}

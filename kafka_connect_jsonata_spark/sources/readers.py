@@ -1,0 +1,53 @@
+"""Batch sources for the engine.
+
+The reference's source is the Kafka Connect framework handing it one record
+at a time (reference JsonataTransformation.java:88). Our batch sources are
+columnar parquet scans — Catalyst pushes filters and prunes columns into the
+scan, which is the scale path for 100 TB (the reference has no batch story).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Plain parquet scan: predicate pushdown and
+    column pruning land automatically once callers filter/select.
+
+    ``events.ts`` is stored as TIMESTAMP(NANOS), which Spark reads as a
+    nanosecond long (legacy.parquet.nanosAsLong); convert to a microsecond
+    timestamp to match DuckDB's truncation.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL API."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

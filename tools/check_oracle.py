@@ -1,0 +1,108 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() on DuckDB over the same parquet, compare
+row-count, column names, and order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from kafka_connect_jsonata_spark.engine import get_spark  # noqa: E402
+from kafka_connect_jsonata_spark.sources.readers import TABLES  # noqa: E402
+
+
+def normalize(df) -> list[tuple]:
+    """Sort columns by name, stringify values, sort rows."""
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = []
+    for row in df.itertuples(index=False):
+        rows.append(tuple(_norm_val(v) for v in row))
+    return sorted(rows), cols
+
+
+def _norm_val(v):
+    import datetime
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
+        return "NULL"
+    if isinstance(v, (np.integer,)):
+        return str(int(v))
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        return repr(f)
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        return pd.Timestamp(v).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, np.ndarray)):
+        return "[" + ",".join(_norm_val(x) for x in v) + "]"
+    return str(v)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        s_rows, s_cols = normalize(sdf)
+        o_rows, o_cols = normalize(odf)
+        status = "OK"
+        detail = ""
+        if s_cols != o_cols:
+            status, detail = "FAIL", f"cols spark={s_cols} oracle={o_cols}"
+        elif len(s_rows) != len(o_rows):
+            status, detail = "FAIL", f"rowcount spark={len(s_rows)} oracle={len(o_rows)}"
+        elif s_rows != o_rows:
+            diffs = [
+                (a, b) for a, b in zip(s_rows, o_rows) if a != b
+            ][:3]
+            status, detail = "FAIL", f"values differ, first diffs: {diffs}"
+        if status == "FAIL":
+            failures.append(name)
+        print(f"{status} {name} ({len(s_rows)} rows, {time.time()-t0:.1f}s) {detail}")
+    print(f"\n{len(failures)} failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
