@@ -1,0 +1,800 @@
+"""JSONata tree-walking interpreter (tier 2).
+
+Evaluates the parser's AST over plain Python dict/list trees with JSONata's
+sequence semantics (auto-flattening, singleton unwrap, missing-vs-null), the
+per-record eval guards of the reference (wall-clock timeout default 5000 ms,
+recursion depth cap default 1000 — reference JsonataTransformation.java:104,
+JsonataTransformationConfig.java:23-29), and the full core function library.
+
+This tier is the semantics oracle for the Column compiler (tier 1) and the
+fallback that executes inside a pandas UDF for expressions the compiler
+can't translate (``**``, ``%``, ``$eval``, recursion, schema-as-data).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+from kafka_connect_jsonata_spark.jsonata import functions as lib
+from kafka_connect_jsonata_spark.jsonata.errors import (
+    JsonataDepthError,
+    JsonataError,
+    JsonataTimeoutError,
+)
+from kafka_connect_jsonata_spark.jsonata.functions import (
+    UNDEFINED,
+    JArray,
+    JSeq,
+    boolean_of,
+    deep_equal,
+    is_number,
+    is_undef,
+    norm_number,
+)
+from kafka_connect_jsonata_spark.jsonata.parser import parse
+
+
+class Closure:
+    jsonata_callable = True
+
+    __slots__ = ("args", "body", "env")
+
+    def __init__(self, args, body, env):
+        self.args = args
+        self.body = body
+        self.env = env
+
+
+class Builtin:
+    jsonata_callable = True
+
+    __slots__ = ("name", "fn", "ctx_arity")
+
+    def __init__(self, name, fn, ctx_arity):
+        self.name = name
+        self.fn = fn
+        self.ctx_arity = ctx_arity
+
+
+class Partial:
+    jsonata_callable = True
+
+    __slots__ = ("func", "args")
+
+    def __init__(self, func, args):
+        self.func = func
+        self.args = args  # list with PLACEHOLDER sentinels
+
+
+class Composed:
+    jsonata_callable = True
+
+    __slots__ = ("first", "second")
+
+    def __init__(self, first, second):
+        self.first = first
+        self.second = second
+
+
+class Transform:
+    jsonata_callable = True
+
+    __slots__ = ("pattern", "update", "delete", "env")
+
+    def __init__(self, pattern, update, delete, env):
+        self.pattern = pattern
+        self.update = update
+        self.delete = delete
+        self.env = env
+
+
+PLACEHOLDER = object()
+
+
+def is_function(v) -> bool:
+    return isinstance(v, (Closure, Builtin, Partial, Composed, Transform)) or callable(v)
+
+
+class Frame:
+    __slots__ = ("bindings", "parent")
+
+    def __init__(self, parent=None, bindings=None):
+        self.parent = parent
+        self.bindings = bindings if bindings is not None else {}
+
+    def lookup(self, name):
+        frame = self
+        while frame is not None:
+            if name in frame.bindings:
+                return frame.bindings[name]
+            frame = frame.parent
+        return UNDEFINED
+
+    def bind(self, name, value):
+        self.bindings[name] = value
+
+    def child(self, bindings=None):
+        return Frame(self, bindings)
+
+
+def to_sequence(value) -> JSeq:
+    if is_undef(value):
+        return JSeq()
+    if isinstance(value, JSeq):
+        return value
+    return JSeq([value])
+
+
+def unwrap(value):
+    """Singleton rule: 1-element sequence == its element; empty == undefined."""
+    if isinstance(value, JSeq):
+        if value.keep_singleton:
+            return JArray(value)
+        if len(value) == 0:
+            return UNDEFINED
+        if len(value) == 1:
+            return value[0]
+        return list(value)
+    return value
+
+
+class Jsonata:
+    """Compiled JSONata expression with the reference's eval guards."""
+
+    def __init__(self, source_or_ast, timeout_ms: int = 5000, max_depth: int = 1000):
+        if isinstance(source_or_ast, str):
+            self.ast = parse(source_or_ast)
+        else:
+            self.ast = source_or_ast
+        self.timeout_ms = timeout_ms
+        self.max_depth = max_depth
+        self._deadline = 0.0
+        self._depth = 0
+        self._ticks = 0
+        self.timestamp_ms = 0
+
+    # ------------------------------------------------------------- public API
+    def evaluate(self, data, bindings: dict | None = None):
+        """Evaluate against ``data``; returns a plain Python value or
+        UNDEFINED (caller decides drop semantics, reference
+        JsonataTransformation.java:295-297)."""
+        import sys
+
+        self._deadline = time.monotonic() + self.timeout_ms / 1000.0
+        self._depth = 0
+        self._ticks = 0
+        self.timestamp_ms = int(time.time() * 1000)
+        env = Frame()
+        env.bind("$", data)  # root ($$)
+        for name, (fn, ctx) in lib.REGISTRY.items():
+            env.bind(name, Builtin(name, fn, ctx))
+        if bindings:
+            for k, v in bindings.items():
+                env.bind(k, v)
+        # each JSONata lambda frame costs ~15 Python frames; keep the Python
+        # limit above the JSONata depth guard so ours fires first
+        want = min(self.max_depth, 10_000) * 20 + 1000
+        if sys.getrecursionlimit() < want:
+            sys.setrecursionlimit(want)
+        try:
+            result = self._eval(self.ast, data, env)
+        except RecursionError as e:
+            raise JsonataDepthError(self.max_depth) from e
+        result = unwrap(result)
+        if isinstance(result, JSeq):
+            result = list(result)
+        return result
+
+    # -------------------------------------------------------------- guards
+    def _check(self):
+        self._ticks += 1
+        if (self._ticks & 0x3FF) == 0 and time.monotonic() > self._deadline:
+            raise JsonataTimeoutError(self.timeout_ms)
+
+    # ----------------------------------------------------------------- eval
+    def _eval(self, node, input, env):
+        self._check()
+        t = node["type"]
+        method = getattr(self, "_eval_" + t, None)
+        if method is None:
+            raise JsonataError("S0500", f"no evaluator for node type {t!r}")
+        return method(node, input, env)
+
+    def _eval_string(self, node, input, env):
+        return node["value"]
+
+    _eval_number = _eval_string
+    _eval_value = _eval_string
+    _eval_regex = _eval_string
+
+    def _eval_variable(self, node, input, env):
+        name = node["value"]
+        if name == "":
+            return input
+        return env.lookup(name)
+
+    def _eval_name(self, node, input, env):
+        return self._lookup(input, node["value"])
+
+    def _lookup(self, value, key):
+        if isinstance(value, (JSeq,)) or (isinstance(value, list) and not isinstance(value, JArray)):
+            out = JSeq()
+            for item in value:
+                res = self._lookup(item, key)
+                if is_undef(res):
+                    continue
+                if isinstance(res, JSeq):
+                    out.extend(res)
+                else:
+                    out.append(res)
+            return out if out else UNDEFINED
+        if isinstance(value, dict):
+            return value.get(key, UNDEFINED)
+        return UNDEFINED
+
+    def _eval_wildcard(self, node, input, env):
+        if is_undef(input):
+            return UNDEFINED
+        out = JSeq()
+        if isinstance(input, dict):
+            values = input.values()
+        elif isinstance(input, list):
+            values = input
+        else:
+            return UNDEFINED
+        for v in values:
+            if isinstance(v, list):
+                out.extend(self._flatten_deep(v))
+            elif not is_undef(v):
+                out.append(v)
+        return out
+
+    def _flatten_deep(self, arr):
+        out = []
+        for v in arr:
+            if isinstance(v, list):
+                out.extend(self._flatten_deep(v))
+            else:
+                out.append(v)
+        return out
+
+    def _eval_descendant(self, node, input, env):
+        if is_undef(input):
+            return UNDEFINED
+        out = JSeq()
+        self._recurse_descendants(input, out)
+        return out
+
+    def _recurse_descendants(self, value, out):
+        if not isinstance(value, list):
+            out.append(value)
+        if isinstance(value, list):
+            for v in value:
+                self._recurse_descendants(v, out)
+        elif isinstance(value, dict):
+            for v in value.values():
+                self._recurse_descendants(v, out)
+
+    def _eval_parent(self, node, input, env):
+        stack = env.lookup("%ancestry%")
+        if is_undef(stack) or not stack:
+            return UNDEFINED
+        return stack[-1]
+
+    # ------------------------------------------------------------------ path
+    # Items flow through a path as (value, parents, binds) triples:
+    #   parents — tuple of ancestor context values (for the `%` operator)
+    #   binds   — tuple of (var, value) pairs from @$v / #$i focus binds
+    def _eval_path_op(self, node, input, env):
+        steps: list = []
+        self._collect_steps(node, steps)
+        if isinstance(input, list) and not isinstance(input, JArray) and steps[0]["type"] != "variable":
+            items = [(v, (), ()) for v in input]
+        else:
+            items = [(input, (), ())]
+        keep = False
+        for i, step in enumerate(steps):
+            if not items:
+                return UNDEFINED
+            items, k = self._step(step, items, env, i == len(steps) - 1)
+            keep = keep or k
+        if not items and not keep:
+            return UNDEFINED
+        return JSeq((v for v, _p, _b in items), keep_singleton=keep)
+
+    def _collect_steps(self, node, out):
+        if node["type"] == "path_op":
+            self._collect_steps(node["lhs"], out)
+            out.append(node["rhs"])
+        else:
+            out.append(node)
+
+    def _step(self, step, items, env, last_step):
+        """Evaluate one path step over item triples. Returns (items, keep)."""
+        stype = step["type"]
+        if stype == "object":
+            # `seq.{...}` — group-by over the whole sequence at this point
+            grouped = self._group(step["pairs"], JSeq(v for v, _p, _b in items), env)
+            return ([(grouped, (), ())], False)
+        if stype == "parent":
+            out = []
+            for _v, parents, binds in items:
+                if parents:
+                    out.append((parents[-1], parents[:-1], binds))
+            return (out, False)
+        if stype == "index_bind":
+            inner, keep = self._step(step["expr"], items, env, last_step)
+            var = step["var"]
+            return ([(v, p, b + ((var, i),)) for i, (v, p, b) in enumerate(inner)], keep)
+        if stype == "context_bind":
+            inner, keep = self._step(step["expr"], items, env, last_step)
+            var = step["var"]
+            return ([(v, p, b + ((var, v),)) for v, p, b in inner], keep)
+
+        evaluated = []  # (res, new_parents, binds)
+        for value, parents, binds in items:
+            child = env.child()
+            child.bind("%ancestry%", list(parents))
+            for var, bval in binds:
+                child.bind(var, bval)
+            res = self._eval(step, value, child)
+            if is_undef(res):
+                continue
+            evaluated.append((res, parents + (value,), binds))
+
+        # last-step rule: a single array result IS the result sequence
+        if (
+            last_step
+            and len(evaluated) == 1
+            and isinstance(evaluated[0][0], list)
+            and not isinstance(evaluated[0][0], JSeq)
+        ):
+            res, np, nb = evaluated[0]
+            return ([(v, np, nb) for v in res], False)
+
+        out = []
+        keep = False
+        for res, np, nb in evaluated:
+            if isinstance(res, JSeq):
+                keep = keep or res.keep_singleton
+                out.extend((v, np, nb) for v in res)
+            elif isinstance(res, JArray):
+                out.append((res, np, nb))
+            elif isinstance(res, list):
+                out.extend((v, np, nb) for v in res)
+            else:
+                out.append((res, np, nb))
+        return (out, keep)
+
+    def _eval_keep_array(self, node, input, env):
+        res = self._eval(node["expr"], input, env)
+        seq = to_sequence(res) if not isinstance(res, list) else (
+            res if isinstance(res, JSeq) else JSeq(res)
+        )
+        seq.keep_singleton = True
+        return seq
+
+    # ---------------------------------------------------------------- filter
+    def _eval_filter(self, node, input, env):
+        base = self._eval(node["expr"], input, env)
+        if is_undef(base):
+            return UNDEFINED
+        return self._apply_predicate(base, node["predicate"], input, env)
+
+    def _apply_predicate(self, base, pred, ctx_input, env):
+        if isinstance(base, JSeq):
+            seq = base
+        elif isinstance(base, list):
+            seq = JSeq(base)
+        else:
+            seq = JSeq([base])
+        if pred["type"] == "number":
+            return self._index_select(seq, [pred["value"]])
+        out = JSeq(keep_singleton=seq.keep_singleton)
+        n = len(seq)
+        for i, item in enumerate(seq):
+            child = env.child()
+            pv = self._eval(pred, item, child)
+            pv_u = unwrap(pv)
+            if is_number(pv_u):
+                if self._index_matches(pv_u, i, n):
+                    out.append(item)
+            elif isinstance(pv_u, list) and pv_u and all(is_number(x) for x in pv_u):
+                if any(self._index_matches(x, i, n) for x in pv_u):
+                    out.append(item)
+            elif boolean_of(pv_u) is True:
+                out.append(item)
+        return out
+
+    @staticmethod
+    def _index_matches(num, i, n) -> bool:
+        idx = int(math.floor(num))
+        if idx < 0:
+            idx += n
+        return idx == i
+
+    @staticmethod
+    def _index_select(seq, nums):
+        out = JSeq(keep_singleton=seq.keep_singleton)
+        n = len(seq)
+        for num in nums:
+            idx = int(math.floor(num))
+            if idx < 0:
+                idx += n
+            if 0 <= idx < n:
+                out.append(seq[idx])
+        return out
+
+    # ------------------------------------------------------------- constructors
+    def _eval_array(self, node, input, env):
+        # A constructed array flattens like a plain value unless it appears
+        # as a non-first path step (the ``a.[...]`` keep-arrays idiom, marked
+        # "keep_cons" by the parser).
+        out = JArray() if node.get("keep_cons") else list()
+        for expr in node["expressions"]:
+            v = self._eval(expr, input, env)
+            if is_undef(v):
+                continue
+            if expr["type"] == "array":
+                out.append(v)
+            elif isinstance(v, JSeq):
+                out.extend(v)
+            else:
+                out.append(v)
+        return out
+
+    def _eval_object(self, node, input, env):
+        # standalone {...}: context sequence semantics (array context groups)
+        if isinstance(input, list) and not isinstance(input, JArray):
+            seq = JSeq(input)
+        else:
+            seq = JSeq([input])
+        return self._group(node["pairs"], seq, env)
+
+    def _eval_group(self, node, input, env):
+        base = self._eval(node["expr"], input, env)
+        if isinstance(base, list):
+            seq = JSeq(base)
+        else:
+            seq = to_sequence(base)
+        return self._group(node["pairs"], seq, env)
+
+    def _group(self, pairs, seq, env):
+        if len(seq) == 0:
+            seq = JSeq([UNDEFINED])
+        groups: dict[str, dict] = {}
+        order: list[str] = []
+        for item in seq:
+            for idx, (kexpr, _vexpr) in enumerate(pairs):
+                key = unwrap(self._eval(kexpr, item, env))
+                if is_undef(key):
+                    continue
+                if not isinstance(key, str):
+                    raise JsonataError("T1003", "object key must evaluate to a string")
+                if key in groups:
+                    if groups[key]["index"] != idx:
+                        raise JsonataError("D1009", f"duplicate object key {key!r} from multiple expressions")
+                    groups[key]["data"].append(item)
+                else:
+                    groups[key] = {"data": [item], "index": idx}
+                    order.append(key)
+        out = {}
+        for key in order:
+            g = groups[key]
+            ctx = unwrap(JSeq(g["data"]))
+            val = unwrap(self._eval(pairs[g["index"]][1], ctx, env))
+            if not is_undef(val):
+                out[key] = val
+        return out
+
+    def _eval_range(self, node, input, env):
+        lhs = unwrap(self._eval(node["lhs"], input, env))
+        rhs = unwrap(self._eval(node["rhs"], input, env))
+        if is_undef(lhs) or is_undef(rhs):
+            return UNDEFINED
+        if not (isinstance(lhs, int) and not isinstance(lhs, bool)):
+            raise JsonataError("T2003", "left side of range must be an integer")
+        if not (isinstance(rhs, int) and not isinstance(rhs, bool)):
+            raise JsonataError("T2004", "right side of range must be an integer")
+        if lhs > rhs:
+            return UNDEFINED
+        if rhs - lhs >= 10_000_000:
+            raise JsonataError("D2014", "range size exceeds limit")
+        return JSeq(range(lhs, rhs + 1))
+
+    # ------------------------------------------------------------- operators
+    def _eval_unary(self, node, input, env):
+        v = unwrap(self._eval(node["expression"], input, env))
+        if is_undef(v):
+            return UNDEFINED
+        if not is_number(v):
+            raise JsonataError("D1002", "cannot negate a non-number")
+        return norm_number(-v)
+
+    def _eval_binary(self, node, input, env):
+        op = node["value"]
+        if op in ("and", "or"):
+            lb = boolean_of(unwrap(self._eval(node["lhs"], input, env)))
+            if op == "and":
+                if lb is not True:
+                    return False
+                return boolean_of(unwrap(self._eval(node["rhs"], input, env))) is True
+            if lb is True:
+                return True
+            return boolean_of(unwrap(self._eval(node["rhs"], input, env))) is True
+        lhs = unwrap(self._eval(node["lhs"], input, env))
+        rhs = unwrap(self._eval(node["rhs"], input, env))
+        if op in ("+", "-", "*", "/", "%"):
+            if is_undef(lhs) or is_undef(rhs):
+                return UNDEFINED
+            if not is_number(lhs):
+                raise JsonataError("T2001", f"left side of {op!r} must be a number")
+            if not is_number(rhs):
+                raise JsonataError("T2002", f"right side of {op!r} must be a number")
+            if op == "+":
+                return norm_number(lhs + rhs)
+            if op == "-":
+                return norm_number(lhs - rhs)
+            if op == "*":
+                return norm_number(lhs * rhs)
+            if op == "/":
+                if rhs == 0:
+                    raise JsonataError("D1001", "division by zero")
+                return norm_number(lhs / rhs)
+            if rhs == 0:
+                raise JsonataError("D1001", "modulo by zero")
+            return norm_number(math.fmod(lhs, rhs))
+        if op in ("=", "!="):
+            # either side undefined -> false (for both = and !=), per spec
+            if is_undef(lhs) or is_undef(rhs):
+                return False
+            eq = deep_equal(lhs, rhs)
+            return eq if op == "=" else not eq
+        if op in ("<", "<=", ">", ">="):
+            if is_undef(lhs) or is_undef(rhs):
+                return UNDEFINED
+            for v in (lhs, rhs):
+                if not (is_number(v) or isinstance(v, str)):
+                    raise JsonataError("T2010", f"operands of {op!r} must be numbers or strings")
+            if is_number(lhs) != is_number(rhs):
+                raise JsonataError("T2009", f"operands of {op!r} must be of the same type")
+            if op == "<":
+                return lhs < rhs
+            if op == "<=":
+                return lhs <= rhs
+            if op == ">":
+                return lhs > rhs
+            return lhs >= rhs
+        if op == "&":
+            ls = "" if is_undef(lhs) else lib.fn_string(self, lhs)
+            rs = "" if is_undef(rhs) else lib.fn_string(self, rhs)
+            return ls + rs
+        if op == "in":
+            if is_undef(lhs) or is_undef(rhs):
+                return False
+            arr = rhs if isinstance(rhs, list) else [rhs]
+            return any(deep_equal(lhs, x) for x in arr)
+        raise JsonataError("S0201", f"unknown binary operator {op!r}")
+
+    def _eval_condition(self, node, input, env):
+        cond = boolean_of(unwrap(self._eval(node["condition"], input, env)))
+        if cond is True:
+            return self._eval(node["then"], input, env)
+        if node["else"] is not None:
+            return self._eval(node["else"], input, env)
+        return UNDEFINED
+
+    def _eval_block(self, node, input, env):
+        child = env.child()
+        result = UNDEFINED
+        for expr in node["expressions"]:
+            result = self._eval(expr, input, child)
+        return result
+
+    def _eval_bind(self, node, input, env):
+        value = unwrap(self._eval(node["rhs"], input, env))
+        env.bind(node["var"], value)
+        return value
+
+    def _eval_lambda(self, node, input, env):
+        return Closure(node["args"], node["body"], env)
+
+    def _eval_transform(self, node, input, env):
+        return Transform(node["pattern"], node["update"], node["delete"], env)
+
+    def _eval_sort(self, node, input, env):
+        base = self._eval(node["expr"], input, env)
+        seq = to_sequence(base) if not isinstance(base, list) else JSeq(base)
+        return self._sort_seq(node, seq, env)
+
+    def _sort_seq(self, node, seq, env):
+        terms = node["terms"]
+
+        def key_cmp(a, b) -> int:
+            for term in terms:
+                av = unwrap(self._eval(term["expression"], a, env))
+                bv = unwrap(self._eval(term["expression"], b, env))
+                if is_undef(av) and is_undef(bv):
+                    continue
+                if is_undef(av):
+                    return 1
+                if is_undef(bv):
+                    return -1
+                if not ((is_number(av) and is_number(bv)) or (isinstance(av, str) and isinstance(bv, str))):
+                    raise JsonataError("T2008", "sort terms must be numbers or strings")
+                if av == bv:
+                    continue
+                res = -1 if av < bv else 1
+                return -res if term["descending"] else res
+            return 0
+
+        arr = list(seq)
+        out = self._msort(arr, key_cmp)
+        return JSeq(out, keep_singleton=seq.keep_singleton if isinstance(seq, JSeq) else False)
+
+    def _msort(self, arr, cmp):
+        if len(arr) <= 1:
+            return arr
+        mid = len(arr) // 2
+        left = self._msort(arr[:mid], cmp)
+        right = self._msort(arr[mid:], cmp)
+        out, i, j = [], 0, 0
+        while i < len(left) and j < len(right):
+            if cmp(left[i], right[j]) <= 0:
+                out.append(left[i])
+                i += 1
+            else:
+                out.append(right[j])
+                j += 1
+        out.extend(left[i:])
+        out.extend(right[j:])
+        return out
+
+    def _eval_context_bind(self, node, input, env):
+        value = self._eval(node["expr"], input, env)
+        env.bind(node["var"], unwrap(value))
+        return value
+
+    def _eval_index_bind(self, node, input, env):
+        value = self._eval(node["expr"], input, env)
+        return value
+
+    # -------------------------------------------------------------- functions
+    def _eval_call(self, node, input, env, extra_first_arg=None):
+        proc_node = node["procedure"]
+        func = unwrap(self._eval(proc_node, input, env))
+        if is_undef(func) or not is_function(func):
+            name = proc_node.get("value", "?")
+            raise JsonataError("T1006", f"attempted to invoke a non-function {name!r}")
+        args = []
+        if extra_first_arg is not None:
+            args.append(extra_first_arg[0])
+        for a in node["arguments"]:
+            args.append(unwrap(self._eval(a, input, env)))
+        # context insertion for builtins (signature '-')
+        if isinstance(func, Builtin) and func.ctx_arity is not None:
+            if len(args) == func.ctx_arity - 1:
+                args = [input] + args
+        return self.invoke(func, args)
+
+    def _eval_partial(self, node, input, env):
+        proc = unwrap(self._eval(node["procedure"], input, env))
+        if not is_function(proc):
+            raise JsonataError("T1008", "attempted to partially apply a non-function")
+        args = []
+        for a in node["arguments"]:
+            if a["type"] == "placeholder":
+                args.append(PLACEHOLDER)
+            else:
+                args.append(unwrap(self._eval(a, input, env)))
+        return Partial(proc, args)
+
+    def _eval_apply(self, node, input, env):
+        lhs = unwrap(self._eval(node["lhs"], input, env))
+        rhs_node = node["rhs"]
+        if rhs_node["type"] in ("call", "partial"):
+            if is_function(lhs) and rhs_node["type"] == "call":
+                # could be composition via call returning function; treat as
+                # insertion — JSONata inserts the lhs value as first argument
+                pass
+            return self._eval_call(rhs_node, input, env, extra_first_arg=(lhs,))
+        func = unwrap(self._eval(rhs_node, input, env))
+        if not is_function(func):
+            raise JsonataError("T2006", "right side of ~> must be a function")
+        if is_function(lhs):
+            return Composed(lhs, func)
+        return self.invoke(func, [lhs])
+
+    # ------------------------------------------------------------ invocation
+    def arity(self, func) -> int:
+        if isinstance(func, Closure):
+            return len(func.args)
+        if isinstance(func, Builtin):
+            import inspect
+
+            sig = inspect.signature(func.fn)
+            return len(sig.parameters) - 1
+        if isinstance(func, Partial):
+            return sum(1 for a in func.args if a is PLACEHOLDER)
+        if isinstance(func, (Composed, Transform)):
+            return 1
+        return 1
+
+    def invoke(self, func, args):
+        self._check()
+        if isinstance(func, Builtin):
+            return func.fn(self, *args)
+        if isinstance(func, Closure):
+            self._depth += 1
+            if self._depth > self.max_depth:
+                raise JsonataDepthError(self.max_depth)
+            try:
+                frame = func.env.child()
+                for i, name in enumerate(func.args):
+                    frame.bind(name, args[i] if i < len(args) else UNDEFINED)
+                return unwrap(self._eval(func.body, args[0] if args else UNDEFINED, frame))
+            finally:
+                self._depth -= 1
+        if isinstance(func, Partial):
+            filled = []
+            it = iter(args)
+            for a in func.args:
+                if a is PLACEHOLDER:
+                    filled.append(next(it, UNDEFINED))
+                else:
+                    filled.append(a)
+            filled.extend(it)
+            return self.invoke(func.func, filled)
+        if isinstance(func, Composed):
+            mid = self.invoke(func.first, args)
+            return self.invoke(func.second, [mid])
+        if isinstance(func, Transform):
+            return self._apply_transform(func, args)
+        if callable(func):
+            return func(*args)
+        raise JsonataError("T1006", "attempted to invoke a non-function")
+
+    def _apply_transform(self, tr: Transform, args):
+        import copy
+
+        if not args or is_undef(args[0]):
+            return UNDEFINED
+        obj = copy.deepcopy(lib.to_json_value(args[0]))
+        matches = self._eval(tr.pattern, obj, tr.env.child())
+        matches = to_sequence(matches)
+        for m in matches:
+            if not isinstance(m, dict):
+                continue
+            upd = unwrap(self._eval(tr.update, m, tr.env.child()))
+            if not is_undef(upd):
+                if not isinstance(upd, dict):
+                    raise JsonataError("T2011", "transform update must evaluate to an object")
+                m.update(lib.to_json_value(upd))
+            if tr.delete is not None:
+                dels = unwrap(self._eval(tr.delete, m, tr.env.child()))
+                if not is_undef(dels):
+                    dels = dels if isinstance(dels, list) else [dels]
+                    for k in dels:
+                        if not isinstance(k, str):
+                            raise JsonataError("T2012", "transform delete must be strings")
+                        m.pop(k, None)
+        return obj
+
+    # --------------------------------------------------------------- dynamic
+    def eval_string(self, source: str, context):
+        """$eval — parse and evaluate a dynamic expression string."""
+        try:
+            ast = parse(source)
+        except JsonataError as e:
+            raise JsonataError("D3120", f"$eval cannot parse {source!r}: {e}") from e
+        env = Frame()
+        env.bind("$", context)
+        for name, (fn, ctx) in lib.REGISTRY.items():
+            env.bind(name, Builtin(name, fn, ctx))
+        ctx = context if not is_undef(context) else UNDEFINED
+        return unwrap(self._eval(ast, ctx, env))
+
+
+def jsonata(source: str, timeout_ms: int = 5000, max_depth: int = 1000) -> Jsonata:
+    return Jsonata(source, timeout_ms=timeout_ms, max_depth=max_depth)
