@@ -19,9 +19,10 @@ from kafka_connect_jsonata_spark import queries as Q
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: the reference's README
-    idiom (filter on a JSON field + project + tombstone-drop) over events."""
-    return Q.json_props_extract(spark, "/root/testdata/sf0.001")
+    """Flagship: the reference's README idiom (JSON-field filter + projection
+    + tombstone-drop, reference README.md:13-19) as a JSONata expression
+    compiled to native Spark Columns, over sf0.001 events."""
+    return Q.jsonata_flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -35,6 +35,8 @@ HEADLINE = [
     "dedup_exact_docs",
     "cosine_topk_bruteforce",
     "ngram_jaccard_dups",
+    "jsonata_flagship",
+    "jsonata_interpreter",
 ]
 
 

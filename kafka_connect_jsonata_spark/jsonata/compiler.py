@@ -1,0 +1,571 @@
+"""JSONata -> pyspark Column compiler (tier 1).
+
+Compiles the statically-typeable subset of JSONata to native Column
+expressions so Catalyst sees a fully declarative plan: predicate pushdown,
+column pruning, constant folding and whole-stage codegen all apply — zero
+Python in the hot path. Anything outside the subset raises ``NotCompilable``
+and the caller falls back to the interpreter UDF (tier 2).
+
+Compilable subset (SURVEY.md §2B tables, "Spark" column):
+- struct-field paths, literal array indexes, map lookup
+- arithmetic / comparison / boolean / concat / conditional / in / range
+- ``:=`` bindings inside blocks (inlined driver-side)
+- object and array constructors
+- the scalar function library (string/numeric/boolean rows of §2B4)
+- aggregation + higher-order functions over array columns
+  ($sum/$max/$min/$average/$count/$map/$filter/$reduce/$distinct/...)
+
+Deliberately NOT compiled (fall back to tier 2): implicit array mapping with
+singleton unwrap, ``**``/``%``, group-by constructors, order-by, recursion,
+``$eval``, schema-as-data rewrites, regex-typed arguments.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_connect_jsonata_spark.jsonata.parser import parse
+
+
+class NotCompilable(Exception):
+    """Expression (or subtree) outside the tier-1 subset."""
+
+
+@dataclass
+class Typed:
+    col: Column
+    dtype: T.DataType | None  # None = unknown/any
+
+
+class Compiler:
+    def __init__(self, schema: T.StructType):
+        self.schema = schema
+
+    def compile(self, source: str) -> Typed:
+        ast = parse(source)
+        root = Typed(F.struct(*[F.col(f.name) for f in self.schema.fields]), self.schema)
+        return self._c(ast, root, {})
+
+    # ------------------------------------------------------------------ core
+    def _c(self, node, ctx: Typed, env: dict) -> Typed:
+        t = node["type"]
+        if t == "number":
+            v = node["value"]
+            return Typed(F.lit(v), T.LongType() if isinstance(v, int) else T.DoubleType())
+        if t == "string":
+            return Typed(F.lit(node["value"]), T.StringType())
+        if t == "value":
+            if node["value"] is None:
+                return Typed(F.lit(None), T.NullType())
+            return Typed(F.lit(node["value"]), T.BooleanType())
+        if t == "variable":
+            name = node["value"]
+            if name == "" or name == "$":
+                return ctx
+            if name in env:
+                return env[name]
+            raise NotCompilable(f"unbound variable ${name}")
+        if t == "name":
+            return self._field(ctx, node["value"])
+        if t == "path_op":
+            lhs = self._c(node["lhs"], ctx, env)
+            return self._c(node["rhs"], lhs, env)
+        if t == "filter":
+            return self._filter(node, ctx, env)
+        if t == "binary":
+            return self._binary(node, ctx, env)
+        if t == "unary":
+            inner = self._c(node["expression"], ctx, env)
+            return Typed(-inner.col, inner.dtype)
+        if t == "condition":
+            cond = self._c(node["condition"], ctx, env)
+            then = self._c(node["then"], ctx, env)
+            els = (
+                self._c(node["else"], ctx, env)
+                if node["else"] is not None
+                else Typed(F.lit(None), then.dtype)
+            )
+            return Typed(
+                F.when(self._truthy(cond), then.col).otherwise(els.col), then.dtype
+            )
+        if t == "block":
+            child = dict(env)
+            result = None
+            for expr in node["expressions"]:
+                if expr["type"] == "bind":
+                    child[expr["var"]] = self._c(expr["rhs"], ctx, child)
+                    result = child[expr["var"]]
+                else:
+                    result = self._c(expr, ctx, child)
+            if result is None:
+                raise NotCompilable("empty block")
+            return result
+        if t == "bind":
+            raise NotCompilable("bind outside block")
+        if t == "object":
+            fields = []
+            dts = []
+            for kexpr, vexpr in node["pairs"]:
+                if kexpr["type"] not in ("string", "name"):
+                    raise NotCompilable("computed object keys")
+                key = kexpr["value"]
+                val = self._c(vexpr, ctx, env)
+                fields.append(val.col.alias(key))
+                dts.append(T.StructField(key, val.dtype or T.StringType()))
+            return Typed(F.struct(*fields), T.StructType(dts))
+        if t == "array":
+            items = [self._c(e, ctx, env) for e in node["expressions"]]
+            et = items[0].dtype if items else T.StringType()
+            return Typed(F.array(*[i.col for i in items]), T.ArrayType(et or T.StringType()))
+        if t == "range":
+            lhs = self._c(node["lhs"], ctx, env)
+            rhs = self._c(node["rhs"], ctx, env)
+            return Typed(F.sequence(lhs.col, rhs.col), T.ArrayType(T.LongType()))
+        if t == "call":
+            return self._call(node, ctx, env)
+        if t == "apply":
+            # x ~> $f(...)  ==  $f(x, ...)
+            rhs = node["rhs"]
+            if rhs["type"] == "call":
+                synthetic = {
+                    "type": "call",
+                    "procedure": rhs["procedure"],
+                    "arguments": [node["lhs"]] + rhs["arguments"],
+                    "pos": node["pos"],
+                }
+                return self._call(synthetic, ctx, env)
+            if rhs["type"] == "variable":
+                synthetic = {
+                    "type": "call",
+                    "procedure": rhs,
+                    "arguments": [node["lhs"]],
+                    "pos": node["pos"],
+                }
+                return self._call(synthetic, ctx, env)
+            raise NotCompilable("~> with non-call rhs")
+        raise NotCompilable(f"node type {t!r}")
+
+    # ---------------------------------------------------------------- helpers
+    def _field(self, ctx: Typed, name: str) -> Typed:
+        dt = ctx.dtype
+        if isinstance(dt, T.StructType):
+            if name not in dt.fieldNames():
+                raise NotCompilable(f"unknown field {name!r}")
+            return Typed(ctx.col.getField(name), dt[name].dataType)
+        if isinstance(dt, T.MapType):
+            return Typed(ctx.col.getItem(name), dt.valueType)
+        if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType):
+            # implicit mapping over array of structs -> array of field values
+            inner = dt.elementType
+            if name not in inner.fieldNames():
+                raise NotCompilable(f"unknown field {name!r}")
+            out_t = inner[name].dataType
+            if isinstance(out_t, T.ArrayType):
+                raise NotCompilable("nested-array flatten in implicit mapping")
+            return Typed(F.transform(ctx.col, lambda x: x.getField(name)), T.ArrayType(out_t))
+        raise NotCompilable(f"path step {name!r} over {dt}")
+
+    def _truthy(self, v: Typed) -> Column:
+        dt = v.dtype
+        if isinstance(dt, T.BooleanType):
+            return v.col
+        if isinstance(dt, (T.LongType, T.IntegerType, T.DoubleType, T.FloatType,
+                           T.ShortType, T.ByteType, T.DecimalType)):
+            return v.col.isNotNull() & (v.col != 0)
+        if isinstance(dt, T.StringType):
+            return v.col.isNotNull() & (F.length(v.col) > 0)
+        if isinstance(dt, T.ArrayType):
+            return v.col.isNotNull() & (F.size(v.col) > 0)
+        return v.col.isNotNull()
+
+    def _num(self, v: Typed) -> Column:
+        return v.col.cast("double")
+
+    def _filter(self, node, ctx: Typed, env: dict) -> Typed:
+        base = self._c(node["expr"], ctx, env)
+        dt = base.dtype
+        pred = node["predicate"]
+        if not isinstance(dt, T.ArrayType):
+            raise NotCompilable("predicate over non-array")
+        if pred["type"] == "number" and isinstance(pred["value"], int):
+            idx = pred["value"]
+            # element_at is 1-based; negative counts from the end (same rule)
+            pos = idx + 1 if idx >= 0 else idx
+            return Typed(F.element_at(base.col, pos), dt.elementType)
+        # boolean predicate -> filter(); singleton unwrap not represented
+        elem_ctx_t = dt.elementType
+
+        def mk(x):
+            return self._c(pred, Typed(x, elem_ctx_t), env)
+
+        try:
+            filtered = F.filter(base.col, lambda x: self._truthy(mk(x)))
+        except NotCompilable:
+            raise
+        return Typed(filtered, dt)
+
+    def _binary(self, node, ctx: Typed, env: dict) -> Typed:
+        op = node["value"]
+        lhs = self._c(node["lhs"], ctx, env)
+        rhs = self._c(node["rhs"], ctx, env)
+        if op in ("+", "-", "*", "/", "%"):
+            a, b = self._num(lhs), self._num(rhs)
+            if op == "+":
+                c = a + b
+            elif op == "-":
+                c = a - b
+            elif op == "*":
+                c = a * b
+            elif op == "/":
+                c = a / b
+            else:
+                c = a % b
+            return Typed(c, T.DoubleType())
+        if op in ("=", "!="):
+            c = lhs.col == rhs.col if op == "=" else lhs.col != rhs.col
+            # JSONata: comparisons involving missing/null are false, not null
+            return Typed(F.coalesce(c, F.lit(False)), T.BooleanType())
+        if op in ("<", "<=", ">", ">="):
+            c = {
+                "<": lhs.col < rhs.col,
+                "<=": lhs.col <= rhs.col,
+                ">": lhs.col > rhs.col,
+                ">=": lhs.col >= rhs.col,
+            }[op]
+            return Typed(c, T.BooleanType())
+        if op == "and":
+            return Typed(self._truthy(lhs) & self._truthy(rhs), T.BooleanType())
+        if op == "or":
+            return Typed(self._truthy(lhs) | self._truthy(rhs), T.BooleanType())
+        if op == "&":
+            return Typed(
+                F.concat(self._str(lhs), self._str(rhs)), T.StringType()
+            )
+        if op == "in":
+            arr = rhs.col if isinstance(rhs.dtype, T.ArrayType) else F.array(rhs.col)
+            return Typed(F.array_contains(arr, lhs.col), T.BooleanType())
+        raise NotCompilable(f"binary op {op!r}")
+
+    def _str(self, v: Typed) -> Column:
+        if isinstance(v.dtype, (T.StructType, T.ArrayType, T.MapType)):
+            return F.to_json(v.col)
+        if isinstance(v.dtype, T.BooleanType):
+            return F.when(v.col, "true").otherwise("false")
+        if isinstance(v.dtype, (T.DoubleType, T.FloatType)):
+            # render integral doubles without the trailing .0, like JSONata
+            return F.when(
+                v.col == v.col.cast("long"), v.col.cast("long").cast("string")
+            ).otherwise(v.col.cast("string"))
+        return v.col.cast("string")
+
+    # -------------------------------------------------------------- functions
+    def _call(self, node, ctx: Typed, env: dict) -> Typed:
+        proc = node["procedure"]
+        if proc["type"] == "variable" and proc["value"] in env:
+            raise NotCompilable("user lambda invocation")  # tier 2
+        if proc["type"] != "variable":
+            raise NotCompilable("computed function reference")
+        name = proc["value"]
+        args = node["arguments"]
+
+        handler = getattr(self, "_fn_" + name, None)
+        if handler is None:
+            raise NotCompilable(f"function ${name} not in compiled subset")
+        # lambda arguments are consumed from the raw AST by HOF handlers
+        typed_args = [
+            None if a["type"] == "lambda" else self._c(a, ctx, env) for a in args
+        ]
+        return handler(typed_args, ctx, env, args)
+
+    # each handler: (typed_args, ctx, env, raw_arg_nodes) -> Typed
+    def _fn_string(self, a, ctx, env, raw):
+        return Typed(self._str(a[0] if a else ctx), T.StringType())
+
+    def _fn_length(self, a, ctx, env, raw):
+        return Typed(F.length((a[0] if a else ctx).col), T.IntegerType())
+
+    def _fn_uppercase(self, a, ctx, env, raw):
+        return Typed(F.upper((a[0] if a else ctx).col), T.StringType())
+
+    def _fn_lowercase(self, a, ctx, env, raw):
+        return Typed(F.lower((a[0] if a else ctx).col), T.StringType())
+
+    def _fn_trim(self, a, ctx, env, raw):
+        return Typed(
+            F.trim(F.regexp_replace((a[0] if a else ctx).col, r"[ \t\n\r]+", " ")),
+            T.StringType(),
+        )
+
+    def _fn_substring(self, a, ctx, env, raw):
+        s = a[0].col
+        start = a[1].col
+        # JSONata is 0-based with negative-from-end; Spark substr is 1-based
+        pos = F.when(start >= 0, start + 1).otherwise(
+            F.greatest(F.length(s) + start + 1, F.lit(1))
+        )
+        if len(a) > 2:
+            return Typed(s.substr(pos, a[2].col), T.StringType())
+        return Typed(s.substr(pos, F.length(s)), T.StringType())
+
+    def _fn_substringBefore(self, a, ctx, env, raw):
+        if raw[-1]["type"] != "string":
+            raise NotCompilable("$substringBefore needs a literal separator")
+        s, sep = a[0].col, raw[-1]["value"]
+        return Typed(
+            F.when(F.instr(s, sep) > 0, F.substring_index(s, sep, 1)).otherwise(s),
+            T.StringType(),
+        )
+
+    def _fn_substringAfter(self, a, ctx, env, raw):
+        if raw[-1]["type"] != "string":
+            raise NotCompilable("$substringAfter needs a literal separator")
+        s, sep = a[0].col, raw[-1]["value"]
+        i = F.instr(s, sep)
+        return Typed(
+            F.when(i > 0, s.substr(i + len(sep), F.length(s))).otherwise(s),
+            T.StringType(),
+        )
+
+    def _fn_pad(self, a, ctx, env, raw):
+        s, w = a[0].col, a[1].col
+        c = a[2].col if len(a) > 2 else F.lit(" ")
+        return Typed(
+            F.when(w >= 0, F.rpad(s, F.greatest(w, F.length(s)).cast("int"), c))
+            .otherwise(F.lpad(s, F.greatest(-w, F.length(s)).cast("int"), c)),
+            T.StringType(),
+        )
+
+    def _fn_contains(self, a, ctx, env, raw):
+        if raw[-1]["type"] == "regex":
+            return Typed(a[0].col.rlike(raw[-1]["value"].pattern), T.BooleanType())
+        return Typed(a[0].col.contains(a[1].col), T.BooleanType())
+
+    def _fn_split(self, a, ctx, env, raw):
+        import re as _re
+
+        pat = raw[1]
+        if pat["type"] == "regex":
+            rx = pat["value"].pattern
+        elif pat["type"] == "string":
+            rx = _re.escape(pat["value"])
+        else:
+            raise NotCompilable("$split with dynamic separator")
+        limit = a[2].col.cast("int") if len(a) > 2 else F.lit(-1)
+        out = F.split(a[0].col, rx, F.lit(-1).cast("int") if len(a) <= 2 else limit)
+        return Typed(out, T.ArrayType(T.StringType()))
+
+    def _fn_join(self, a, ctx, env, raw):
+        sep = a[1].col if len(a) > 1 else F.lit("")
+        return Typed(F.array_join(a[0].col, sep), T.StringType())
+
+    def _fn_number(self, a, ctx, env, raw):
+        return Typed((a[0] if a else ctx).col.cast("double"), T.DoubleType())
+
+    def _fn_abs(self, a, ctx, env, raw):
+        return Typed(F.abs(a[0].col), a[0].dtype)
+
+    def _fn_floor(self, a, ctx, env, raw):
+        return Typed(F.floor(self._num(a[0])), T.LongType())
+
+    def _fn_ceil(self, a, ctx, env, raw):
+        return Typed(F.ceil(self._num(a[0])), T.LongType())
+
+    def _fn_round(self, a, ctx, env, raw):
+        p = a[1].col if len(a) > 1 else F.lit(0)
+        return Typed(F.bround(self._num(a[0]), p), T.DoubleType())  # banker's
+
+    def _fn_power(self, a, ctx, env, raw):
+        return Typed(F.pow(self._num(a[0]), self._num(a[1])), T.DoubleType())
+
+    def _fn_sqrt(self, a, ctx, env, raw):
+        return Typed(F.sqrt(self._num(a[0])), T.DoubleType())
+
+    def _fn_random(self, a, ctx, env, raw):
+        return Typed(F.rand(), T.DoubleType())
+
+    def _fn_formatBase(self, a, ctx, env, raw):
+        radix = a[1].col if len(a) > 1 else F.lit(10)
+        return Typed(F.lower(F.conv(a[0].col.cast("long").cast("string"), 10, radix.cast("int"))), T.StringType())
+
+    def _fn_sum(self, a, ctx, env, raw):
+        return Typed(
+            F.aggregate(a[0].col, F.lit(0.0), lambda acc, x: acc + x.cast("double")),
+            T.DoubleType(),
+        )
+
+    def _fn_max(self, a, ctx, env, raw):
+        return Typed(F.array_max(a[0].col), _elem_type(a[0]))
+
+    def _fn_min(self, a, ctx, env, raw):
+        return Typed(F.array_min(a[0].col), _elem_type(a[0]))
+
+    def _fn_average(self, a, ctx, env, raw):
+        s = F.aggregate(a[0].col, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+        return Typed(s / F.size(a[0].col), T.DoubleType())
+
+    def _fn_count(self, a, ctx, env, raw):
+        v = a[0] if a else ctx
+        if isinstance(v.dtype, T.ArrayType):
+            return Typed(F.coalesce(F.size(v.col), F.lit(0)), T.IntegerType())
+        return Typed(F.when(v.col.isNull(), 0).otherwise(1), T.IntegerType())
+
+    def _fn_boolean(self, a, ctx, env, raw):
+        return Typed(self._truthy(a[0] if a else ctx), T.BooleanType())
+
+    def _fn_not(self, a, ctx, env, raw):
+        return Typed(~self._truthy(a[0] if a else ctx), T.BooleanType())
+
+    def _fn_exists(self, a, ctx, env, raw):
+        return Typed(a[0].col.isNotNull(), T.BooleanType())
+
+    def _fn_append(self, a, ctx, env, raw):
+        l = a[0].col if isinstance(a[0].dtype, T.ArrayType) else F.array(a[0].col)
+        r = a[1].col if isinstance(a[1].dtype, T.ArrayType) else F.array(a[1].col)
+        et = _elem_type(a[0]) if isinstance(a[0].dtype, T.ArrayType) else a[0].dtype
+        return Typed(F.concat(l, r), T.ArrayType(et or T.StringType()))
+
+    def _fn_reverse(self, a, ctx, env, raw):
+        return Typed(F.reverse(a[0].col), a[0].dtype)
+
+    def _fn_distinct(self, a, ctx, env, raw):
+        return Typed(F.array_distinct(a[0].col), a[0].dtype)
+
+    def _fn_sort(self, a, ctx, env, raw):
+        if len(a) > 1:
+            raise NotCompilable("$sort with comparator")
+        return Typed(F.array_sort(a[0].col), a[0].dtype)
+
+    def _fn_zip(self, a, ctx, env, raw):
+        return Typed(
+            F.arrays_zip(*[x.col for x in a]),
+            None,
+        )
+
+    def _fn_keys(self, a, ctx, env, raw):
+        v = a[0] if a else ctx
+        if isinstance(v.dtype, T.MapType):
+            return Typed(F.map_keys(v.col), T.ArrayType(v.dtype.keyType))
+        if isinstance(v.dtype, T.StructType):
+            return Typed(
+                F.array(*[F.lit(n) for n in v.dtype.fieldNames()]),
+                T.ArrayType(T.StringType()),
+            )
+        raise NotCompilable("$keys over non-object")
+
+    def _fn_lookup(self, a, ctx, env, raw):
+        v = a[0]
+        if isinstance(v.dtype, T.MapType):
+            return Typed(F.element_at(v.col, a[1].col), v.dtype.valueType)
+        raise NotCompilable("$lookup over non-map")
+
+    def _fn_base64encode(self, a, ctx, env, raw):
+        return Typed(F.base64(a[0].col.cast("binary")), T.StringType())
+
+    def _fn_base64decode(self, a, ctx, env, raw):
+        return Typed(F.unbase64(a[0].col).cast("string"), T.StringType())
+
+    def _fn_fromMillis(self, a, ctx, env, raw):
+        if len(a) > 1:
+            raise NotCompilable("$fromMillis picture strings")
+        ts = F.timestamp_millis(a[0].col.cast("long"))
+        return Typed(
+            F.concat(F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSS"), F.lit("Z")),
+            T.StringType(),
+        )
+
+    def _fn_toMillis(self, a, ctx, env, raw):
+        if len(a) > 1:
+            raise NotCompilable("$toMillis picture strings")
+        return Typed(F.unix_millis(F.to_timestamp(a[0].col)), T.LongType())
+
+    def _fn_now(self, a, ctx, env, raw):
+        if a:
+            raise NotCompilable("$now with picture")
+        return Typed(
+            F.concat(F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSS"), F.lit("Z")),
+            T.StringType(),
+        )
+
+    def _fn_millis(self, a, ctx, env, raw):
+        return Typed(F.unix_millis(F.current_timestamp()), T.LongType())
+
+    # higher-order over arrays with inline lambdas
+    def _lambda_body(self, raw_fn, n_args):
+        if raw_fn["type"] != "lambda":
+            raise NotCompilable("HOF requires an inline lambda")
+        return raw_fn["args"], raw_fn["body"]
+
+    def _fn_map(self, a, ctx, env, raw):
+        params, body = self._lambda_body(raw[1], 1)
+        arr = a[0]
+        if not isinstance(arr.dtype, T.ArrayType):
+            raise NotCompilable("$map over non-array")
+        et = arr.dtype.elementType
+        out_t = [None]
+
+        def fn(x, i=None):
+            child = dict(env)
+            child[params[0]] = Typed(x, et)
+            if len(params) > 1 and i is not None:
+                child[params[1]] = Typed(i, T.IntegerType())
+            r = self._c(body, Typed(x, et), child)
+            out_t[0] = r.dtype
+            return r.col
+
+        if len(params) > 1:
+            col = F.transform(arr.col, lambda x, i: fn(x, i))
+        else:
+            col = F.transform(arr.col, fn)
+        return Typed(col, T.ArrayType(out_t[0] or T.StringType()))
+
+    def _fn_filter(self, a, ctx, env, raw):
+        params, body = self._lambda_body(raw[1], 1)
+        arr = a[0]
+        if not isinstance(arr.dtype, T.ArrayType):
+            raise NotCompilable("$filter over non-array")
+        et = arr.dtype.elementType
+
+        def fn(x, i=None):
+            child = dict(env)
+            child[params[0]] = Typed(x, et)
+            if len(params) > 1 and i is not None:
+                child[params[1]] = Typed(i, T.IntegerType())
+            return self._truthy(self._c(body, Typed(x, et), child))
+
+        if len(params) > 1:
+            col = F.filter(arr.col, lambda x, i: fn(x, i))
+        else:
+            col = F.filter(arr.col, fn)
+        return Typed(col, arr.dtype)
+
+    def _fn_reduce(self, a, ctx, env, raw):
+        params, body = self._lambda_body(raw[1], 2)
+        arr = a[0]
+        if not isinstance(arr.dtype, T.ArrayType):
+            raise NotCompilable("$reduce over non-array")
+        if len(a) < 3:
+            raise NotCompilable("$reduce without init (first-element init)")
+        et = arr.dtype.elementType
+        init = a[2]
+
+        def fn(acc, x):
+            child = dict(env)
+            child[params[0]] = Typed(acc, init.dtype)
+            child[params[1]] = Typed(x, et)
+            return self._c(body, Typed(x, et), child).col
+
+        return Typed(F.aggregate(arr.col, init.col, fn), init.dtype)
+
+
+def _elem_type(v: Typed):
+    return v.dtype.elementType if isinstance(v.dtype, T.ArrayType) else None
+
+
+def compile_expression(source: str, schema: T.StructType) -> Typed:
+    """Compile a JSONata expression against a DataFrame schema; raises
+    NotCompilable when outside the tier-1 subset."""
+    return Compiler(schema).compile(source)

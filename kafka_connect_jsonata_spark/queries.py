@@ -27,6 +27,7 @@ from pyspark.sql.window import Window
 from kafka_connect_jsonata_spark.functions import dedup, similarity, text
 from kafka_connect_jsonata_spark.operators import relational as R
 from kafka_connect_jsonata_spark.sources.readers import load_table
+from kafka_connect_jsonata_spark.transform import transform
 
 
 def _dec(c: str, scale: int = 2) -> F.Column:
@@ -587,6 +588,73 @@ WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
 
 
 # ---------------------------------------------------------------------------
+# A1/A4 + B-surface: JSONata transforms (the reference's core capability)
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_EXPR = "props.k > 50 ? {'event_id': event_id, 'k': props.k} : null"
+
+
+def _events_with_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.withColumn("props", F.from_json("props", "struct<k:int>"))
+
+
+def jsonata_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's README idiom (JSON-field filter + projection +
+    tombstone drop, README.md:13-19) as a JSONata expression compiled to
+    native Columns (tier 1): pure Catalyst projection+filter, pushdown
+    applies, no Python at runtime."""
+    return transform(_events_with_props(spark, sf_dir), _FLAGSHIP_EXPR, force_tier="compiled")
+
+
+def jsonata_interpreter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same expression through the tier-2 interpreter UDF (Arrow-batched) —
+    the fully-general path; also serves as the tier-equivalence check."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("event_id", T.LongType()), T.StructField("k", T.IntegerType())]
+    )
+    return transform(
+        _events_with_props(spark, sf_dir),
+        _FLAGSHIP_EXPR,
+        force_tier="interpreter",
+        output_schema=schema,
+    )
+
+
+JSONATA_FLAGSHIP_SQL = """
+SELECT event_id, CAST(props->>'$.k' AS INT) AS k
+FROM events WHERE CAST(props->>'$.k' AS INT) > 50
+"""
+
+
+def jsonata_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compiled JSONata scalar-function coverage over customer rows."""
+    cust = load_table(spark, sf_dir, "customer")
+    expr = (
+        "{'c_custkey': c_custkey,"
+        " 'name_up': $uppercase(c_name),"
+        " 'name_len': $length(c_name),"
+        " 'seg3': $substring(c_mktsegment, 0, 3),"
+        " 'id_str': $string(c_custkey),"
+        " 'bal2': $round(c_acctbal / 7, 2)}"
+    )
+    return transform(cust, expr, force_tier="compiled")
+
+
+JSONATA_STRING_OPS_SQL = """
+SELECT c_custkey,
+       upper(c_name) AS name_up,
+       length(c_name) AS name_len,
+       substr(c_mktsegment, 1, 3) AS seg3,
+       CAST(c_custkey AS VARCHAR) AS id_str,
+       round(c_acctbal / 7, 2) AS bal2
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -616,6 +684,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_docs": dedup_exact_docs,
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
     "ngram_jaccard_dups": ngram_jaccard_dups,
+    "jsonata_flagship": jsonata_flagship,
+    "jsonata_interpreter": jsonata_interpreter,
+    "jsonata_string_ops": jsonata_string_ops,
 }
 
 ORACLES: dict[str, str] = {
@@ -644,4 +715,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact_docs": DEDUP_DOCS_SQL,
     "cosine_topk_bruteforce": COSINE_TOPK_SQL,
     "ngram_jaccard_dups": NGRAM_JACCARD_SQL,
+    "jsonata_flagship": JSONATA_FLAGSHIP_SQL,
+    "jsonata_interpreter": JSONATA_FLAGSHIP_SQL,
+    "jsonata_string_ops": JSONATA_STRING_OPS_SQL,
 }

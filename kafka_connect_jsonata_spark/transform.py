@@ -1,0 +1,198 @@
+"""The SMT-equivalent transform API (SURVEY.md §2A).
+
+``transform(df, expr)`` applies one JSONata expression to every record —
+the reference's ``apply(R record)`` (JsonataTransformation.java:88-120)
+lifted to a DataFrame. Semantics preserved:
+
+- A1  one expression per transform, parse errors fail at configure time
+- A4  null/undefined result drops the record (tombstone filter,
+      reference :295-297)
+- A10 compiled-expression LRU cache (size 100, reference :57-80) — held on
+      the driver; executors receive the pickled AST inside the UDF closure
+- A11 timeout + max-depth guards apply inside the interpreter tier
+
+Execution picks the fastest tier per expression:
+
+1. **Compiled tier** — the expression compiles to native Columns
+   (jsonata/compiler.py): the whole transform is a Catalyst projection +
+   filter; pushdown/codegen apply; no Python at runtime.
+2. **Interpreter tier** — rows cross to Python as Arrow batches; each batch
+   is evaluated by the tree interpreter on plain dicts; results return as a
+   JSON column. Fully general (schema rewrites, recursion, ``**``/``%``).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_connect_jsonata_spark.engine import DEFAULT_CONFIG, EngineConfig
+from kafka_connect_jsonata_spark.jsonata.compiler import NotCompilable, compile_expression
+from kafka_connect_jsonata_spark.jsonata.functions import UNDEFINED, json_serialize
+from kafka_connect_jsonata_spark.jsonata.interpreter import Jsonata
+from kafka_connect_jsonata_spark.jsonata.parser import parse
+
+
+@functools.lru_cache(maxsize=DEFAULT_CONFIG.cache_size)
+def parse_cached(expr: str) -> dict:
+    """A10: driver-side parse cache, keyed by expression text
+    (reference JsonataTransformation.java:57-80)."""
+    return parse(expr)
+
+
+def jsonata_column(expr: str, schema: T.StructType) -> Column:
+    """Compile a JSONata expression to a native Column over ``schema``.
+    Raises NotCompilable outside the tier-1 subset."""
+    return compile_expression(expr, schema).col
+
+
+def jsonata_udf(expr: str, config: EngineConfig = DEFAULT_CONFIG):
+    """Tier-2: pandas UDF evaluating the interpreter over a JSON-string
+    column. Arrow-batched; the AST ships pickled (no re-parse per row)."""
+    ast = parse_cached(expr)  # fail fast on parse errors, like configure()
+    timeout_ms, max_depth = config.timeout_ms, config.max_depth
+
+    @F.pandas_udf(T.StringType())
+    def _eval(batch: pd.Series) -> pd.Series:
+        ev = Jsonata(ast, timeout_ms=timeout_ms, max_depth=max_depth)
+        out = []
+        for txt in batch:
+            if txt is None:
+                out.append(None)
+                continue
+            result = ev.evaluate(json.loads(txt))
+            if result is UNDEFINED or result is None:
+                out.append(None)  # A4 tombstone drop
+            else:
+                out.append(json_serialize(result))
+        return pd.Series(out, dtype="object")
+
+    return _eval
+
+
+def transform(
+    df: DataFrame,
+    expr: str,
+    config: EngineConfig = DEFAULT_CONFIG,
+    output_schema: T.DataType | None = None,
+    force_tier: str | None = None,
+) -> DataFrame:
+    """Apply a JSONata expression to every row of ``df`` (typed tier).
+
+    Returns a DataFrame with the expression result. A null result drops the
+    row (A4). If the compiled output is a struct, it is expanded back into
+    top-level columns; otherwise the result is a single ``value`` column.
+    """
+    parse_cached(expr)  # configure-time parse validation
+    if force_tier != "interpreter":
+        try:
+            typed = compile_expression(expr, df.schema)
+            out = df.select(typed.col.alias("__result")).filter(
+                F.col("__result").isNotNull()
+            )
+            if isinstance(typed.dtype, T.StructType):
+                return out.select("__result.*")
+            return out.select(F.col("__result").alias("value"))
+        except NotCompilable:
+            if force_tier == "compiled":
+                raise
+    # interpreter tier over the whole row as JSON
+    json_col = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    evaluated = df.select(jsonata_udf(expr, config)(json_col).alias("__json"))
+    kept = evaluated.filter(F.col("__json").isNotNull())
+    if output_schema is not None:
+        out = kept.select(F.from_json("__json", output_schema).alias("__result"))
+        if isinstance(output_schema, T.StructType):
+            return out.select("__result.*")
+        return out.select(F.col("__result").alias("value"))
+    return kept.select(F.col("__json").alias("value_json"))
+
+
+def transform_envelope(
+    df: DataFrame,
+    expr: str,
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Dynamic-tier envelope transform: ``df`` carries the 8-field envelope
+    with JSON-string key/value/schemas (envelope.ENVELOPE_SCHEMA shape).
+
+    The expression sees exactly the reference's JSON tree — schemas are
+    data and can be rewritten (A8); a null result drops the record (A4);
+    topic/partition/timestamp rewrites (A5/A6) and header ops (A7) are all
+    just fields of the result envelope.
+    """
+    parse_cached(expr)
+    ast = parse_cached(expr)
+    timeout_ms, max_depth = config.timeout_ms, config.max_depth
+
+    @F.pandas_udf(T.StringType())
+    def _eval(batch: pd.Series) -> pd.Series:
+        ev = Jsonata(ast, timeout_ms=timeout_ms, max_depth=max_depth)
+        out = []
+        for txt in batch:
+            if txt is None:
+                out.append(None)
+                continue
+            env = json.loads(txt)
+            # key/value/schemas are nested JSON strings; decode so the
+            # expression sees the reference's tree shape
+            for field in ("key", "value", "keySchema", "valueSchema"):
+                if isinstance(env.get(field), str):
+                    try:
+                        env[field] = json.loads(env[field])
+                    except (ValueError, TypeError):
+                        pass  # plain string payloads stay strings
+            result = ev.evaluate(env)
+            if result is UNDEFINED or result is None:
+                out.append(None)
+            else:
+                out.append(json_serialize(result))
+        return pd.Series(out, dtype="object")
+
+    json_col = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    evaluated = df.withColumn("__json", _eval(json_col))
+    kept = evaluated.filter(F.col("__json").isNotNull())
+    result_schema = T.StructType(
+        [
+            T.StructField("topic", T.StringType()),
+            T.StructField("kafkaPartition", T.IntegerType()),
+            T.StructField("timestamp", T.LongType()),
+        ]
+    )
+    parsed = kept.select(
+        F.from_json("__json", result_schema).alias("__env"),
+        F.get_json_object("__json", "$.keySchema").alias("keySchema"),
+        F.get_json_object("__json", "$.key").alias("key"),
+        F.get_json_object("__json", "$.valueSchema").alias("valueSchema"),
+        F.get_json_object("__json", "$.value").alias("value"),
+        F.from_json(
+            F.get_json_object("__json", "$.headers"),
+            ENVELOPE_HEADERS_TYPE,
+        ).alias("headers"),
+    )
+    return parsed.select(
+        F.col("__env.topic").alias("topic"),
+        F.col("__env.kafkaPartition").alias("kafkaPartition"),
+        "keySchema",
+        "key",
+        "valueSchema",
+        "value",
+        F.col("__env.timestamp").alias("timestamp"),
+        "headers",
+    )
+
+
+ENVELOPE_HEADERS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("value", T.StringType()),
+            T.StructField("schema", T.StringType()),
+        ]
+    )
+)

