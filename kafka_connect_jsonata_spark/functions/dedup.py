@@ -94,16 +94,25 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature(col: Column, num_hashes: int = 64, ngram: int = 5) -> Column:
-    """MinHash signature (array<bigint>, length num_hashes) over character
-    shingles. Hash family: xxhash64(shingle, seed=i) — JVM-side, one pass."""
-    grams = char_ngrams(col, ngram)
+def minhash_signature_from_hashes(hashes: Column, num_hashes: int) -> Column:
+    """MinHash signature from a precomputed array<long> of shingle hashes.
+
+    Family member i remixes the base hash with xxhash64(h, i) — one cheap
+    fixed-width hash per member over longs, instead of num_hashes full
+    string-hash passes over the shingles. Pass a materialized column so the
+    base hashes compute once per row."""
     return F.array(
         *[
-            F.array_min(F.transform(grams, lambda g: F.xxhash64(g, F.lit(i))))
+            F.array_min(F.transform(hashes, lambda h: F.xxhash64(h, F.lit(i))))
             for i in range(num_hashes)
         ]
     )
+
+
+def minhash_signature(col: Column, num_hashes: int = 64, ngram: int = 5) -> Column:
+    """MinHash signature (array<bigint>) straight from a text column."""
+    base = F.transform(char_ngrams(col, ngram), lambda g: F.xxhash64(g))
+    return minhash_signature_from_hashes(base, num_hashes)
 
 
 def minhash_lsh_pairs(
@@ -120,10 +129,13 @@ def minhash_lsh_pairs(
     band's signature slice matches. Shuffle keys: (band, hash(slice)) —
     bounded fanout of n_bands rows per document."""
     rows_per_band = num_hashes // n_bands
-    docs = df.select(
-        F.col(id_col).alias("id"),
-        char_ngrams(F.col(text_col), ngram).alias("grams"),
-        minhash_signature(F.col(text_col), num_hashes, ngram).alias("sig"),
+    # staged projections: grams -> base hashes -> signature, so each row
+    # tokenizes and hashes exactly once (no re-evaluation per family member)
+    docs = (
+        df.select(F.col(id_col).alias("id"), char_ngrams(F.col(text_col), ngram).alias("grams"))
+        .withColumn("__h", F.transform(F.col("grams"), lambda g: F.xxhash64(g)))
+        .withColumn("sig", minhash_signature_from_hashes(F.col("__h"), num_hashes))
+        .drop("__h")
     )
     bands = F.array(
         *[

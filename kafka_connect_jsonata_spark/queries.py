@@ -588,6 +588,157 @@ WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
 
 
 # ---------------------------------------------------------------------------
+# C19/C20: event-time windows (batch emulation of the streaming operators —
+# the streaming path itself is covered rows-only in tests/test_streaming.py)
+# ---------------------------------------------------------------------------
+
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C19 tumbling 1h window aggregation over events (same groupBy(window)
+    plan Structured Streaming runs incrementally)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value")).cast("double").alias("total"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+TUMBLING_SQL = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+       event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events GROUP BY 1, 2
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C20 batch sessionization: lag-gap detection + running session count —
+    the classic window-function sessionizer (streaming variant uses
+    session_window, tests/test_streaming.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap_us = 30 * 60 * 1_000_000  # microsecond precision on both engines
+    us = F.unix_micros(F.col("ts"))
+    with_gap = ev.withColumn(
+        "new_session",
+        F.when(us - F.lag(us).over(w) > gap_us, 1)
+        .otherwise(F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0)),
+    )
+    with_sid = with_gap.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        with_sid.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(F.unix_micros("ts")).alias("start_us"),
+            F.max(F.unix_micros("ts")).alias("end_us"),
+        )
+    )
+
+
+SESSIONIZE_SQL = """
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+              WHEN lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+sids AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+  FROM gaps)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+FROM sids GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# C10: approximate / exact distributional aggregates
+# ---------------------------------------------------------------------------
+
+def percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10 exact interpolated percentiles per group (approx variant is
+    approx_distinct_stats, rows-only)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("p50"),
+        F.percentile("l_quantity", 0.9).alias("p90"),
+    )
+
+
+PERCENTILE_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS p50,
+       quantile_cont(l_quantity, 0.9) AS p90
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10 approx: HLL distinct + approx percentile (sketch-based, so
+    rows-only — no exact oracle by construction)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C26: minhash-LSH and simhash near-dup (sketch-based candidate generation)
+# ---------------------------------------------------------------------------
+
+def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+banded-LSH near-dup pairs verified by exact shingle Jaccard.
+    Sketchy candidate generation (xxhash64 family) has no SQL oracle; the
+    exact-Jaccard verification step keeps precision = 1, so output pairs are
+    real near-dups (rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, num_hashes=32, n_bands=8, threshold=0.6)
+
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (pure Column bit math; rows-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", dedup.simhash64(F.col("text")).alias("simhash"))
+
+
+def embedding_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C26 embedding near-dup pairs. Threshold 0.4 yields a non-trivial
+    pair set on the synthetic embeddings (max pairwise cosine ~0.51)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_dup_pairs(emb, threshold=0.4)
+
+
+EMBEDDING_DUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(
+         list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+          * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))), 4)
+       AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+      / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+       * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)))
+      >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------------
 # A1/A4 + B-surface: JSONata transforms (the reference's core capability)
 # ---------------------------------------------------------------------------
 
@@ -687,6 +838,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jsonata_flagship": jsonata_flagship,
     "jsonata_interpreter": jsonata_interpreter,
     "jsonata_string_ops": jsonata_string_ops,
+    "tumbling_window_agg": tumbling_window_agg,
+    "sessionize_events": sessionize_events,
+    "percentile_summary": percentile_summary,
+    "approx_distinct_stats": approx_distinct_stats,
+    "minhash_lsh_dups": minhash_lsh_dups,
+    "simhash_docs": simhash_docs,
+    "embedding_dup_pairs": embedding_dup_pairs_q,
 }
 
 ORACLES: dict[str, str] = {
@@ -718,4 +876,10 @@ ORACLES: dict[str, str] = {
     "jsonata_flagship": JSONATA_FLAGSHIP_SQL,
     "jsonata_interpreter": JSONATA_FLAGSHIP_SQL,
     "jsonata_string_ops": JSONATA_STRING_OPS_SQL,
+    "tumbling_window_agg": TUMBLING_SQL,
+    "sessionize_events": SESSIONIZE_SQL,
+    "percentile_summary": PERCENTILE_SQL,
+    # approx_distinct_stats / minhash_lsh_dups / simhash_docs: sketch-based,
+    # deliberately rows-only (no exact SQL oracle exists by construction)
+    "embedding_dup_pairs": EMBEDDING_DUP_SQL,
 }

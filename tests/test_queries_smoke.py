@@ -16,6 +16,14 @@ def test_query_runs(spark, sf_dir, name):
     assert df.count() >= 0
 
 
+ROWS_ONLY = {
+    # sketch-based operators: no exact SQL oracle exists by construction
+    "approx_distinct_stats",
+    "minhash_lsh_dups",
+    "simhash_docs",
+}
+
+
 def test_every_query_has_oracle_or_is_declared():
-    missing = set(Q.QUERIES) - set(Q.ORACLES)
+    missing = set(Q.QUERIES) - set(Q.ORACLES) - ROWS_ONLY
     assert not missing, f"queries without oracle (should be deliberate): {missing}"

@@ -1,0 +1,87 @@
+"""Structured Streaming smoke tests (C19-C23): drive parquet-backed streams
+to completion with an availableNow trigger + memory sink."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_jsonata_spark.sources.readers import load_table
+from kafka_connect_jsonata_spark.streaming.transform import (
+    run_to_memory,
+    session_agg,
+    stream_dedup,
+    stream_static_join,
+    streaming_transform,
+    windowed_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def event_stream(spark, sf_dir, tmp_path_factory):
+    # file stream sources read directories; stage the single parquet file
+    d = tmp_path_factory.mktemp("events_stream")
+    (d / "events.parquet").symlink_to(f"{sf_dir}/events.parquet")
+    batch = load_table(spark, sf_dir, "events")
+    raw = spark.readStream.schema(
+        spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ).parquet(str(d))
+    # same nanos->timestamp conversion the batch reader applies
+    if dict(raw.dtypes)["ts"] == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    del batch
+    return raw
+
+
+def test_streaming_jsonata_transform(spark, event_stream, sf_dir):
+    """A1 under the micro-batch runner: same compiled plan, append mode."""
+    ev = event_stream.withColumn("props", F.from_json("props", "struct<k:int>"))
+    out = streaming_transform(ev, "props.k > 50 ? {'event_id': event_id, 'k': props.k} : null")
+    run_to_memory(out, "t_stream_transform")
+    got = spark.sql("SELECT count(*) AS n FROM t_stream_transform").first()["n"]
+    batch = load_table(spark, sf_dir, "events").withColumn(
+        "props", F.from_json("props", "struct<k:int>")
+    )
+    expected = batch.filter(F.col("props.k") > 50).count()
+    assert got == expected and got > 0
+
+
+def test_windowed_agg(spark, event_stream):
+    out = windowed_agg(
+        event_stream,
+        "ts",
+        "1 hour",
+        [F.count("*").alias("n"), F.sum("value").alias("v")],
+        keys=["event_type"],
+    )
+    run_to_memory(out, "t_windowed")
+    rows = spark.sql("SELECT * FROM t_windowed").collect()
+    assert len(rows) > 0
+    assert all(r["n"] > 0 for r in rows)
+
+
+def test_session_window(spark, event_stream):
+    out = session_agg(
+        event_stream, "ts", "30 minutes", [F.count("*").alias("n")], keys=["user_id"]
+    )
+    run_to_memory(out, "t_session")
+    rows = spark.sql("SELECT * FROM t_session").collect()
+    assert len(rows) > 0
+
+
+def test_stream_dedup(spark, event_stream, sf_dir):
+    out = stream_dedup(event_stream, ["user_id"], ts_col="ts")
+    run_to_memory(out, "t_dedup")
+    got = spark.sql("SELECT count(*) AS n FROM t_dedup").first()["n"]
+    distinct_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert got == distinct_users
+
+
+def test_stream_static_join(spark, event_stream, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    out = stream_static_join(event_stream, cust, ["user_id"])
+    run_to_memory(out, "t_ssjoin")
+    got = spark.sql("SELECT count(*) AS n FROM t_ssjoin").first()["n"]
+    assert got > 0
