@@ -78,18 +78,32 @@ def ngram_jaccard_pairs(
     is bounded; pass ``block_col`` to override with a domain key.
     """
     block = block_col if block_col is not None else F.element_at(tokens(F.col(text_col)), 1)
-    docs = df.select(
+    # spread the compute-bound tokenize+verify work across all cores: a small
+    # parquet scan may yield 1 input partition, which would serialize the
+    # whole quadratic verify stage (the repartition shuffle moves only raw
+    # text and is trivially amortized by the per-pair set intersections)
+    docs = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
         F.col(id_col).alias("id"),
         token_ngrams(F.col(text_col), n).alias("grams"),
         block.alias("blk"),
+    ).withColumn("sz", F.size("grams"))
+    a = docs.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"), F.col("sz").alias("sz_a"), "blk")
+    b = docs.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"), F.col("sz").alias("sz_b"), "blk")
+    # length-ratio prefilter: J(a,b) <= min(|a|,|b|)/max(|a|,|b|), so any pair
+    # with sizes outside ratio `threshold` cannot pass — prune BEFORE the
+    # per-pair set intersection (the expensive step). Exactness preserved.
+    pairs = a.join(b, "blk").filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.col("sz_a").cast("double") >= threshold * F.col("sz_b"))
+        & (F.col("sz_b").cast("double") >= threshold * F.col("sz_a"))
     )
-    a = docs.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"), "blk")
-    b = docs.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"), "blk")
-    pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    # grams are distinct, so |a ∪ b| = |a| + |b| - |a ∩ b|: one array op per
+    # pair instead of two
+    inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
+    union = F.col("sz_a") + F.col("sz_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
     return (
-        pairs.select(
-            "id_a", "id_b", F.round(jaccard(F.col("grams_a"), F.col("grams_b")), 4).alias("jaccard")
-        )
+        pairs.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -130,9 +144,12 @@ def minhash_lsh_pairs(
     bounded fanout of n_bands rows per document."""
     rows_per_band = num_hashes // n_bands
     # staged projections: grams -> base hashes -> signature, so each row
-    # tokenizes and hashes exactly once (no re-evaluation per family member)
+    # tokenizes and hashes exactly once (no re-evaluation per family member);
+    # repartition first so signature computation uses every core even when
+    # the scan is a single small file
     docs = (
-        df.select(F.col(id_col).alias("id"), char_ngrams(F.col(text_col), ngram).alias("grams"))
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(F.col(id_col).alias("id"), char_ngrams(F.col(text_col), ngram).alias("grams"))
         .withColumn("__h", F.transform(F.col("grams"), lambda g: F.xxhash64(g)))
         .withColumn("sig", minhash_signature_from_hashes(F.col("__h"), num_hashes))
         .drop("__h")
@@ -160,10 +177,12 @@ def minhash_lsh_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # grams are distinct: |a ∪ b| = |a| + |b| - |a ∩ b|, one array op per pair
+    inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
+    union = F.size("grams_a") + F.size("grams_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
     return (
-        cand.select(
-            "id_a", "id_b", F.round(jaccard(F.col("grams_a"), F.col("grams_b")), 4).alias("jaccard")
-        )
+        cand.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -197,7 +216,9 @@ def embedding_dup_pairs(
     """Near-dup pairs by embedding cosine >= threshold. Broadcast self-join
     (corpus scans once; suitable when one side fits in memory — at larger
     scale swap the candidate generator for similarity.lsh_topk buckets)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    a = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
     return (
