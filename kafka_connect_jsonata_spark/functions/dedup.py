@@ -114,12 +114,25 @@ def minhash_signature_from_hashes(hashes: Column, num_hashes: int) -> Column:
     Family member i remixes the base hash with xxhash64(h, i) — one cheap
     fixed-width hash per member over longs, instead of num_hashes full
     string-hash passes over the shingles. Pass a materialized column so the
-    base hashes compute once per row."""
-    return F.array(
-        *[
-            F.array_min(F.transform(hashes, lambda h: F.xxhash64(h, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+    base hashes compute once per row.
+
+    One `aggregate` traversal of the base hashes with an array<long>
+    accumulator of running minima; the num_hashes fan-out is runtime data
+    (`sequence`), so the expression tree / generated code stays small and
+    constant-size. Member values are identical to the naive per-member
+    formulation (same xxhash64(h, int32 i) family)."""
+    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    max_long = (1 << 63) - 1
+    mins = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(max_long).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(
+            acc, F.transform(idx, lambda i: F.xxhash64(h, i)), lambda a, b: F.least(a, b)
+        ),
+    )
+    # empty shingle set -> all-null signature (matches array_min([]) = null)
+    return F.when(F.size(hashes) > 0, mins).otherwise(
+        F.array_repeat(F.lit(None).cast("long"), num_hashes)
     )
 
 
@@ -147,12 +160,12 @@ def minhash_lsh_pairs(
     # tokenizes and hashes exactly once (no re-evaluation per family member);
     # repartition first so signature computation uses every core even when
     # the scan is a single small file
-    docs = (
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-        .select(F.col(id_col).alias("id"), char_ngrams(F.col(text_col), ngram).alias("grams"))
-        .withColumn("__h", F.transform(F.col("grams"), lambda g: F.xxhash64(g)))
-        .withColumn("sig", minhash_signature_from_hashes(F.col("__h"), num_hashes))
-        .drop("__h")
+    grams_df = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+        F.col(id_col).alias("id"), char_ngrams(F.col(text_col), ngram).alias("grams")
+    )
+    sig = (
+        grams_df.withColumn("__h", F.transform(F.col("grams"), lambda g: F.xxhash64(g)))
+        .select("id", minhash_signature_from_hashes(F.col("__h"), num_hashes).alias("sig"))
     )
     bands = F.array(
         *[
@@ -163,26 +176,58 @@ def minhash_lsh_pairs(
             for i in range(n_bands)
         ]
     )
-    exploded = docs.select("id", "grams", F.explode(bands).alias("b")).select(
-        "id", "grams", F.col("b.band").alias("band"), F.col("b.bkt").alias("bkt")
+    # the LSH shuffle moves ONLY (id, band, bkt) rows — the gram arrays stay
+    # behind and are re-fetched by id for surviving candidates. At 100 TB the
+    # alternative (carrying shingle arrays through the band explode and a
+    # bucket self-join) shuffles each document 2*n_bands times.
+    buckets = sig.select("id", F.explode(bands).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.bkt").alias("bkt")
     )
-    a = exploded.select(
-        F.col("id").alias("id_a"), F.col("grams").alias("grams_a"), "band", "bkt"
+    # candidate pairs generated locally inside each bucket group (no
+    # self-join, signature pipeline runs once); bucket skew is inherent to
+    # LSH and bounded by band width
+    groups = (
+        buckets.groupBy("band", "bkt")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    b = exploded.select(
-        F.col("id").alias("id_b"), F.col("grams").alias("grams_b"), "band", "bkt"
+    ids = F.col("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
     )
     cand = (
-        a.join(b, ["band", "bkt"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        groups.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    ga = grams_df.select(
+        F.col("id").alias("id_a"), F.col("grams").alias("grams_a"), F.size("grams").alias("sz_a")
+    )
+    gb = grams_df.select(
+        F.col("id").alias("id_b"), F.col("grams").alias("grams_b"), F.size("grams").alias("sz_b")
+    )
+    # length-ratio prefilter: J(a,b) <= min/max of set sizes, so pairs outside
+    # ratio `threshold` cannot pass — prune before the per-pair intersection
+    pairs = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .filter(
+            (F.col("sz_a").cast("double") >= threshold * F.col("sz_b"))
+            & (F.col("sz_b").cast("double") >= threshold * F.col("sz_a"))
+        )
     )
     # grams are distinct: |a ∪ b| = |a| + |b| - |a ∩ b|, one array op per pair
     inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
-    union = F.size("grams_a") + F.size("grams_b") - inter
+    union = F.col("sz_a") + F.col("sz_b") - inter
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
     return (
-        cand.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        pairs.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -190,21 +235,35 @@ def minhash_lsh_pairs(
 def simhash64(col: Column) -> Column:
     """64-bit SimHash over the token multiset: per-token xxhash64, sum the
     +-1 contribution of each bit across tokens, sign -> bit. Pure Column
-    expression (bit ops on bigint), no UDF."""
+    expression (bit ops on bigint), no UDF.
+
+    Single `aggregate` pass over the token hashes with an array<int>[64]
+    accumulator; the 64-way bit fan-out is runtime data (`sequence(0,63)` +
+    `bit_get`), so the expression tree — and the generated code — stays
+    small and constant-size regardless of width."""
     toks = tokens(F.lower(col))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    sig = F.lit(0).cast("long")
-    for bit in range(64):
-        # count of tokens with this bit set, minus count without
-        ones = F.size(
-            F.filter(hashes, lambda h: F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1)
-        )
-        total = F.size(hashes)
-        bit_on = (ones * 2 - total) > 0
-        sig = sig + F.when(bit_on, F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(
-            F.lit(0).cast("long")
-        )
-    return sig
+    n = F.size(toks)
+    bit_idx = F.sequence(F.lit(0), F.lit(63))
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(bit_idx, lambda i: F.bit_get(h, i).cast("int")),
+            lambda a, b: a + b,
+        ),
+    )
+    # bit i of the signature is set iff the majority of token hashes set it
+    # (2*count > n). Powers are distinct bits, so bitwise-OR assembles the
+    # signature; 1<<63 is represented as Long.MIN_VALUE (two's complement).
+    powers = F.array(
+        *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(64)]
+    )
+    sig_bits = F.zip_with(
+        counts, powers, lambda c, p: F.when(c * 2 > n, p).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(sig_bits, F.lit(0).cast("long"), lambda a, x: a.bitwiseOR(x))
 
 
 def embedding_dup_pairs(

@@ -709,8 +709,12 @@ def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (pure Column bit math; rows-only)."""
+    """64-bit SimHash per document (pure Column bit math; rows-only).
+    Repartitioned so the compute-bound signature projection uses every core
+    even when the scan is one small file (at 100 TB the scan itself yields
+    thousands of partitions and the repartition is a no-op to remove)."""
     docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return docs.select("doc_id", dedup.simhash64(F.col("text")).alias("simhash"))
 
 
