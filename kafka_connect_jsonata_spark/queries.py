@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kafka_connect_jsonata_spark.functions import dedup, similarity, text
+from kafka_connect_jsonata_spark.functions import dedup, multimodal, similarity, text
 from kafka_connect_jsonata_spark.operators import relational as R
 from kafka_connect_jsonata_spark.sources.readers import load_table
 from kafka_connect_jsonata_spark.transform import transform
@@ -810,6 +810,61 @@ FROM customer
 
 
 # ---------------------------------------------------------------------------
+# multimodal: opaque binary payload columns + Arrow-batched decode stages
+# ---------------------------------------------------------------------------
+
+
+def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload column -> mapInPandas numpy byte sum/count. The
+    corpus text is ASCII, so DuckDB recomputes the identical sums from
+    codepoints — a value-exact probe of the Arrow binary boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return multimodal.text_byte_stats(media)
+
+
+MULTIMODAL_BYTE_SQL = """
+SELECT doc_id,
+       CAST(list_sum(list_transform(split(text, ''), c -> unicode(c))) AS BIGINT) AS byte_sum,
+       CAST(length(text) AS INT) AS byte_cnt
+FROM documents
+"""
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synth deterministic fake videos (4 + id%5 frames), sample every 2nd
+    frame via mapInPandas fan-out. Frame counts are closed-form in the id,
+    so the oracle reproduces the exact (media_id, frame_idx) set."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    vids = multimodal.synth_media(docs, "doc_id", multimodal.KIND_VIDEO)
+    return multimodal.sample_frames(vids, stride=2).select("media_id", "frame_idx")
+
+
+MULTIMODAL_FRAME_SQL = """
+SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx
+FROM documents, unnest(range(0, CAST(4 + doc_id % 5 AS BIGINT), 2)) t(f)
+"""
+
+
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synth fake images -> decode -> per-image pixel stats (rng-dependent
+    content: rows-only check; exact values pinned in unit tests)."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    imgs = multimodal.synth_media(docs, "doc_id", multimodal.KIND_IMAGE)
+    return multimodal.image_stats(imgs)
+
+
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synth fake audio -> RMS + zero-crossing features (rows-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    auds = multimodal.synth_media(docs, "doc_id", multimodal.KIND_AUDIO)
+    return multimodal.audio_features(auds)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -849,6 +904,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_dups": minhash_lsh_dups,
     "simhash_docs": simhash_docs,
     "embedding_dup_pairs": embedding_dup_pairs_q,
+    "multimodal_byte_stats": multimodal_byte_stats,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_image_stats": multimodal_image_stats,
+    "multimodal_audio_features": multimodal_audio_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -886,4 +945,9 @@ ORACLES: dict[str, str] = {
     # approx_distinct_stats / minhash_lsh_dups / simhash_docs: sketch-based,
     # deliberately rows-only (no exact SQL oracle exists by construction)
     "embedding_dup_pairs": EMBEDDING_DUP_SQL,
+    "multimodal_byte_stats": MULTIMODAL_BYTE_SQL,
+    "multimodal_frame_sample": MULTIMODAL_FRAME_SQL,
+    # multimodal_image_stats / multimodal_audio_features: payload content is
+    # rng-generated (no SQL analog) - rows-only; exact values pinned in
+    # tests/test_multimodal.py
 }

@@ -1,0 +1,135 @@
+"""Multimodal column plumbing: RAW1 toy codec, JVM-side header parse,
+Arrow-batched decode / resize / frame-sample / audio stages. Exact values
+are pinned against the same numpy computation run locally."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_jsonata_spark.functions import multimodal as mm
+
+
+def _local_media(kind, ids):
+    return {i: mm._synth_array(i, kind) for i in ids}
+
+
+# ---------------------------------------------------------------------------
+# codec
+# ---------------------------------------------------------------------------
+
+def test_codec_roundtrip():
+    arr = np.arange(2 * 3 * 4 * 3, dtype=np.uint8).reshape(2, 3, 4, 3)
+    buf = mm.encode_raw1(arr, mm.KIND_VIDEO)
+    out, kind = mm.decode_raw1(buf)
+    assert kind == mm.KIND_VIDEO
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_decode_rejects_bad_magic():
+    with pytest.raises(ValueError):
+        mm.decode_raw1(b"NOPE" + b"\x00" * 20)
+
+
+# ---------------------------------------------------------------------------
+# synthesis + JVM metadata parse
+# ---------------------------------------------------------------------------
+
+def test_synth_media_deterministic_and_meta_jvm_parse(spark):
+    ids = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+    media = mm.synth_media(ids, "doc_id", mm.KIND_IMAGE)
+    got = {r["media_id"]: r for r in mm.with_meta(media).collect()}
+    assert len(got) == 20
+    for i, arr in _local_media(mm.KIND_IMAGE, range(20)).items():
+        f, h, w, c = arr.shape
+        meta = got[i]["meta"]
+        # JVM binary header parse agrees with the local struct layout
+        assert (meta["width"], meta["height"], meta["channels"]) == (w, h, c)
+        assert meta["kind"] == mm.KIND_IMAGE and meta["n_frames"] == f
+        assert meta["payload_bytes"] == f * h * w * c
+        # payload bytes identical to local encode (partitioning-invariant)
+        assert bytes(got[i]["payload"]) == mm.encode_raw1(arr, mm.KIND_IMAGE)
+
+
+def test_meta_parse_is_jvm_only(spark):
+    # the metadata path must not contain a Python eval node
+    ids = spark.range(0, 4).select(F.col("id").alias("doc_id"))
+    media = mm.synth_media(ids, "doc_id", mm.KIND_IMAGE)
+    plan = mm.with_meta(media).select("meta")._jdf.queryExecution().executedPlan().toString()
+    # one mapInPandas for synth (unavoidable: it fabricates the payload);
+    # no second Python stage for the meta parse itself
+    assert plan.count("MapInPandas") == 1
+
+
+# ---------------------------------------------------------------------------
+# image stats / resize / frames / audio
+# ---------------------------------------------------------------------------
+
+def test_image_stats_exact(spark):
+    ids = spark.range(0, 16).select(F.col("id").alias("doc_id"))
+    stats = mm.image_stats(mm.synth_media(ids, "doc_id", mm.KIND_IMAGE))
+    got = {r["media_id"]: r for r in stats.collect()}
+    for i, arr in _local_media(mm.KIND_IMAGE, range(16)).items():
+        r = got[i]
+        assert r["px_sum"] == int(arr.sum(dtype=np.int64))
+        assert r["px_min"] == int(arr.min()) and r["px_max"] == int(arr.max())
+        assert r["px_mean"] == pytest.approx(float(arr.mean()))
+        assert (r["width"], r["height"]) == (arr.shape[2], arr.shape[1])
+
+
+def test_resize_exact_nearest_neighbor(spark):
+    ids = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+    resized = mm.resize_images(mm.synth_media(ids, "doc_id", mm.KIND_IMAGE), 4, 5)
+    got = {r["media_id"]: bytes(r["payload"]) for r in resized.collect()}
+    for i, arr in _local_media(mm.KIND_IMAGE, range(8)).items():
+        f, h, w, c = arr.shape
+        ys = (np.arange(5) * h // 5).clip(0, h - 1)
+        xs = (np.arange(4) * w // 4).clip(0, w - 1)
+        expect = arr[:, ys][:, :, xs]
+        out, kind = mm.decode_raw1(got[i])
+        assert out.shape == (1, 5, 4, 3)
+        np.testing.assert_array_equal(out, expect)
+
+
+def test_frame_sample_fanout_and_content(spark):
+    ids = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    frames = mm.sample_frames(mm.synth_media(ids, "doc_id", mm.KIND_VIDEO), stride=2)
+    rows = frames.collect()
+    local = _local_media(mm.KIND_VIDEO, range(10))
+    expect_n = sum(len(range(0, a.shape[0], 2)) for a in local.values())
+    assert len(rows) == expect_n
+    for r in rows:
+        arr, kind = mm.decode_raw1(bytes(r["payload"]))
+        assert kind == mm.KIND_IMAGE and arr.shape[0] == 1
+        np.testing.assert_array_equal(arr[0], local[r["media_id"]][r["frame_idx"]])
+
+
+def test_audio_features_exact(spark):
+    ids = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    feats = mm.audio_features(mm.synth_media(ids, "doc_id", mm.KIND_AUDIO))
+    got = {r["media_id"]: r for r in feats.collect()}
+    for i, arr in _local_media(mm.KIND_AUDIO, range(12)).items():
+        s = arr.reshape(-1).astype(np.float64) - 128.0
+        r = got[i]
+        assert r["n_samples"] == s.size
+        assert r["rms"] == pytest.approx(float(np.sqrt(np.mean(s**2))))
+        assert r["zero_crossings"] == int(np.count_nonzero(np.diff(np.signbit(s))))
+
+
+def test_text_byte_stats_matches_python(spark):
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, ""), (3, "spark rocks")], "doc_id long, text string"
+    )
+    media = df.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    got = {r["doc_id"]: r for r in mm.text_byte_stats(media).collect()}
+    for i, s in ((1, "hello"), (2, ""), (3, "spark rocks")):
+        b = s.encode()
+        assert got[i]["byte_sum"] == sum(b) and got[i]["byte_cnt"] == len(b)
+
+
+def test_real_codec_stub_raises():
+    if mm._PILImage is not None:
+        pytest.skip("Pillow unexpectedly present")
+    with pytest.raises(NotImplementedError):
+        mm.decode_real_image(b"\x89PNG\r\n")

@@ -21,6 +21,10 @@ ROWS_ONLY = {
     "approx_distinct_stats",
     "minhash_lsh_dups",
     "simhash_docs",
+    # rng-generated payload content: no SQL analog; exact values pinned in
+    # tests/test_multimodal.py
+    "multimodal_image_stats",
+    "multimodal_audio_features",
 }
 
 
