@@ -19,6 +19,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from kafka_connect_jsonata_spark.engine import DEFAULT_CONFIG, EngineConfig
 from kafka_connect_jsonata_spark.transform import transform
@@ -91,6 +92,81 @@ def stream_static_join(
     stream never shuffles."""
     s = F.broadcast(static_df) if broadcast_static else static_df
     return stream_df.join(s, on, how)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "10 minutes",
+    max_lag: str = "interval 10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """C23: stream-stream equi-join with a time-range condition. Watermarks
+    on BOTH sides plus the range bound are what let the runner evict join
+    state — without them state grows with the stream. Right columns get an
+    ``r_`` prefix so self-joins don't collide."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    for c in r.columns:
+        r = r.withColumnRenamed(c, f"r_{c}")
+    cond = None
+    for k in keys:
+        eq = F.col(k) == F.col(f"r_{k}")
+        cond = eq if cond is None else cond & eq
+    rng = (F.col(f"r_{right_ts}") >= F.col(left_ts)) & (
+        F.col(f"r_{right_ts}") <= F.col(left_ts) + F.expr(max_lag)
+    )
+    return l.join(r, cond & rng, how)
+
+
+def stateful_running_count(
+    stream_df: DataFrame,
+    keys: Sequence[str],
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """C22: custom stateful operator via applyInPandasWithState — a running
+    per-key event count that survives across micro-batches (the canonical
+    shape for custom counters/sessionizers/accumulators Spark's built-in
+    aggregations can't express).
+
+    State is one long per key, partitioned by the group keys across
+    executors; output mode is update (one row per key per batch it appears
+    in). The reference has no stateful surface at all (its close() is empty,
+    reference JsonataTransformation.java:122-124) — this is pure lift."""
+    import pandas as pd  # local: only the executors need it at eval time
+
+    key_fields = [stream_df.schema[k] for k in keys]
+    out_schema = T.StructType(
+        list(key_fields)
+        + [
+            T.StructField("n_events", T.LongType()),
+            T.StructField("n_batches", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("b", T.LongType())]
+    )
+
+    def update(key, pdfs, state) -> "pd.DataFrame":
+        n, b = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+        b += 1
+        state.update((n, b))
+        yield pd.DataFrame(
+            {
+                **{k: [kv] for k, kv in zip(keys, key)},
+                "n_events": [n],
+                "n_batches": [b],
+            }
+        )
+
+    return stream_df.groupBy(*[F.col(k) for k in keys]).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )
 
 
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):

@@ -85,3 +85,49 @@ def test_stream_static_join(spark, event_stream, sf_dir):
     run_to_memory(out, "t_ssjoin")
     got = spark.sql("SELECT count(*) AS n FROM t_ssjoin").first()["n"]
     assert got > 0
+
+
+def test_stream_stream_join(spark, event_stream, sf_dir):
+    from kafka_connect_jsonata_spark.streaming.transform import stream_stream_join
+
+    out = stream_stream_join(
+        event_stream,
+        event_stream,
+        ["user_id"],
+        "ts",
+        "ts",
+        watermark="30 minutes",
+        max_lag="interval 5 minutes",
+    )
+    run_to_memory(out, "t_ss_join")
+    got = spark.sql("SELECT count(*) AS n FROM t_ss_join").first()["n"]
+    # batch equivalent of the same join
+    ev = load_table(spark, sf_dir, "events")
+    r = ev.select(*[F.col(c).alias(f"r_{c}") for c in ev.columns])
+    expect = ev.join(
+        r,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("r_ts") >= F.col("ts"))
+        & (F.col("r_ts") <= F.col("ts") + F.expr("interval 5 minutes")),
+    ).count()
+    assert got == expect and got > 0
+
+
+def test_stateful_running_count(spark, event_stream, sf_dir):
+    from kafka_connect_jsonata_spark.streaming.transform import stateful_running_count
+
+    out = stateful_running_count(event_stream, ["user_id"])
+    run_to_memory(out, "t_stateful", output_mode="update")
+    # final state per key == batch groupBy count (take the last emitted row
+    # per key; with availableNow all data lands in >=1 batches)
+    got = spark.sql(
+        "SELECT user_id, max(n_events) AS n FROM t_stateful GROUP BY user_id"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    expect = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    diff = (
+        got.alias("g").join(expect.alias("e"), "user_id")
+        .filter(F.col("g.n") != F.col("e.n"))
+    )
+    assert diff.count() == 0
+    assert got.count() == expect.count()
