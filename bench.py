@@ -35,6 +35,14 @@ HEADLINE = [
     "dedup_exact_docs",
     "cosine_topk_bruteforce",
     "ngram_jaccard_dups",
+    "minhash_lsh_dups",
+    "simhash_docs",
+    "embedding_dup_pairs",
+    "tumbling_window_agg",
+    "sessionize_events",
+    "percentile_summary",
+    "multimodal_byte_stats",
+    "multimodal_frame_sample",
     "jsonata_flagship",
     "jsonata_interpreter",
 ]
@@ -46,6 +54,9 @@ def main() -> None:
     spark = get_spark("bench")
     for t in TABLES:  # warmup: schema + footer reads
         load_table(spark, sf_dir, t).count()
+    # warmup: spawn the Python UDF workers (one per core) so pandas-stage
+    # queries measure steady-state eval, not one-time fork+import
+    spark.range(32 * 10).repartition(32).mapInPandas(lambda it: it, "id long").count()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = Q.QUERIES[name]

@@ -116,23 +116,15 @@ def minhash_signature_from_hashes(hashes: Column, num_hashes: int) -> Column:
     string-hash passes over the shingles. Pass a materialized column so the
     base hashes compute once per row.
 
-    One `aggregate` traversal of the base hashes with an array<long>
-    accumulator of running minima; the num_hashes fan-out is runtime data
-    (`sequence`), so the expression tree / generated code stays small and
-    constant-size. Member values are identical to the naive per-member
-    formulation (same xxhash64(h, int32 i) family)."""
-    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    max_long = (1 << 63) - 1
-    mins = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(max_long).cast("long"), num_hashes),
-        lambda acc, h: F.zip_with(
-            acc, F.transform(idx, lambda i: F.xxhash64(h, i)), lambda a, b: F.least(a, b)
-        ),
-    )
-    # empty shingle set -> all-null signature (matches array_min([]) = null)
-    return F.when(F.size(hashes) > 0, mins).otherwise(
-        F.array_repeat(F.lit(None).cast("long"), num_hashes)
+    One array traversal per family member (compile-time fan-out, fine for
+    num_hashes <= ~128): fewer, larger allocations than an array-accumulator
+    aggregate (which allocates two width-num_hashes arrays per shingle) and
+    measurably faster at scale."""
+    return F.array(
+        *[
+            F.array_min(F.transform(hashes, lambda h: F.xxhash64(h, F.lit(i))))
+            for i in range(num_hashes)
+        ]
     )
 
 
@@ -205,18 +197,45 @@ def minhash_lsh_pairs(
         groups.select(F.explode(pair_arr).alias("p"))
         .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
+        # the candidate set is referenced three times below (pair join + two
+        # semi-joins); checkpoint it EAGERLY so the signature pipeline above
+        # runs exactly once instead of once per reference (a lazy checkpoint
+        # still recomputes shared branches planned within one job). It is
+        # tiny (bounded by LSH collisions), so materialization is cheap.
+        .localCheckpoint(eager=True)
     )
-    ga = grams_df.select(
-        F.col("id").alias("id_a"), F.col("grams").alias("grams_a"), F.size("grams").alias("sz_a")
-    )
-    gb = grams_df.select(
-        F.col("id").alias("id_b"), F.col("grams").alias("grams_b"), F.size("grams").alias("sz_b")
-    )
-    # length-ratio prefilter: J(a,b) <= min/max of set sizes, so pairs outside
-    # ratio `threshold` cannot pass — prune before the per-pair intersection
+    # verify: re-shingle ONLY candidate ids (semi-join-restricted), below
+    # the pair joins. The full-corpus ngram pass runs exactly once (inside
+    # the signature pipeline); candidate-side recompute is bounded by the
+    # LSH fanout, not the corpus. Computing grams in a projection *under*
+    # the joins matters: the Jaccard filter above gets pushed into the join
+    # condition by Catalyst, and there it must reference the precomputed
+    # array attribute — not inline the shingling per probed pair.
+    txt = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+
+    def side(tag: str):
+        need = cand.select(F.col(f"id_{tag}").alias("id")).distinct()
+        return (
+            txt.join(need, "id", "left_semi")
+            # spread the shingling across cores: the semi-join output
+            # inherits the scan's partitioning (often 1 small file locally)
+            .repartition(df.sparkSession.sparkContext.defaultParallelism)
+            .select(
+                F.col("id").alias(f"id_{tag}"),
+                char_ngrams(F.col("text"), ngram).alias(f"grams_{tag}"),
+            )
+            .withColumn(f"sz_{tag}", F.size(f"grams_{tag}"))
+            # barrier: without it Catalyst collapses this projection into
+            # the pair-join condition below, re-shingling the text per
+            # probed pair instead of once per candidate row
+            .localCheckpoint(eager=False)
+        )
+
     pairs = (
-        cand.join(ga, "id_a")
-        .join(gb, "id_b")
+        cand.join(side("a"), "id_a")
+        .join(side("b"), "id_b")
+        # length-ratio prefilter: J(a,b) <= min/max of set sizes, so pairs
+        # outside ratio `threshold` cannot pass — prune before intersecting
         .filter(
             (F.col("sz_a").cast("double") >= threshold * F.col("sz_b"))
             & (F.col("sz_b").cast("double") >= threshold * F.col("sz_a"))

@@ -153,6 +153,11 @@ class Jsonata:
         self._depth = 0
         self._ticks = 0
         self.timestamp_ms = 0
+        # builtins are immutable: bind them once per instance; each evaluate()
+        # works in a child frame so per-record binds never touch this one
+        self._builtins = Frame()
+        for name, (fn, ctx) in lib.REGISTRY.items():
+            self._builtins.bind(name, Builtin(name, fn, ctx))
 
     # ------------------------------------------------------------- public API
     def evaluate(self, data, bindings: dict | None = None):
@@ -165,10 +170,8 @@ class Jsonata:
         self._depth = 0
         self._ticks = 0
         self.timestamp_ms = int(time.time() * 1000)
-        env = Frame()
+        env = self._builtins.child()
         env.bind("$", data)  # root ($$)
-        for name, (fn, ctx) in lib.REGISTRY.items():
-            env.bind(name, Builtin(name, fn, ctx))
         if bindings:
             for k, v in bindings.items():
                 env.bind(k, v)

@@ -45,6 +45,57 @@ def parse_cached(expr: str) -> dict:
     return parse(expr)
 
 
+def referenced_roots(ast: dict) -> set[str] | None:
+    """Top-level field names an expression can possibly read, or None when
+    the expression can see the whole context (``$``/``$$``, wildcard,
+    descendant, parent, ``$eval``) and pruning would change semantics.
+
+    Over-approximates: every ``name`` node anywhere in the tree counts, so a
+    nested field sharing a column's name merely loses that pruning
+    opportunity — never correctness. Used to cut the JVM->Python Arrow
+    transfer to the columns the interpreter can actually touch."""
+    names: set[str] = set()
+
+    def walk(node) -> bool:  # returns False to abort (must keep everything)
+        if isinstance(node, dict):
+            t = node.get("type")
+            if t in ("wildcard", "descendant", "parent", "transform"):
+                return False
+            if t == "variable" and node.get("value") in ("", "$"):
+                return False
+            if t == "call":
+                proc = node.get("procedure", {})
+                if proc.get("type") == "variable" and proc.get("value") == "eval":
+                    return False
+            if t == "name":
+                names.add(node["value"])
+            return all(
+                walk(v) for k, v in node.items() if k not in ("type", "value", "pos")
+            )
+        if isinstance(node, list):
+            return all(walk(v) for v in node)
+        return True
+
+    return names if walk(ast) else None
+
+
+def _prepare_interpreter_input(df: DataFrame, ast: dict) -> DataFrame:
+    """Interpreter-tier input shaping: prune unreferenced columns out of the
+    Arrow transfer, then spread the compute-bound eval stage across every
+    core when the scan yields fewer partitions than the cluster has slots
+    (a handful of parquet files would otherwise serialize interpretation).
+    Streaming plans are left untouched."""
+    roots = referenced_roots(ast)
+    if roots is not None:
+        keep = [c for c in df.columns if c in roots]
+        df = df.select(*keep) if keep else df.select(F.lit(1).alias("__ctx"))
+    if not df.isStreaming:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
+    return df
+
+
 def jsonata_column(expr: str, schema: T.StructType) -> Column:
     """Compile a JSONata expression to a native Column over ``schema``.
     Raises NotCompilable outside the tier-1 subset."""
@@ -101,7 +152,8 @@ def transform(
         except NotCompilable:
             if force_tier == "compiled":
                 raise
-    # interpreter tier over the whole row as JSON
+    # interpreter tier over the referenced slice of the row as JSON
+    df = _prepare_interpreter_input(df, parse_cached(expr))
     json_col = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
     evaluated = df.select(jsonata_udf(expr, config)(json_col).alias("__json"))
     kept = evaluated.filter(F.col("__json").isNotNull())
