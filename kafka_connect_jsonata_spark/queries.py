@@ -559,6 +559,17 @@ WHERE rank <= 5
 """
 
 
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C25 scale path: random-hyperplane LSH candidate generation + exact
+    re-rank (approximate — rows-only; recall vs brute force is pinned in
+    tests/test_queries_smoke.py). The corpus shuffles on (band, signature)
+    with bounded fanout instead of cross-joining."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_topk(q, emb, k=5, dim=dim, n_bands=8, band_bits=4)
+
+
 def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup doc pairs by token 3-gram Jaccard, blocked on first token."""
     docs = load_table(spark, sf_dir, "documents")
@@ -893,6 +904,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_counts": lang_id_counts,
     "dedup_exact_docs": dedup_exact_docs,
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
+    "ann_lsh_topk": ann_lsh_topk,
     "ngram_jaccard_dups": ngram_jaccard_dups,
     "jsonata_flagship": jsonata_flagship,
     "jsonata_interpreter": jsonata_interpreter,

@@ -25,9 +25,28 @@ ROWS_ONLY = {
     # tests/test_multimodal.py
     "multimodal_image_stats",
     "multimodal_audio_features",
+    # approximate-by-construction: recall pinned in test_ann_lsh_recall
+    "ann_lsh_topk",
 }
 
 
 def test_every_query_has_oracle_or_is_declared():
     missing = set(Q.QUERIES) - set(Q.ORACLES) - ROWS_ONLY
     assert not missing, f"queries without oracle (should be deliberate): {missing}"
+
+
+def test_ann_lsh_recall(spark, sf_dir):
+    """LSH top-k must recover most of the brute-force top-k (recall@5).
+    Hyperplane LSH on these synthetic embeddings is approximate; require
+    recall >= 0.5 — well above chance (5/500) — and exact scoring for
+    whatever it returns."""
+    import kafka_connect_jsonata_spark.queries as Q
+
+    exact = Q.QUERIES["cosine_topk_bruteforce"](spark, sf_dir).collect()
+    approx = Q.QUERIES["ann_lsh_topk"](spark, sf_dir).collect()
+    truth = {(r["query_id"], r["neighbor_id"]): r["cosine_sim"] for r in exact}
+    got = {(r["query_id"], r["neighbor_id"]): r["cosine_sim"] for r in approx}
+    hits = set(truth) & set(got)
+    assert len(hits) / len(truth) >= 0.5
+    for key in hits:  # scores of true hits must match the exact computation
+        assert abs(truth[key] - got[key]) < 1e-9
