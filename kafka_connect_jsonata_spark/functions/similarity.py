@@ -149,3 +149,70 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank")
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: coarse-quantize the corpus into n_cells
+    cells (centroids = deterministic sample of corpus vectors), probe the
+    n_probe nearest cells per query, exact cosine re-rank inside them.
+
+    Scale shape: centroids broadcast (tiny); cell assignment is one
+    projection over the corpus scan; the probe join is an equi-join on
+    cell id, touching n_probe/n_cells of the corpus per query instead of
+    all of it. The canonical IVF trade: recall vs fraction probed."""
+    # deterministic centroid pick: lowest ids (seeded, reproducible, no
+    # kmeans iterations — kmeans refinement plugs in here at real scale)
+    cents = [
+        (i, list(r[1]))
+        for i, r in enumerate(
+            corpus.select(F.col(c_id), F.col(c_vec)).orderBy(F.col(c_id)).take(n_cells)
+        )
+    ]
+
+    def nearest_cells(vec: Column, n: int) -> Column:
+        """Array of the n cell-ids nearest to vec by cosine."""
+        scored = F.array(
+            *[
+                F.struct(
+                    (-cosine(vec, F.array(*[F.lit(x) for x in cvec]))).alias("d"),
+                    F.lit(cid).alias("cell"),
+                )
+                for cid, cvec in cents
+            ]
+        )
+        return F.slice(F.array_sort(scored), 1, n).getField("cell")
+
+    c_assigned = corpus.select(
+        F.col(c_id).alias("neighbor_id"),
+        F.col(c_vec).alias("__cv"),
+        nearest_cells(F.col(c_vec), 1)[0].alias("cell"),
+    )
+    q_probed = queries.select(
+        F.col(q_id).alias("query_id"),
+        F.col(q_vec).alias("__qv"),
+        F.explode(nearest_cells(F.col(q_vec), n_probe)).alias("cell"),
+    )
+    cand = c_assigned.join(F.broadcast(q_probed), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank")
+    )

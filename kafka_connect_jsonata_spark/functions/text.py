@@ -118,3 +118,19 @@ def doc_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         fingerprint(c).alias("fingerprint"),
         lang_id(c).alias("lang_pred"),
     )
+
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """GPT-2-style pre-tokenization approximation: letter runs, single
+    digits, and punctuation marks as separate pieces (whitespace dropped).
+    A real BPE merges within these pieces, so this count upper-bounds and
+    tracks BPE token counts closely on natural text — good enough for
+    corpus budgeting, and it runs as a JVM regex (no vocab lookup)."""
+    return F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    return F.size(bpe_ish_tokens(col))

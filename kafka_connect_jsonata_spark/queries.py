@@ -559,6 +559,34 @@ WHERE rank <= 5
 """
 
 
+def token_count_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C24 token budgeting: whitespace tokens and BPE-ish (GPT-2-style
+    pre-tokenization regex) piece counts per document — the JVM-regex
+    pass a corpus-budget pipeline runs before training."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_ws_tokens"),
+        text.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C25 scale path #2: IVF-flat — coarse cells + probe-nearest-cells +
+    exact re-rank (approximate; recall pinned in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(q, emb, k=5, n_cells=16, n_probe=6)
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C25 scale path: random-hyperplane LSH candidate generation + exact
     re-rank (approximate — rows-only; recall vs brute force is pinned in
@@ -905,6 +933,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_docs": dedup_exact_docs,
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+    "token_count_summary": token_count_summary,
     "ngram_jaccard_dups": ngram_jaccard_dups,
     "jsonata_flagship": jsonata_flagship,
     "jsonata_interpreter": jsonata_interpreter,
@@ -945,6 +975,7 @@ ORACLES: dict[str, str] = {
     "unpivot_lineitem": UNPIVOT_SQL,
     "text_doc_stats": TEXT_STATS_SQL,
     "lang_id_counts": LANG_ID_SQL,
+    "token_count_summary": TOKEN_COUNT_SQL,
     "dedup_exact_docs": DEDUP_DOCS_SQL,
     "cosine_topk_bruteforce": COSINE_TOPK_SQL,
     "ngram_jaccard_dups": NGRAM_JACCARD_SQL,

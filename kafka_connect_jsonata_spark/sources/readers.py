@@ -53,3 +53,46 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for the SQL API."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def scan(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """C1: generic batch scan (parquet/json/csv/orc/text). Declarative so
+    Catalyst pushes predicates and prunes columns into the source where the
+    format supports it; json/csv get schema inference only when no schema
+    is passed (avoid at scale — inference is an extra full read)."""
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv" and "header" not in options:
+        options["header"] = "true"
+    return reader.options(**options).load(path)
+
+
+def file_stream(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """C2: file-based streaming source (directory watcher). Schema is
+    required by Structured Streaming for file sources; pass the batch
+    scan's schema."""
+    if schema is None:
+        schema = scan(spark, path, fmt, **options).schema
+    return spark.readStream.format(fmt).schema(schema).options(**options).load(path)
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """C2: synthetic rate source (timestamp, value) for smoke tests."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )

@@ -27,6 +27,7 @@ ROWS_ONLY = {
     "multimodal_audio_features",
     # approximate-by-construction: recall pinned in test_ann_lsh_recall
     "ann_lsh_topk",
+    "ann_ivf_topk",
 }
 
 
@@ -50,3 +51,35 @@ def test_ann_lsh_recall(spark, sf_dir):
     assert len(hits) / len(truth) >= 0.5
     for key in hits:  # scores of true hits must match the exact computation
         assert abs(truth[key] - got[key]) < 1e-9
+
+
+def test_ann_ivf_recall(spark, sf_dir):
+    """IVF top-k recall@5 vs brute force with exact score agreement."""
+    import kafka_connect_jsonata_spark.queries as Q
+
+    exact = Q.QUERIES["cosine_topk_bruteforce"](spark, sf_dir).collect()
+    approx = Q.QUERIES["ann_ivf_topk"](spark, sf_dir).collect()
+    truth = {(r["query_id"], r["neighbor_id"]): r["cosine_sim"] for r in exact}
+    got = {(r["query_id"], r["neighbor_id"]): r["cosine_sim"] for r in approx}
+    hits = set(truth) & set(got)
+    assert len(hits) / len(truth) >= 0.5
+    for key in hits:
+        assert abs(truth[key] - got[key]) < 1e-9
+
+
+def test_source_scan_and_streams(spark, sf_dir, tmp_path):
+    """C1/C2: generic scan (json/csv round-trip through Spark writers) and
+    file/rate streaming sources."""
+    from kafka_connect_jsonata_spark.sources.readers import file_stream, rate_stream, scan
+
+    nation = scan(spark, f"{sf_dir}/nation.parquet")
+    jdir, cdir = str(tmp_path / "j"), str(tmp_path / "c")
+    nation.write.json(jdir)
+    nation.write.option("header", "true").csv(cdir)
+    assert scan(spark, jdir, "json").count() == nation.count()
+    got = scan(spark, cdir, "csv", schema=nation.schema)
+    assert got.count() == nation.count()
+    assert [f.name for f in got.schema.fields] == [f.name for f in nation.schema.fields]
+    st = file_stream(spark, jdir, "json")
+    assert st.isStreaming
+    assert rate_stream(spark).isStreaming
