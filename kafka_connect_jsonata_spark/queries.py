@@ -385,6 +385,97 @@ SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
 """
 
 
+def union_party_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14 UNION ALL + C9 count-distinct: customers and suppliers stacked
+    with unionByName into one party relation, then per-nation totals. The
+    union is plan-level concatenation (no shuffle); only the groupBy
+    shuffles, on the low-cardinality nation key with map-side combine."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    both = cust.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("kind"),
+    ).unionByName(
+        supp.select(
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("s_acctbal").alias("acctbal"),
+            F.lit("supplier").alias("kind"),
+        )
+    )
+    return both.groupBy("nationkey").agg(
+        F.count("*").alias("n_parties"),
+        F.count_distinct("kind").alias("n_kinds"),
+        F.sum(_dec("acctbal")).cast("double").alias("total_bal"),
+    )
+
+
+UNION_PARTIES_SQL = """
+WITH parties AS (
+  SELECT c_nationkey AS nationkey, c_acctbal AS acctbal, 'customer' AS kind FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nationkey, s_acctbal AS acctbal, 'supplier' AS kind FROM supplier
+)
+SELECT nationkey, count(*) AS n_parties, count(DISTINCT kind) AS n_kinds,
+       CAST(sum(CAST(acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM parties GROUP BY nationkey
+"""
+
+
+def outer_join_nation_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 full-outer equi-join of two aggregates: customer count vs supplier
+    count per nation, nations missing on either side kept with zero counts.
+    Both inputs pre-aggregate to ~nation cardinality before the join, so the
+    outer join runs on tiny inputs regardless of fact-table scale (and AQE
+    converts it to a broadcast join at runtime)."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    c = cust.groupBy(F.col("c_nationkey").alias("nationkey")).agg(F.count("*").alias("n_cust"))
+    s = supp.groupBy(F.col("s_nationkey").alias("nationkey")).agg(F.count("*").alias("n_supp"))
+    return c.join(s, "nationkey", "full_outer").select(
+        "nationkey",
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+OUTER_JOIN_SQL = """
+WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust FROM customer GROUP BY 1),
+     s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp FROM supplier GROUP BY 1)
+SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+       coalesce(n_cust, 0) AS n_cust,
+       coalesce(n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+"""
+
+
+def left_join_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 left outer join keeping customers with few-or-no orders (the
+    classic find-the-gaps shape; the null-extension side surfaces as
+    order_count=0 and survives the post-join filter)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey")).agg(F.count("*").alias("n"))
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce("n", F.lit(0)).alias("order_count"),
+        )
+        .filter(F.col("order_count") <= 3)
+    )
+
+
+LEFT_JOIN_GAPS_SQL = """
+SELECT c_custkey, c_mktsegment, coalesce(n, 0) AS order_count
+FROM customer LEFT JOIN (
+  SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+) o ON c_custkey = o.o_custkey
+WHERE coalesce(n, 0) <= 3
+"""
+
+
 def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     return cust.select("c_mktsegment").distinct()
@@ -923,6 +1014,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_events_orders": asof_join_events_orders,
     "setop_intersect": setop_intersect,
     "setop_except": setop_except,
+    "union_party_balances": union_party_balances,
+    "outer_join_nation_parties": outer_join_nation_parties,
+    "left_join_order_gaps": left_join_order_gaps,
     "distinct_segments": distinct_segments,
     "dedup_first_line": dedup_first_line,
     "explode_term_freq": explode_term_freq,
@@ -968,6 +1062,9 @@ ORACLES: dict[str, str] = {
     "asof_join_events_orders": ASOF_SQL,
     "setop_intersect": SETOP_INTERSECT_SQL,
     "setop_except": SETOP_EXCEPT_SQL,
+    "union_party_balances": UNION_PARTIES_SQL,
+    "outer_join_nation_parties": OUTER_JOIN_SQL,
+    "left_join_order_gaps": LEFT_JOIN_GAPS_SQL,
     "distinct_segments": DISTINCT_SQL,
     "dedup_first_line": DEDUP_FIRST_SQL,
     "explode_term_freq": TERM_FREQ_SQL,
