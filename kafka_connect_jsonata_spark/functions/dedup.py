@@ -211,6 +211,10 @@ def minhash_lsh_pairs(
     # the joins matters: the Jaccard filter above gets pushed into the join
     # condition by Catalyst, and there it must reference the precomputed
     # array attribute — not inline the shingling per probed pair.
+    # The verify intersects xxhash64'd shingles (array<long>) instead of the
+    # shingle strings: same Jaccard modulo 64-bit hash collisions
+    # (probability ~n^2/2^65 per doc, negligible), and long-array intersect
+    # is measurably cheaper than string-array intersect.
     txt = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
 
     def side(tag: str):
@@ -222,7 +226,9 @@ def minhash_lsh_pairs(
             .repartition(df.sparkSession.sparkContext.defaultParallelism)
             .select(
                 F.col("id").alias(f"id_{tag}"),
-                char_ngrams(F.col("text"), ngram).alias(f"grams_{tag}"),
+                F.transform(
+                    char_ngrams(F.col("text"), ngram), lambda g: F.xxhash64(g)
+                ).alias(f"grams_{tag}"),
             )
             .withColumn(f"sz_{tag}", F.size(f"grams_{tag}"))
             # barrier: without it Catalyst collapses this projection into
