@@ -277,6 +277,60 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11 explicit GROUPING SETS (neither rollup nor cube): totals by
+    status, by priority, and grand total — one shuffle, Catalyst expands
+    the sets into a single Expand+Aggregate plan."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12 ranking-function family over one window spec: rank, dense_rank,
+    ntile, lead — single sort per partition serves all four (one window
+    exchange in the plan, not four)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lead("o_orderkey", 1).over(w).alias("next_orderkey"),
+    ).filter(F.col("rnk") <= 20)
+
+
+WINDOW_RANK_SQL = """
+SELECT * FROM (
+  SELECT o_orderpriority, o_orderkey,
+         rank()       OVER w AS rnk,
+         dense_rank() OVER w AS drnk,
+         ntile(4)     OVER w AS quartile,
+         lead(o_orderkey, 1) OVER w AS next_orderkey
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+) t WHERE rnk <= 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # C5-C8: join family
 # ---------------------------------------------------------------------------
@@ -1008,6 +1062,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_running_total": window_running_total,
     "rollup_lineitem": rollup_lineitem,
     "cube_orders": cube_orders,
+    "grouping_sets_orders": grouping_sets_orders,
+    "window_rank_suite": window_rank_suite,
     "semi_join_customers": semi_join_customers,
     "anti_join_customers": anti_join_customers,
     "range_join_parts": range_join_parts,
@@ -1056,6 +1112,8 @@ ORACLES: dict[str, str] = {
     "window_running_total": WINDOW_RUNNING_SQL,
     "rollup_lineitem": ROLLUP_SQL,
     "cube_orders": CUBE_SQL,
+    "grouping_sets_orders": GROUPING_SETS_SQL,
+    "window_rank_suite": WINDOW_RANK_SQL,
     "semi_join_customers": SEMI_JOIN_SQL,
     "anti_join_customers": ANTI_JOIN_SQL,
     "range_join_parts": RANGE_JOIN_SQL,
