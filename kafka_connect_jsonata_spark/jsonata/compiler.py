@@ -359,7 +359,14 @@ class Compiler:
         return Typed(out, T.ArrayType(T.StringType()))
 
     def _fn_join(self, a, ctx, env, raw):
-        sep = a[1].col if len(a) > 1 else F.lit("")
+        # pyspark array_join takes the delimiter as a Python str, so only a
+        # literal separator compiles; dynamic separators fall to tier 2
+        if len(a) > 1:
+            if raw[1]["type"] != "string":
+                raise NotCompilable("$join with non-literal separator")
+            sep = raw[1]["value"]
+        else:
+            sep = ""
         return Typed(F.array_join(a[0].col, sep), T.StringType())
 
     def _fn_number(self, a, ctx, env, raw):

@@ -993,6 +993,33 @@ FROM customer
 """
 
 
+def jsonata_datetime_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compiled JSONata datetime + array-function coverage over events:
+    $fromMillis/$toMillis round-trip, array constructor + $distinct + $sort
+    + $join, $base64encode — all tier-1 native Columns."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_ms", F.unix_millis(F.col("ts"))
+    )
+    expr = (
+        "{'event_id': event_id,"
+        " 'ts_iso': $fromMillis(ts_ms),"
+        " 'roundtrip_ms': $toMillis($fromMillis(ts_ms)),"
+        " 'tags': $join($sort($distinct([event_type, 'click', 'view'])), '-'),"
+        " 'b64': $base64encode(event_type)}"
+    )
+    return transform(ev, expr, force_tier="compiled")
+
+
+JSONATA_DATETIME_SQL = """
+SELECT event_id,
+       strftime(make_timestamp(epoch_ms(ts) * 1000), '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS ts_iso,
+       epoch_ms(ts) AS roundtrip_ms,
+       array_to_string(list_sort(list_distinct([event_type, 'click', 'view'])), '-') AS tags,
+       base64(encode(event_type)) AS b64
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal: opaque binary payload columns + Arrow-batched decode stages
 # ---------------------------------------------------------------------------
@@ -1089,6 +1116,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jsonata_flagship": jsonata_flagship,
     "jsonata_interpreter": jsonata_interpreter,
     "jsonata_string_ops": jsonata_string_ops,
+    "jsonata_datetime_array_ops": jsonata_datetime_array_ops,
     "tumbling_window_agg": tumbling_window_agg,
     "sessionize_events": sessionize_events,
     "percentile_summary": percentile_summary,
@@ -1137,6 +1165,7 @@ ORACLES: dict[str, str] = {
     "jsonata_flagship": JSONATA_FLAGSHIP_SQL,
     "jsonata_interpreter": JSONATA_FLAGSHIP_SQL,
     "jsonata_string_ops": JSONATA_STRING_OPS_SQL,
+    "jsonata_datetime_array_ops": JSONATA_DATETIME_SQL,
     "tumbling_window_agg": TUMBLING_SQL,
     "sessionize_events": SESSIONIZE_SQL,
     "percentile_summary": PERCENTILE_SQL,
