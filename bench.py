@@ -32,12 +32,20 @@ HEADLINE = [
     "json_props_extract",
     "topk_per_group",
     "window_running_total",
+    "window_rank_suite",
     "rollup_lineitem",
+    "grouping_sets_orders",
     "asof_join_events_orders",
+    "outer_join_nation_parties",
+    "left_join_order_gaps",
+    "union_party_balances",
     "explode_term_freq",
     "text_doc_stats",
+    "token_count_summary",
     "dedup_exact_docs",
     "cosine_topk_bruteforce",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
     "ngram_jaccard_dups",
     "minhash_lsh_dups",
     "simhash_docs",
@@ -48,6 +56,7 @@ HEADLINE = [
     "multimodal_byte_stats",
     "multimodal_frame_sample",
     "jsonata_flagship",
+    "jsonata_datetime_array_ops",
     "jsonata_interpreter",
 ]
 

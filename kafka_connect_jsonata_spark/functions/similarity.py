@@ -16,8 +16,11 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 
@@ -82,14 +85,28 @@ def _hyperplanes(dim: int, n_bands: int, band_bits: int, seed: int) -> list[list
     ]
 
 
-def _band_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit signature of one band: an int whose bits are sign(v . h)."""
-    sig = F.lit(0)
-    for hp in planes:
-        arr = F.array(*[F.lit(x) for x in hp])
-        bit = F.when(dot(vec, arr) >= 0, F.lit(1)).otherwise(F.lit(0))
-        sig = sig * 2 + bit
-    return sig
+def _band_signatures_udf(planes: list[list[list[float]]]):
+    """Vectorized signature computation: one pandas UDF returning the
+    array of per-band sign-bit signatures for each vector.
+
+    The hyperplane matrix rides to executors as broadcast data inside the
+    UDF closure — NOT as thousands of literal nodes in the expression tree
+    (inlining n_bands*band_bits*dim float literals makes driver-side
+    analysis/codegen the bottleneck and bloats every task's plan). One BLAS
+    matmul per Arrow batch computes all bands at once."""
+    mat = np.array(planes, dtype="float64")          # (n_bands, band_bits, dim)
+    n_bands, band_bits, dim = mat.shape
+    flat = mat.reshape(n_bands * band_bits, dim)     # one GEMM for all bands
+    powers = (1 << np.arange(band_bits - 1, -1, -1)).astype("int64")
+
+    @pandas_udf("array<int>")
+    def sigs(vecs: pd.Series) -> pd.Series:
+        v = np.stack(vecs.to_numpy()).astype("float64")          # (n, dim)
+        bits = (v @ flat.T >= 0).reshape(len(v), n_bands, band_bits)
+        out = (bits * powers).sum(axis=2).astype("int32")        # (n, n_bands)
+        return pd.Series(list(out))
+
+    return sigs
 
 
 def lsh_topk(
@@ -109,17 +126,11 @@ def lsh_topk(
     re-rank. Candidates are (band, signature) hash-join collisions, so the
     corpus shuffles on the band signature (bounded fanout = n_bands rows per
     vector) instead of cross-joining."""
-    planes = _hyperplanes(dim, n_bands, band_bits, seed)
+    sig_udf = _band_signatures_udf(_hyperplanes(dim, n_bands, band_bits, seed))
 
     def with_sigs(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-        bands = F.array(
-            *[
-                F.struct(F.lit(i).alias("band"), _band_signature(F.col(vec_alias), planes[i]).alias("sig"))
-                for i in range(n_bands)
-            ]
-        )
-        return df.select(id_alias, vec_alias, F.explode(bands).alias("bs")).select(
-            id_alias, vec_alias, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+        return df.select(
+            id_alias, vec_alias, F.posexplode(sig_udf(F.col(vec_alias))).alias("band", "sig")
         )
 
     q = with_sigs(
@@ -166,41 +177,42 @@ def ivf_topk(
     cells (centroids = deterministic sample of corpus vectors), probe the
     n_probe nearest cells per query, exact cosine re-rank inside them.
 
-    Scale shape: centroids broadcast (tiny); cell assignment is one
-    projection over the corpus scan; the probe join is an equi-join on
-    cell id, touching n_probe/n_cells of the corpus per query instead of
-    all of it. The canonical IVF trade: recall vs fraction probed."""
+    Scale shape: the centroid matrix rides to executors inside a pandas-UDF
+    closure (tiny; the output a distributed kmeans would produce) — NOT as
+    thousands of literal nodes in the expression tree, which would make
+    driver-side analysis/codegen the bottleneck. Cell assignment is a
+    stateless map-side GEMM over the corpus scan (no shuffle); the probe
+    join is an equi-join on cell id, touching n_probe/n_cells of the corpus
+    per query instead of all of it. The canonical IVF trade: recall vs
+    fraction probed."""
     # deterministic centroid pick: lowest ids (seeded, reproducible, no
     # kmeans iterations — kmeans refinement plugs in here at real scale)
-    cents = [
-        (i, list(r[1]))
-        for i, r in enumerate(
-            corpus.select(F.col(c_id), F.col(c_vec)).orderBy(F.col(c_id)).take(n_cells)
-        )
-    ]
+    cent_mat = np.stack(
+        [
+            np.asarray(r[1], dtype="float64")
+            for r in corpus.select(F.col(c_id), F.col(c_vec)).orderBy(F.col(c_id)).take(n_cells)
+        ]
+    )
+    cent_mat /= np.linalg.norm(cent_mat, axis=1, keepdims=True)
 
-    def nearest_cells(vec: Column, n: int) -> Column:
-        """Array of the n cell-ids nearest to vec by cosine."""
-        scored = F.array(
-            *[
-                F.struct(
-                    (-cosine(vec, F.array(*[F.lit(x) for x in cvec]))).alias("d"),
-                    F.lit(cid).alias("cell"),
-                )
-                for cid, cvec in cents
-            ]
-        )
-        return F.slice(F.array_sort(scored), 1, n).getField("cell")
+    @pandas_udf("array<int>")
+    def ranked_cells(vecs: pd.Series) -> pd.Series:
+        """Cell ids ordered by cosine to the vector, nearest first (one BLAS
+        matmul per Arrow batch; ties broken by lower cell id via stable sort)."""
+        v = np.stack(vecs.to_numpy()).astype("float64")
+        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
+        order = np.argsort(-(v @ cent_mat.T), axis=1, kind="stable").astype("int32")
+        return pd.Series(list(order))
 
     c_assigned = corpus.select(
         F.col(c_id).alias("neighbor_id"),
         F.col(c_vec).alias("__cv"),
-        nearest_cells(F.col(c_vec), 1)[0].alias("cell"),
+        F.element_at(ranked_cells(F.col(c_vec)), 1).alias("cell"),
     )
     q_probed = queries.select(
         F.col(q_id).alias("query_id"),
         F.col(q_vec).alias("__qv"),
-        F.explode(nearest_cells(F.col(q_vec), n_probe)).alias("cell"),
+        F.explode(F.slice(ranked_cells(F.col(q_vec)), 1, n_probe)).alias("cell"),
     )
     cand = c_assigned.join(F.broadcast(q_probed), "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
