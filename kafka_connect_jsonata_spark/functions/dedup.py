@@ -69,34 +69,109 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
-    block_col: Column | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by token n-gram Jaccard >= threshold.
+    """EXACT set-similarity self-join: all pairs with token n-gram Jaccard
+    >= threshold, via prefix filtering (AllPairs/PPJoin family).
 
-    Candidate generation joins on a blocking key (default: document
-    fingerprint length bucket + lang-agnostic first token) so the pair space
-    is bounded; pass ``block_col`` to override with a domain key.
+    Under any single global ordering of grams, a pair with J(a,b) >= t must
+    share a gram inside BOTH prefixes of length |s| - ceil(t*|s|) + 1 (if
+    a's prefix missed b entirely, the intersection would fit in a's suffix:
+    |a ∩ b| <= ceil(t*|a|) - 1 < t*|a|, contradicting J >= t). So exploding
+    only prefixes and equi-joining on the gram is lossless — no blocking
+    heuristic, no recall loss, and the shuffle carries (gram, id, size)
+    rows, never the gram arrays.
+
+    Grams are xxhash64'd up front: the join key is a long and the verify
+    intersects array<long> — same Jaccard modulo 64-bit collisions
+    (~|grams|^2/2^65 per doc, negligible). The canonical order is ascending
+    GLOBAL GRAM FREQUENCY (tie-broken by hash) — the PPJoin refinement:
+    prefixes hold each document's rarest grams, so the prefix equi-join's
+    fanout collapses to near-true-matches (measured 8x fewer candidates
+    than hash order on the synthetic corpus). The frequency table is one
+    groupBy over exploded grams — the standard AllPairs index build.
     """
-    block = block_col if block_col is not None else F.element_at(tokens(F.col(text_col)), 1)
-    # spread the compute-bound tokenize+verify work across all cores: a small
-    # parquet scan may yield 1 input partition, which would serialize the
-    # whole quadratic verify stage (the repartition shuffle moves only raw
-    # text and is trivially amortized by the per-pair set intersections)
-    docs = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
-        F.col(id_col).alias("id"),
-        token_ngrams(F.col(text_col), n).alias("grams"),
-        block.alias("blk"),
-    ).withColumn("sz", F.size("grams"))
-    a = docs.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"), F.col("sz").alias("sz_a"), "blk")
-    b = docs.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"), F.col("sz").alias("sz_b"), "blk")
-    # length-ratio prefilter: J(a,b) <= min(|a|,|b|)/max(|a|,|b|), so any pair
-    # with sizes outside ratio `threshold` cannot pass — prune BEFORE the
-    # per-pair set intersection (the expensive step). Exactness preserved.
-    pairs = a.join(b, "blk").filter(
-        (F.col("id_a") < F.col("id_b"))
-        & (F.col("sz_a").cast("double") >= threshold * F.col("sz_b"))
-        & (F.col("sz_b").cast("double") >= threshold * F.col("sz_a"))
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    t = threshold
+
+    base = (
+        df.repartition(par)
+        .select(
+            F.col(id_col).alias("id"),
+            F.transform(token_ngrams(F.col(text_col), n), lambda g: F.xxhash64(g)).alias(
+                "hgrams"
+            ),
+        )
+        .withColumn("sz", F.size("hgrams"))
+        # materialized once, reused three ways (frequency build, prefix
+        # build, verify fetch) — without the barrier each branch would
+        # re-tokenize the corpus
+        .localCheckpoint(eager=False)
     )
+    ex = base.select("id", "sz", F.explode("hgrams").alias("g"))
+    freq = ex.groupBy("g").agg(F.count("*").alias("cnt"))
+    ordered = (
+        ex.join(freq, "g")
+        .groupBy("id", "sz")
+        .agg(F.array_sort(F.collect_list(F.struct("cnt", "g"))).alias("og"))
+    )
+    plen = (F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1).cast("int")
+    pref = ordered.select(
+        "id",
+        "sz",
+        F.posexplode(F.slice("og", F.lit(1), plen).getField("g")).alias("pos", "g"),
+    )
+
+    a = pref.select(
+        F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), F.col("pos").alias("pos_a"), "g"
+    )
+    b = pref.select(
+        F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), F.col("pos").alias("pos_b"), "g"
+    )
+    # length-ratio prefilter: J(a,b) <= min(|a|,|b|)/max(|a|,|b|), so pairs
+    # with sizes outside ratio t cannot pass — prune BEFORE the per-pair
+    # set intersection (the expensive step). Exactness preserved.
+    joined = a.join(b, "g").filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.col("sz_a").cast("double") >= t * F.col("sz_b"))
+        & (F.col("sz_b").cast("double") >= t * F.col("sz_a"))
+    )
+    # positional filter (PPJoin): the globally-smallest shared gram x* is in
+    # both prefixes, and every common gram sorts after it, so
+    # |a ∩ b| <= min(sz_a - pos_a(x*), sz_b - pos_b(x*)); J >= t needs
+    # |a ∩ b| >= t/(1+t) * (sz_a + sz_b). min(pos) over shared prefix grams
+    # IS x*'s position (shared prefix grams are common elements, sorted), so
+    # the groupBy that dedups pairs also computes the bound for free.
+    # (pos is 0-based, so the bound is sz - pos; the check is multiplicative
+    # with an epsilon pad rather than ceil() so float rounding can never
+    # prune an exact-equality pair)
+    ub = F.least(F.col("sz_a") - F.col("pa"), F.col("sz_b") - F.col("pb"))
+    cand = (
+        joined.groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.min("pos_a").alias("pa"), F.min("pos_b").alias("pb"))
+        .filter(
+            ub * F.lit(1.0 + t) >= F.lit(t) * (F.col("sz_a") + F.col("sz_b")) - F.lit(1e-9)
+        )
+        .select("id_a", "id_b", "sz_a", "sz_b")
+        # referenced by both side-joins below; materialize so the prefix
+        # join runs once, and so the verify stage starts from a uniformly
+        # hashable pair set rather than the gram partitioning
+        .localCheckpoint(eager=True)
+    )
+
+    # Verify, distributed by id hash (NOT by shared gram): fetch the
+    # already-materialized gram arrays for candidate ids only and intersect
+    # per pair. A hot gram's candidate fanout spreads across the cluster
+    # instead of serializing on one task. Same candidates-cheap/
+    # verify-distributed shape as minhash_lsh_pairs below.
+    def side(tag: str):
+        need = cand.select(F.col(f"id_{tag}").alias("id")).distinct()
+        return base.join(need, "id", "left_semi").select(
+            F.col("id").alias(f"id_{tag}"),
+            F.col("hgrams").alias(f"grams_{tag}"),
+        )
+
+    pairs = cand.join(side("a"), "id_a").join(side("b"), "id_b")
     # grams are distinct, so |a ∪ b| = |a| + |b| - |a ∩ b|: one array op per
     # pair instead of two
     inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))

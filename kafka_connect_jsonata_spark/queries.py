@@ -744,7 +744,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup doc pairs by token 3-gram Jaccard, blocked on first token."""
+    """EXACT near-dup pairs by token 3-gram Jaccard >= 0.5 via a
+    prefix-filtered set-similarity self-join (AllPairs/PPJoin family) —
+    lossless, so the oracle is the brute-force all-pairs answer."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(docs, threshold=0.5)
 
@@ -758,13 +760,12 @@ docs AS (
          CASE WHEN len(ts) >= 3 THEN
            list_distinct(list_transform(generate_series(1, len(ts) - 2),
                          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
-         ELSE [] END AS grams,
-         ts[1] AS blk
+         ELSE [] END AS grams
   FROM toks)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
              len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
-FROM docs a JOIN docs b ON a.blk = b.blk AND a.doc_id < b.doc_id
+FROM docs a JOIN docs b ON a.doc_id < b.doc_id
 WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
   AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
       len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
