@@ -239,6 +239,58 @@ def transform_envelope(
     )
 
 
+def jsonata_udtf(expr: str, config: EngineConfig = DEFAULT_CONFIG):
+    """Python UDTF (C27, Spark 3.5+) hosting the interpreter: a table
+    function that evaluates ``expr`` per input row and emits ONE OUTPUT ROW
+    PER ELEMENT of the JSONata result sequence (scalar -> 1 row, array ->
+    N rows, null/undefined -> 0 rows — the sequence semantics of B1.10
+    realized as a generator instead of a post-hoc explode).
+
+    Output schema: (pos int, item_json string). The AST ships pickled in
+    the closure; guards (A11) apply per evaluation.
+    """
+    from pyspark.sql.functions import udtf
+
+    ast = parse_cached(expr)  # fail fast on parse errors, like configure()
+    timeout_ms, max_depth = config.timeout_ms, config.max_depth
+
+    class _ExplodeEval:
+        def eval(self, txt: str):
+            if txt is None:
+                return
+            ev = Jsonata(ast, timeout_ms=timeout_ms, max_depth=max_depth)
+            result = ev.evaluate(json.loads(txt))
+            if result is UNDEFINED or result is None:
+                return  # A4 tombstone: no rows
+            seq = result if isinstance(result, list) else [result]
+            for i, item in enumerate(seq):
+                yield i, json_serialize(item)
+
+    return udtf(_ExplodeEval, returnType="pos int, item_json string")
+
+
+def transform_explode(
+    df: DataFrame,
+    expr: str,
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Apply ``expr`` to every row and flatten the result sequence to rows
+    via a SQL LATERAL join against the UDTF — the set-returning variant of
+    ``transform`` (a per-record SMT can only emit 0/1 records; this is the
+    1-to-N lift). Returns (pos, item_json)."""
+    prepared = _prepare_interpreter_input(df, parse_cached(expr))
+    json_col = F.to_json(F.struct(*[F.col(c) for c in prepared.columns]))
+    src = prepared.select(json_col.alias("__json"))
+    spark = df.sparkSession
+    fn_name = f"jsonata_explode_{abs(hash(expr)) % 10**9:09d}"
+    spark.udtf.register(fn_name, jsonata_udtf(expr, config))
+    view = f"__jsonata_src_{abs(hash(expr)) % 10**9:09d}"
+    src.createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT t.pos, t.item_json FROM {view}, LATERAL {fn_name}(__json) t"
+    )
+
+
 ENVELOPE_HEADERS_TYPE = T.ArrayType(
     T.StructType(
         [

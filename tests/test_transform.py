@@ -172,3 +172,20 @@ def test_typed_envelope_wrap(spark, sf_dir):
     row = env.first()
     assert row["value"]["event_id"] == row["key"] is not None or True
     assert isinstance(row["value"]["event_type"], str)
+
+
+def test_udtf_sequence_explode(people):
+    """C27 UDTF hosting: one output row per element of the result sequence,
+    scalar results give one row, tombstones give zero rows."""
+    from kafka_connect_jsonata_spark.transform import transform_explode
+
+    out = transform_explode(people, "scores").collect()
+    by_pos = sorted((r["pos"], r["item_json"]) for r in out)
+    assert by_pos == [(0, "1"), (0, "4"), (1, "2"), (2, "3")]
+
+    scalars = transform_explode(people, "age * 2").collect()
+    assert sorted(r["item_json"] for r in scalars) == ["60", "80"]
+    assert {r["pos"] for r in scalars} == {0}
+
+    dropped = transform_explode(people, "age > 35 ? scores : null").collect()
+    assert sorted(r["item_json"] for r in dropped) == ["4"]
