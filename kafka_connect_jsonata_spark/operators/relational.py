@@ -132,3 +132,36 @@ def dedup_exact(df: DataFrame, keys: Sequence[str], tiebreak: Sequence[Column]) 
     return (
         df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """C5 under key skew: explicit salting for when AQE's byte-size-based
+    skew split doesn't trigger (compute-heavy rows, or a single hot key
+    that exceeds any split granularity).
+
+    The (large, skewed) left side gets a uniform random salt in
+    [0, n_salts); the right side is replicated n_salts times via a
+    broadcast-joined salt sequence; the join runs on keys + salt, so one
+    hot key's rows spread over n_salts tasks instead of one. Results are
+    identical to the plain join (every left row meets every matching right
+    row exactly once — at exactly one salt value).
+
+    Cost: right side shuffles/stores n_salts copies. Use for
+    large-skewed x small-ish joins; for two large skewed sides, split hot
+    keys out and union (not implemented here). Inner/left joins only —
+    right/full would need match-tracking across salt replicas.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    keys = list(on)
+    salted_l = left.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
+    salts = left.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("__salt"))
+    salted_r = right.crossJoin(F.broadcast(salts))
+    out = salted_l.join(salted_r, keys + ["__salt"], how)
+    return out.drop("__salt")

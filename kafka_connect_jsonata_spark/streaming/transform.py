@@ -182,3 +182,66 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def stateful_running_count_tws(
+    stream_df: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """C22 on the Spark 4 state API: the same running per-key count as
+    ``stateful_running_count`` but via ``transformWithStateInPandas`` —
+    typed per-key state handles (value/list/map state, timers, TTL)
+    instead of one opaque tuple. This is the forward path for custom
+    stateful operators: state is server-side (RocksDB at scale), the
+    processor sees Arrow batches per key, and timers enable
+    timeout-driven emission the old API expressed awkwardly through
+    GroupStateTimeout.
+
+    Output: one (keys..., n_events, n_batches) row per key per
+    micro-batch it appears in (update mode).
+
+    Runtime requirements: the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and the protobuf
+    package for the TWS Python driver worker — absent in this container,
+    so the accompanying test import-skips; the old-API
+    ``stateful_running_count`` above is the covered-by-test path here."""
+    import pandas as pd  # local: only the executors need it at eval time
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    key_fields = [stream_df.schema[k] for k in keys]
+    out_schema = T.StructType(
+        list(key_fields)
+        + [
+            T.StructField("n_events", T.LongType()),
+            T.StructField("n_batches", T.LongType()),
+        ]
+    )
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("counts", "n bigint, b bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, b = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+            b += 1
+            self._state.update((n, b))
+            yield pd.DataFrame(
+                {
+                    **{k: [kv] for k, kv in zip(keys, key)},
+                    "n_events": [n],
+                    "n_batches": [b],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream_df.groupBy(*[F.col(k) for k in keys]).transformWithStateInPandas(
+        RunningCount(), out_schema, "update", "None"
+    )

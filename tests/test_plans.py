@@ -87,3 +87,26 @@ def test_lsh_join_is_equi_not_cross(spark, sf_dir):
     point is avoiding the quadratic cross join."""
     plan = plan_of(Q.QUERIES["ann_lsh_topk"](spark, sf_dir))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salted skew join returns exactly the plain join's multiset of rows
+    (every row pairs at exactly one salt value), spread over n_salts keys."""
+    from kafka_connect_jsonata_spark.operators.relational import salted_join
+
+    left = spark.range(10_000).select(
+        # 90% of rows share key 0 — the hot-key shape AQE won't split
+        F.when(F.col("id") % 10 == 0, F.col("id")).otherwise(F.lit(0)).alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.range(1_000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("rv"))
+
+    got = salted_join(left, right, ["k"], n_salts=8)
+    exp = left.join(right, ["k"])
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+    got_left = salted_join(left, right, ["k"], n_salts=8, how="left")
+    exp_left = left.join(right, ["k"], "left")
+    assert got_left.count() == exp_left.count()
+    assert got_left.exceptAll(exp_left).count() == 0

@@ -131,3 +131,42 @@ def test_stateful_running_count(spark, event_stream, sf_dir):
     )
     assert diff.count() == 0
     assert got.count() == expect.count()
+
+
+def test_stateful_running_count_tws(spark, event_stream, sf_dir):
+    """Same contract as test_stateful_running_count, on the Spark 4
+    transformWithStateInPandas API (typed state handles)."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState's Python driver worker needs protobuf, "
+        "not installed in this container",
+    )
+    from kafka_connect_jsonata_spark.streaming.transform import (
+        stateful_running_count_tws,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    # transformWithState requires the RocksDB state store
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = stateful_running_count_tws(event_stream, ["user_id"])
+        run_to_memory(out, "t_stateful_tws", output_mode="update")
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    got = spark.sql(
+        "SELECT user_id, max(n_events) AS n FROM t_stateful_tws GROUP BY user_id"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    expect = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    diff = (
+        got.alias("g").join(expect.alias("e"), "user_id")
+        .filter(F.col("g.n") != F.col("e.n"))
+    )
+    assert diff.count() == 0
+    assert got.count() == expect.count()
