@@ -36,6 +36,7 @@ HEADLINE = [
     "rollup_lineitem",
     "grouping_sets_orders",
     "asof_join_events_orders",
+    "skew_salted_join",
     "outer_join_nation_parties",
     "left_join_order_gaps",
     "union_party_balances",
@@ -57,6 +58,7 @@ HEADLINE = [
     "multimodal_frame_sample",
     "jsonata_flagship",
     "jsonata_datetime_array_ops",
+    "udtf_explode_tokens",
     "jsonata_interpreter",
 ]
 

@@ -772,6 +772,53 @@ WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
 """
 
 
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 under skew: customer->nation on nationkey (25 hot keys — the
+    shape where one key's rows swamp a task) through salted_join, then
+    aggregate. The oracle is the PLAIN join: salting must be invisible in
+    the result."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), "c_acctbal"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"), "n_name"
+    )
+    j = R.salted_join(cust, nat, ["nationkey"], n_salts=8)
+    return j.groupBy("n_name").agg(
+        F.count("*").alias("n_cust"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+    )
+
+
+SKEW_SALTED_JOIN_SQL = """
+SELECT n_name,
+       count(*) AS n_cust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def udtf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C27 UDTF hosting through the oracle gate: the set-returning JSONata
+    transform ($split -> one row per token) over a bounded doc slice; the
+    oracle is DuckDB's UNNEST with an indexed list_transform."""
+    from kafka_connect_jsonata_spark.transform import transform_explode
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return transform_explode(docs, "$split(text, ' ')")
+
+
+UDTF_EXPLODE_SQL = """
+SELECT s.pos AS pos, s.item_json AS item_json
+FROM (
+  SELECT unnest(list_transform(string_split(text, ' '),
+                (x, i) -> {'pos': i - 1, 'item_json': to_json(x)})) AS s
+  FROM documents WHERE doc_id < 20
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # C19/C20: event-time windows (batch emulation of the streaming operators —
 # the streaming path itself is covered rows-only in tests/test_streaming.py)
@@ -1114,6 +1161,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": ann_ivf_topk,
     "token_count_summary": token_count_summary,
     "ngram_jaccard_dups": ngram_jaccard_dups,
+    "skew_salted_join": skew_salted_join,
+    "udtf_explode_tokens": udtf_explode_tokens,
     "jsonata_flagship": jsonata_flagship,
     "jsonata_interpreter": jsonata_interpreter,
     "jsonata_string_ops": jsonata_string_ops,
@@ -1163,6 +1212,8 @@ ORACLES: dict[str, str] = {
     "dedup_exact_docs": DEDUP_DOCS_SQL,
     "cosine_topk_bruteforce": COSINE_TOPK_SQL,
     "ngram_jaccard_dups": NGRAM_JACCARD_SQL,
+    "skew_salted_join": SKEW_SALTED_JOIN_SQL,
+    "udtf_explode_tokens": UDTF_EXPLODE_SQL,
     "jsonata_flagship": JSONATA_FLAGSHIP_SQL,
     "jsonata_interpreter": JSONATA_FLAGSHIP_SQL,
     "jsonata_string_ops": JSONATA_STRING_OPS_SQL,
