@@ -142,6 +142,8 @@ def unwrap(value):
 class Jsonata:
     """Compiled JSONata expression with the reference's eval guards."""
 
+    _DISPATCH = None  # node-type -> unbound evaluator, built on first _eval
+
     def __init__(self, source_or_ast, timeout_ms: int = 5000, max_depth: int = 1000):
         if isinstance(source_or_ast, str):
             self.ast = parse(source_or_ast)
@@ -199,10 +201,20 @@ class Jsonata:
     def _eval(self, node, input, env):
         self._check()
         t = node["type"]
-        method = getattr(self, "_eval_" + t, None)
+        # class-level dispatch table, built on first use: saves a string
+        # concat + getattr per node visit on the hottest call in the tier
+        table = Jsonata._DISPATCH
+        if table is None:
+            table = {
+                name[len("_eval_"):]: fn
+                for name, fn in vars(Jsonata).items()
+                if name.startswith("_eval_")
+            }
+            Jsonata._DISPATCH = table
+        method = table.get(t)
         if method is None:
             raise JsonataError("S0500", f"no evaluator for node type {t!r}")
-        return method(node, input, env)
+        return method(self, node, input, env)
 
     def _eval_string(self, node, input, env):
         return node["value"]
@@ -290,8 +302,13 @@ class Jsonata:
     #   parents — tuple of ancestor context values (for the `%` operator)
     #   binds   — tuple of (var, value) pairs from @$v / #$i focus binds
     def _eval_path_op(self, node, input, env):
-        steps: list = []
-        self._collect_steps(node, steps)
+        # the step chain is static per AST node: collect once, cache on the
+        # node (idempotent; each worker process owns its unpickled AST)
+        steps = node.get("__steps")
+        if steps is None:
+            steps = []
+            self._collect_steps(node, steps)
+            node["__steps"] = steps
         if isinstance(input, list) and not isinstance(input, JArray) and steps[0]["type"] != "variable":
             items = [(v, (), ()) for v in input]
         else:
