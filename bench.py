@@ -52,6 +52,7 @@ HEADLINE = [
     "simhash_docs",
     "embedding_dup_pairs",
     "tumbling_window_agg",
+    "sliding_window_agg",
     "sessionize_events",
     "percentile_summary",
     "multimodal_byte_stats",

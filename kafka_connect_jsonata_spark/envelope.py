@@ -215,3 +215,22 @@ def wrap_as_dynamic_envelope(
         "timestamp",
         "headers",
     )
+
+
+def wrap_as_variant_envelope(
+    df: DataFrame,
+    topic: str,
+    key_col: str | None = None,
+    timestamp_col: str | None = None,
+) -> DataFrame:
+    """Dynamic tier on Spark 4 ``VariantType``: the value travels as a
+    VARIANT column (binary semi-structured encoding) instead of a JSON
+    string. Field access stays JVM-side (``variant_get``) without a full
+    parse, and variant columns support shredded parquet storage in Spark 4
+    — the scale path for schema-per-record payloads the typed tier cannot
+    hold. ``to_json(value)`` bridges to the interpreter tier when full
+    JSONata generality (schema-as-data rewrites) is needed; the
+    Connect-schema JSON rides alongside exactly as in the string-typed
+    dynamic envelope."""
+    dyn = wrap_as_dynamic_envelope(df, topic, key_col, timestamp_col)
+    return dyn.withColumn("value", F.parse_json("value"))

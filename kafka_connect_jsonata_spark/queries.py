@@ -851,6 +851,36 @@ FROM events GROUP BY 1, 2
 """
 
 
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C19 sliding (hopping) 1h/30min window aggregation — each event lands
+    in duration/slide = 2 windows; same groupBy(window) plan Structured
+    Streaming runs incrementally. Oracle replicates the window expansion
+    with an UNNEST over hop offsets."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value")).cast("double").alias("total"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+SLIDING_SQL = """
+SELECT strftime(time_bucket(INTERVAL '30 minutes', ts) - to_minutes(30 * k), '%Y-%m-%d %H:%M') AS window_start,
+       event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events, UNNEST([0, 1]) AS t(k)
+GROUP BY 1, 2
+"""
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C20 batch sessionization: lag-gap detection + running session count —
     the classic window-function sessionizer (streaming variant uses
@@ -1168,6 +1198,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jsonata_string_ops": jsonata_string_ops,
     "jsonata_datetime_array_ops": jsonata_datetime_array_ops,
     "tumbling_window_agg": tumbling_window_agg,
+    "sliding_window_agg": sliding_window_agg,
     "sessionize_events": sessionize_events,
     "percentile_summary": percentile_summary,
     "approx_distinct_stats": approx_distinct_stats,
@@ -1219,6 +1250,7 @@ ORACLES: dict[str, str] = {
     "jsonata_string_ops": JSONATA_STRING_OPS_SQL,
     "jsonata_datetime_array_ops": JSONATA_DATETIME_SQL,
     "tumbling_window_agg": TUMBLING_SQL,
+    "sliding_window_agg": SLIDING_SQL,
     "sessionize_events": SESSIONIZE_SQL,
     "percentile_summary": PERCENTILE_SQL,
     # approx_distinct_stats / minhash_lsh_dups / simhash_docs: sketch-based,

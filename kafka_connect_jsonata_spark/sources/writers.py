@@ -90,3 +90,26 @@ def write_envelope(
     their own directories, and a re-routed record (A5) lands in its new
     topic's directory automatically."""
     write_partitioned(df, path, partition_by=["topic"], mode=mode, fmt=fmt)
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_by: list[str] | tuple[str, ...],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Range-partition + sort-within-partitions before writing: each output
+    file covers a DISJOINT range of ``sort_by``, so its parquet footer
+    min/max stats let range/equality predicates skip whole files and
+    row-groups at read time — data skipping without an index, the cheap
+    80% of Z-ordering for a single sort dimension.
+
+    ``repartitionByRange`` samples the keys to build balanced range bounds
+    (handles value skew without a manual histogram)."""
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    out = df.repartitionByRange(n, *[F.col(c) for c in sort_by]).sortWithinPartitions(
+        *[F.col(c) for c in sort_by]
+    )
+    out.write.mode(mode).format(fmt).save(path)

@@ -189,3 +189,36 @@ def test_udtf_sequence_explode(people):
 
     dropped = transform_explode(people, "age > 35 ? scores : null").collect()
     assert sorted(r["item_json"] for r in dropped) == ["4"]
+
+
+def test_variant_envelope(people):
+    """Spark 4 VariantType dynamic envelope: JVM-side field access via
+    variant_get, lossless JSON bridge to the interpreter tier."""
+    from kafka_connect_jsonata_spark.envelope import (
+        wrap_as_dynamic_envelope,
+        wrap_as_variant_envelope,
+    )
+
+    env = wrap_as_variant_envelope(people, topic="people", key_col="email")
+    assert env.schema["value"].dataType.typeName() == "variant"
+    row = (
+        env.select(
+            F.variant_get("value", "$.age", "int").alias("age"),
+            F.variant_get("value", "$.scores[0]", "double").alias("s0"),
+        )
+        .orderBy("age")
+        .first()
+    )
+    assert (row["age"], row["s0"]) == (30, 1.0)
+
+    # JSON bridge equals the string-typed dynamic envelope's payload
+    import json as _json
+
+    v = {r["k"]: _json.loads(r["j"]) for r in env.select(
+        F.variant_get("value", "$.first", "string").alias("k"),
+        F.to_json("value").alias("j"),
+    ).collect()}
+    d = {r["k"]: _json.loads(r["v"]) for r in wrap_as_dynamic_envelope(
+        people, topic="people", key_col="email"
+    ).select(F.get_json_object("value", "$.first").alias("k"), F.col("value").alias("v")).collect()}
+    assert v == d

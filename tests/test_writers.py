@@ -9,6 +9,7 @@ import os
 from pyspark.sql import functions as F
 
 from kafka_connect_jsonata_spark.sources.writers import (
+    write_range_sorted,
     write_bucketed,
     write_envelope,
     write_partitioned,
@@ -66,3 +67,37 @@ def test_envelope_sink_partitions_by_topic(spark, tmp_path):
     assert dirs == ["topic=a", "topic=b"]
     back = spark.read.parquet(path)
     assert back.filter(F.col("topic") == "a").count() == 2
+
+
+def test_range_sorted_write_has_disjoint_file_ranges(spark, tmp_path):
+    """write_range_sorted's contract, checked against the parquet footers:
+    per-file min/max ranges of the sort key must not overlap (that
+    disjointness is exactly what makes predicate-driven file skipping
+    effective at read time)."""
+    import pyarrow.parquet as pq
+
+    df = spark.range(100_000).select(
+        (F.col("id") * 7919 % 100_000).alias("k"),  # scrambled input order
+        F.col("id").alias("v"),
+    )
+    path = str(tmp_path / "rs")
+    write_range_sorted(df, path, sort_by=["k"], n_files=8)
+
+    ranges = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(0).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) == 8
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint: file skipping can work
+
+    back = spark.read.parquet(path).filter(F.col("k") < 1000)
+    assert back.count() == 1000
