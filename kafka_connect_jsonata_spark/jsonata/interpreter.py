@@ -14,6 +14,7 @@ can't translate (``**``, ``%``, ``$eval``, recursion, schema-as-data).
 from __future__ import annotations
 
 import math
+import sys
 import time
 
 from kafka_connect_jsonata_spark.jsonata import functions as lib
@@ -160,14 +161,17 @@ class Jsonata:
         self._builtins = Frame()
         for name, (fn, ctx) in lib.REGISTRY.items():
             self._builtins.bind(name, Builtin(name, fn, ctx))
+        # closure-compile the AST (microseconds, once per instance): hot
+        # node types become direct Python closures, the rest fall back to
+        # the tree walker per subtree. Not cached on the AST dict — that
+        # would put function objects in front of AST walkers and picklers.
+        self._croot = _compile(self.ast)
 
     # ------------------------------------------------------------- public API
     def evaluate(self, data, bindings: dict | None = None):
         """Evaluate against ``data``; returns a plain Python value or
         UNDEFINED (caller decides drop semantics, reference
         JsonataTransformation.java:295-297)."""
-        import sys
-
         self._deadline = time.monotonic() + self.timeout_ms / 1000.0
         self._depth = 0
         self._ticks = 0
@@ -183,7 +187,7 @@ class Jsonata:
         if sys.getrecursionlimit() < want:
             sys.setrecursionlimit(want)
         try:
-            result = self._eval(self.ast, data, env)
+            result = self._croot(self, data, env)
         except RecursionError as e:
             raise JsonataDepthError(self.max_depth) from e
         result = unwrap(result)
@@ -545,6 +549,11 @@ class Jsonata:
             return boolean_of(unwrap(self._eval(node["rhs"], input, env))) is True
         lhs = unwrap(self._eval(node["lhs"], input, env))
         rhs = unwrap(self._eval(node["rhs"], input, env))
+        return self._apply_binary(op, lhs, rhs)
+
+    def _apply_binary(self, op, lhs, rhs):
+        """Binary operator semantics over already-unwrapped operands —
+        shared by the tree walker above and the compiled closures below."""
         if op in ("+", "-", "*", "/", "%"):
             if is_undef(lhs) or is_undef(rhs):
                 return UNDEFINED
@@ -818,3 +827,216 @@ class Jsonata:
 
 def jsonata(source: str, timeout_ms: int = 5000, max_depth: int = 1000) -> Jsonata:
     return Jsonata(source, timeout_ms=timeout_ms, max_depth=max_depth)
+
+
+# --------------------------------------------------------------- closures
+# AST -> Python-closure compilation for the hot node types. Each compiled
+# node is a function f(rt, input, env) with rt = the Jsonata instance
+# (guards, env machinery, fallback evaluators). Unspecialized node types
+# compile to a thunk over the tree walker, so semantics stay defined in
+# exactly one place per operator; specialized closures delegate to shared
+# helpers (_apply_binary, _lookup, _eval_path_op, _eval_object) wherever
+# the general case needs them.
+
+def _c_fallback(node):
+    def run(rt, input, env):
+        return rt._eval(node, input, env)
+
+    return run
+
+
+def _c_literal(node):
+    value = node["value"]
+
+    def run(rt, input, env):
+        return value
+
+    return run
+
+
+def _c_variable(node):
+    name = node["value"]
+    if name == "":
+        return lambda rt, input, env: input
+
+    def run(rt, input, env):
+        return env.lookup(name)
+
+    return run
+
+
+def _c_name(node):
+    key = node["value"]
+
+    def run(rt, input, env):
+        return rt._lookup(input, key)
+
+    return run
+
+
+def _c_path_op(node):
+    steps: list = []
+
+    def collect(n, out):
+        if n["type"] == "path_op":
+            collect(n["lhs"], out)
+            out.append(n["rhs"])
+        else:
+            out.append(n)
+
+    collect(node, steps)
+    if not all(s["type"] == "name" for s in steps):
+        return _c_fallback(node)
+    keys = [s["value"] for s in steps]
+
+    def run(rt, input, env):
+        rt._check()
+        v = input
+        for k in keys:
+            if isinstance(v, dict):
+                v = v.get(k, UNDEFINED)
+            elif v is UNDEFINED:
+                return UNDEFINED
+            else:
+                # lists (implicit mapping), Frames, JSeq context: generic
+                return rt._eval_path_op(node, input, env)
+        return v
+
+    return run
+
+
+def _c_binary(node):
+    op = node["value"]
+    lc = _compile(node["lhs"])
+    rc = _compile(node["rhs"])
+    if op in ("and", "or"):
+        is_and = op == "and"
+
+        def run_logic(rt, input, env):
+            rt._check()
+            lb = boolean_of(unwrap(lc(rt, input, env)))
+            if is_and:
+                if lb is not True:
+                    return False
+                return boolean_of(unwrap(rc(rt, input, env))) is True
+            if lb is True:
+                return True
+            return boolean_of(unwrap(rc(rt, input, env))) is True
+
+        return run_logic
+
+    def run(rt, input, env):
+        rt._check()
+        return rt._apply_binary(op, unwrap(lc(rt, input, env)), unwrap(rc(rt, input, env)))
+
+    return run
+
+
+def _c_condition(node):
+    cond = _compile(node["condition"])
+    then = _compile(node["then"])
+    els = _compile(node["else"]) if node["else"] is not None else None
+
+    def run(rt, input, env):
+        rt._check()
+        if boolean_of(unwrap(cond(rt, input, env))) is True:
+            return then(rt, input, env)
+        if els is not None:
+            return els(rt, input, env)
+        return UNDEFINED
+
+    return run
+
+
+def _c_block(node):
+    exprs = [_compile(e) for e in node["expressions"]]
+
+    def run(rt, input, env):
+        rt._check()
+        child = env.child()
+        result = UNDEFINED
+        for c in exprs:
+            result = c(rt, input, child)
+        return result
+
+    return run
+
+
+def _c_bind(node):
+    var = node["var"]
+    rc = _compile(node["rhs"])
+
+    def run(rt, input, env):
+        rt._check()
+        value = unwrap(rc(rt, input, env))
+        env.bind(var, value)
+        return value
+
+    return run
+
+
+def _c_array(node):
+    items = [(e["type"] == "array", _compile(e)) for e in node["expressions"]]
+    keep_cons = bool(node.get("keep_cons"))
+
+    def run(rt, input, env):
+        rt._check()
+        out = JArray() if keep_cons else []
+        for is_arr, c in items:
+            v = c(rt, input, env)
+            if is_undef(v):
+                continue
+            if is_arr:
+                out.append(v)
+            elif isinstance(v, JSeq):
+                out.extend(v)
+            else:
+                out.append(v)
+        return out
+
+    return run
+
+
+def _c_object(node):
+    pairs = node["pairs"]
+    keys = [k["value"] for k, _v in pairs if k["type"] == "string"]
+    if len(keys) != len(pairs) or len(set(keys)) != len(keys):
+        return _c_fallback(node)  # computed or duplicate keys: grouping rules
+    vals = [_compile(v) for _k, v in pairs]
+
+    def run(rt, input, env):
+        rt._check()
+        if isinstance(input, list) and not isinstance(input, JArray):
+            return rt._eval_object(node, input, env)  # sequence: group-by rules
+        out = {}
+        for key, vc in zip(keys, vals):
+            v = unwrap(vc(rt, input, env))
+            if not is_undef(v):
+                out[key] = v
+        return out
+
+    return run
+
+
+_COMPILERS = {
+    "string": _c_literal,
+    "number": _c_literal,
+    "value": _c_literal,  # true/false/null literals
+    "regex": _c_literal,
+    "variable": _c_variable,
+    "name": _c_name,
+    "path_op": _c_path_op,
+    "binary": _c_binary,
+    "condition": _c_condition,
+    "block": _c_block,
+    "bind": _c_bind,
+    "array": _c_array,
+    "object": _c_object,
+}
+
+
+def _compile(node):
+    builder = _COMPILERS.get(node["type"])
+    if builder is None:
+        return _c_fallback(node)
+    return builder(node)
