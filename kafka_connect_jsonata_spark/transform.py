@@ -161,10 +161,19 @@ def transform(
     evaluated = df.select(jsonata_udf(expr, config)(json_col).alias("__json"))
     kept = evaluated.filter(F.col("__json").isNotNull())
     if output_schema is not None:
-        out = kept.select(F.from_json("__json", output_schema).alias("__result"))
-        if isinstance(output_schema, T.StructType):
-            return out.select("__result.*")
-        return out.select(F.col("__result").alias("value"))
+        if isinstance(output_schema, (T.StructType, T.ArrayType, T.MapType)):
+            out = kept.select(F.from_json("__json", output_schema).alias("__result"))
+            if isinstance(output_schema, T.StructType):
+                return out.select("__result.*")
+            return out.select(F.col("__result").alias("value"))
+        # atomic output type: from_json only parses struct/array/map, so
+        # wrap the scalar JSON in a 1-element array and take it back out
+        # (handles quoted strings, which a plain cast would not)
+        arr = F.from_json(
+            F.concat(F.lit("["), F.col("__json"), F.lit("]")),
+            T.ArrayType(output_schema),
+        )
+        return kept.select(F.element_at(arr, 1).alias("value"))
     return kept.select(F.col("__json").alias("value_json"))
 
 

@@ -1,0 +1,127 @@
+"""Property-style semantic tests (SURVEY.md §5.3): the spots where naive
+Spark mappings diverge from JSONata, checked over generated inputs, plus a
+tier-equivalence fuzz — whatever tier 1 compiles must equal what tier 2
+interprets, for randomly generated simple expressions over random rows.
+
+These run the interpreter directly (no Spark session) except the
+tier-equivalence case, which drives both tiers end to end.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kafka_connect_jsonata_spark.jsonata.interpreter import Jsonata
+
+
+def ev(expr: str, data=None):
+    return Jsonata(expr).evaluate(data if data is not None else {})
+
+
+# --------------------------------------------------------------- interpreter
+@given(st.integers(min_value=-10**9, max_value=10**9), st.integers(-10**9, 10**9))
+@settings(max_examples=200, deadline=None)
+def test_arithmetic_matches_python(a, b):
+    assert ev(f"{a} + {b}") == a + b
+    assert ev(f"{a} * {b}") == a * b
+    if b != 0:
+        got = ev(f"{a} / {b}")
+        assert got == pytest.approx(a / b)  # JSONata / is always float
+        assert ev(f"{a} % {b}") == pytest.approx(math.fmod(a, b))
+
+
+@given(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_round_is_bankers(x):
+    # JSONata $round is round-half-to-even, same as Python 3 round()
+    assert ev(f"$round({x!r})") == round(x)
+
+
+@given(st.lists(st.integers(-1000, 1000), max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_aggregates_match_python(xs):
+    data = {"xs": xs}
+    if xs:
+        assert ev("$sum(xs)", data) == sum(xs)
+        assert ev("$max(xs)", data) == max(xs)
+        assert ev("$min(xs)", data) == min(xs)
+        assert ev("$count(xs)", data) == len(xs)
+    else:
+        assert ev("$sum(xs)", data) == 0
+
+
+@given(st.text(max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_trim_collapses_internal_whitespace(s):
+    got = ev("$trim(x)", {"x": s})
+    # JSONata spec whitespace class is [ \t\n\r] (jsonata-js /[ \t\n\r]+/g),
+    # narrower than Python's \s — pin exactly that class
+    assert got == re.sub(r"[ \t\n\r]+", " ", s).strip()
+
+
+@given(st.lists(st.integers(-100, 100), min_size=1, max_size=10))
+@settings(max_examples=100, deadline=None)
+def test_singleton_rule(xs):
+    # a 1-element sequence is its element; predicates preserve that rule
+    from kafka_connect_jsonata_spark.jsonata.functions import is_undef
+
+    got = ev("xs[x > 1000000]", {"xs": [{"x": v} for v in xs]})
+    assert is_undef(got)  # empty sequence -> undefined
+    # a literal 1-element ARRAY VALUE is preserved by plain field access
+    # (the singleton rule applies to sequences, not array values)
+    one = ev("xs", {"xs": [xs[0]]})
+    assert one == [xs[0]]
+    # ...but a sequence produced by path mapping unwraps its singleton
+    assert ev("ys.v", {"ys": [{"v": xs[0]}]}) == xs[0]
+
+
+# ----------------------------------------------------------- tier equivalence
+_EXPR_PARTS = [
+    "a + b",
+    "a * 2 - b",
+    "a > b ? 'hi' : 'lo'",
+    "$uppercase(s)",
+    "$substring(s, 0, 3)",
+    "s & '!'",
+    "a = b ? null : a",
+    "$sum(nums)",
+    "$count(nums)",
+    "nums",
+    "{'x': a, 'y': s}",
+    "a in nums",
+]
+
+
+@pytest.mark.parametrize("expr", _EXPR_PARTS)
+def test_tier_equivalence_generated(spark, expr):
+    """Both tiers must agree on every expression over a generated frame
+    (the end-to-end version of the fuzz; expressions chosen to cover
+    arithmetic, comparison, ternary+tombstone, string fns, aggregates,
+    arrays, and object construction)."""
+    from kafka_connect_jsonata_spark.transform import transform
+
+    df = spark.createDataFrame(
+        [
+            (1, 5, "hello", [1, 2, 3]),
+            (7, 7, "WoRlD", [10]),
+            (-3, 2, "", []),
+        ],
+        "a int, b int, s string, nums array<int>",
+    )
+    compiled = transform(df, expr, force_tier="compiled")
+    # scalar results come back as a single `value` column; the interpreter
+    # tier needs the VALUE type there, not a struct wrapper
+    out_schema = (
+        compiled.schema["value"].dataType
+        if compiled.columns == ["value"]
+        else compiled.schema
+    )
+    interp = transform(df, expr, force_tier="interpreter", output_schema=out_schema)
+    c = sorted(map(tuple, compiled.collect()))
+    i = sorted(map(tuple, interp.collect()))
+    assert c == i, f"tier divergence for {expr!r}: {c} != {i}"
