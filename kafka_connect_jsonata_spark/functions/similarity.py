@@ -185,15 +185,28 @@ def ivf_topk(
     join is an equi-join on cell id, touching n_probe/n_cells of the corpus
     per query instead of all of it. The canonical IVF trade: recall vs
     fraction probed."""
-    # deterministic centroid pick: lowest ids (seeded, reproducible, no
-    # kmeans iterations — kmeans refinement plugs in here at real scale)
-    cent_mat = np.stack(
-        [
-            np.asarray(r[1], dtype="float64")
-            for r in corpus.select(F.col(c_id), F.col(c_vec)).orderBy(F.col(c_id)).take(n_cells)
-        ]
-    )
+    # centroid training: deterministic seed pick (lowest ids), then a few
+    # spherical-kmeans Lloyd iterations over a bounded driver-side sample —
+    # the standard IVF train/assign split (train on a sample, assign the
+    # full corpus distributed). At 100 TB the sample stays exactly this
+    # size; only the assignment GEMM below scales with the data.
+    seed_rows = corpus.select(F.col(c_id), F.col(c_vec)).orderBy(F.col(c_id)).take(n_cells)
+    cent_mat = np.stack([np.asarray(r[1], dtype="float64") for r in seed_rows])
     cent_mat /= np.linalg.norm(cent_mat, axis=1, keepdims=True)
+    sample_rows = (
+        corpus.select(F.col(c_vec)).orderBy(F.xxhash64(F.col(c_id))).limit(max(2048, 64 * n_cells)).collect()
+    )
+    sample = np.stack([np.asarray(r[0], dtype="float64") for r in sample_rows])
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-300)
+    for _ in range(5):
+        assign = (sample @ cent_mat.T).argmax(axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent_mat[c] = m / n
 
     @pandas_udf("array<int>")
     def ranked_cells(vecs: pd.Series) -> pd.Series:
