@@ -245,3 +245,36 @@ def stateful_running_count_tws(
     return stream_df.groupBy(*[F.col(k) for k in keys]).transformWithStateInPandas(
         RunningCount(), out_schema, "update", "None"
     )
+
+
+def stream_to_partitioned_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: Sequence[str] = ("topic",),
+    available_now: bool = True,
+):
+    """Durable streaming sink through the batch writers: each micro-batch
+    lands via ``foreachBatch`` -> ``write_partitioned(mode="append")``, so
+    the streaming path gets the same bounded-file-count hive layout (and
+    any future writer, e.g. bucketed tables) as batch — with streaming's
+    checkpointed exactly-once-per-batch bookkeeping on top.
+
+    ``available_now=True`` drains the current source contents and stops
+    (backfill / test mode); False runs continuously."""
+    from kafka_connect_jsonata_spark.sources.writers import write_partitioned
+
+    cols = list(partition_by)
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        write_partitioned(batch_df, path, partition_by=cols, mode="append")
+
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.processAllAvailable()
+        q.stop()
+        return q
+    return writer.start()

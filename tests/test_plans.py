@@ -110,3 +110,27 @@ def test_salted_join_matches_plain_join(spark):
     exp_left = left.join(right, ["k"], "left")
     assert got_left.count() == exp_left.count()
     assert got_left.exceptAll(exp_left).count() == 0
+
+
+def test_exact_similarity_join_plan_shape(spark, sf_dir):
+    """The prefix-filtered set-similarity join must never plan a cartesian
+    product — candidates come from an equi-join on the gram hash."""
+    import __spark_entry__ as m
+
+    df = m.queries()["ngram_jaccard_dups"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_join_plan_broadcasts_salt_sequence(spark):
+    """salted_join's replication side must be a broadcast (the salt
+    sequence is tiny); the salted keys appear in the join."""
+    from kafka_connect_jsonata_spark.operators.relational import salted_join
+
+    left = spark.range(1000).select(F.col("id").alias("k"), F.col("id").alias("lv"))
+    right = spark.range(100).select(F.col("id").alias("k"), F.col("id").alias("rv"))
+    out = salted_join(left, right, ["k"], n_salts=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan  # salt sequence rides a broadcast
+    assert "__salt" in plan  # join key includes the salt

@@ -170,3 +170,27 @@ def test_stateful_running_count_tws(spark, event_stream, sf_dir):
     )
     assert diff.count() == 0
     assert got.count() == expect.count()
+
+
+def test_stream_to_partitioned_sink(spark, event_stream, sf_dir, tmp_path):
+    """Streaming -> foreachBatch -> hive-partitioned parquet: rows land
+    under per-value directories and match the batch source exactly."""
+    import os
+
+    from kafka_connect_jsonata_spark.streaming.transform import (
+        stream_to_partitioned_sink,
+    )
+
+    out = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    stream_to_partitioned_sink(
+        event_stream, out, ck, partition_by=("event_type",)
+    )
+    dirs = {d for d in os.listdir(out) if d.startswith("event_type=")}
+    assert len(dirs) >= 2
+    back = spark.read.parquet(out)
+    ev = load_table(spark, sf_dir, "events")
+    assert back.count() == ev.count()
+    got = {r["event_type"]: r["n"] for r in back.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    exp = {r["event_type"]: r["n"] for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert got == exp
