@@ -294,9 +294,12 @@ def transform_explode(
     json_col = F.to_json(F.struct(*[F.col(c) for c in prepared.columns]))
     src = prepared.select(json_col.alias("__json"))
     spark = df.sparkSession
-    fn_name = f"jsonata_explode_{abs(hash(expr)) % 10**9:09d}"
+    import hashlib
+
+    tag = hashlib.md5(expr.encode()).hexdigest()[:12]  # stable per expression
+    fn_name = f"jsonata_explode_{tag}"
     spark.udtf.register(fn_name, jsonata_udtf(expr, config))
-    view = f"__jsonata_src_{abs(hash(expr)) % 10**9:09d}"
+    view = f"__jsonata_src_{tag}"
     src.createOrReplaceTempView(view)
     return spark.sql(
         f"SELECT t.pos, t.item_json FROM {view}, LATERAL {fn_name}(__json) t"
