@@ -275,9 +275,11 @@ class Compiler:
         handler = getattr(self, "_fn_" + name, None)
         if handler is None:
             raise NotCompilable(f"function ${name} not in compiled subset")
-        # lambda arguments are consumed from the raw AST by HOF handlers
+        # lambda and regex-literal arguments are consumed from the raw AST
+        # by their handlers (a bare regex has no Column form)
         typed_args = [
-            None if a["type"] == "lambda" else self._c(a, ctx, env) for a in args
+            None if a["type"] in ("lambda", "regex") else self._c(a, ctx, env)
+            for a in args
         ]
         return handler(typed_args, ctx, env, args)
 
@@ -451,6 +453,61 @@ class Compiler:
             F.arrays_zip(*[x.col for x in a]),
             None,
         )
+
+    def _fn_replace(self, a, ctx, env, raw):
+        if len(a) > 3:
+            raise NotCompilable("$replace with limit")
+        s = a[0].col
+        pat = raw[1]
+        if pat["type"] == "string":
+            if pat["value"] == "":
+                raise NotCompilable("$replace with empty pattern (tier-2 error path)")
+            return Typed(F.replace(s, F.lit(pat["value"]), a[2].col), T.StringType())
+        if pat["type"] == "regex":
+            repl = raw[2]
+            # group refs / escapes differ between JSONata ($N, $$) and Java
+            # Matcher replacement — compile only the literal-replacement case
+            if repl["type"] != "string" or "$" in repl["value"] or "\\" in repl["value"]:
+                raise NotCompilable("$replace regex with group refs or dynamic replacement")
+            return Typed(
+                F.regexp_replace(s, pat["value"].pattern, repl["value"]), T.StringType()
+            )
+        raise NotCompilable("$replace with dynamic pattern")
+
+    def _fn_shuffle(self, a, ctx, env, raw):
+        arr = a[0] if a else ctx
+        if not isinstance(arr.dtype, T.ArrayType):
+            raise NotCompilable("$shuffle over non-array")
+        return Typed(F.shuffle(arr.col), arr.dtype)
+
+    def _fn_type(self, a, ctx, env, raw):
+        v = a[0] if a else ctx
+        dt = v.dtype
+        if isinstance(dt, (T.StructType, T.MapType)):
+            name = "object"
+        elif isinstance(dt, T.ArrayType):
+            name = "array"
+        elif isinstance(dt, T.BooleanType):
+            name = "boolean"
+        elif isinstance(dt, T.StringType):
+            name = "string"
+        elif isinstance(dt, T.NumericType):
+            name = "number"
+        else:
+            raise NotCompilable(f"$type over {dt}")
+        # the static schema decides the tag; only nullness is runtime
+        return Typed(
+            F.when(v.col.isNull(), F.lit("null")).otherwise(F.lit(name)), T.StringType()
+        )
+
+    def _fn_error(self, a, ctx, env, raw):
+        msg = self._str(a[0]) if a else F.lit("$error() function evaluated")
+        return Typed(F.raise_error(msg), T.NullType())
+
+    def _fn_assert(self, a, ctx, env, raw):
+        cond = self._truthy(a[0])
+        msg = self._str(a[1]) if len(a) > 1 else F.lit("$assert() statement failed")
+        return Typed(F.when(~cond, F.raise_error(msg)), T.NullType())
 
     def _fn_keys(self, a, ctx, env, raw):
         v = a[0] if a else ctx

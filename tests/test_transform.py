@@ -222,3 +222,39 @@ def test_variant_envelope(people):
         people, topic="people", key_col="email"
     ).select(F.get_json_object("value", "$.first").alias("k"), F.col("value").alias("v")).collect()}
     assert v == d
+
+
+def test_compiled_replace_type_shuffle(people):
+    """Newly compiled scalar fns: $replace (string + literal regex), $type
+    (static schema tag), $shuffle (permutation of the input)."""
+    out = transform(
+        people,
+        "{'r1': $replace(email, '@', ' at '),"
+        " 'r2': $replace(first, /[aeiou]/, '_'),"
+        " 't_num': $type(age), 't_str': $type(first), 't_arr': $type(scores),"
+        " 'sh': $sort($shuffle(scores))}",
+        force_tier="compiled",
+    ).collect()
+    row = {r["t_num"]: r for r in out}["number"]
+    assert " at " in row["r1"] and row["t_str"] == "string" and row["t_arr"] == "array"
+    assert "_" in transform(
+        people, "$replace('tet', /e/, '_')", force_tier="compiled"
+    ).first()["value"]
+    shuffled = sorted(r["sh"] for r in out)
+    assert shuffled == [[1.0, 2.0, 3.0], [4.0]]
+
+    # tier equivalence for the deterministic ones
+    expr = "{'a': $replace(email, '@', '#'), 'b': $type(age)}"
+    c = sorted(map(tuple, transform(people, expr, force_tier="compiled").collect()))
+    i = sorted(
+        map(
+            tuple,
+            transform(
+                people,
+                expr,
+                force_tier="interpreter",
+                output_schema=transform(people, expr, force_tier="compiled").schema,
+            ).collect(),
+        )
+    )
+    assert c == i
