@@ -276,7 +276,11 @@ class Compiler:
         if handler is None:
             raise NotCompilable(f"function ${name} not in compiled subset")
         # lambda and regex-literal arguments are consumed from the raw AST
-        # by their handlers (a bare regex has no Column form)
+        # by their handlers (a bare regex has no Column form); $merge takes
+        # its array argument raw as well — its elements are structs of
+        # DIFFERENT schemas, which no single ArrayType can hold
+        if name == "merge":
+            return self._fn_merge([], ctx, env, args)
         typed_args = [
             None if a["type"] in ("lambda", "regex") else self._c(a, ctx, env)
             for a in args
@@ -452,6 +456,30 @@ class Compiler:
         return Typed(
             F.arrays_zip(*[x.col for x in a]),
             None,
+        )
+
+    def _fn_merge(self, a, ctx, env, raw):
+        """$merge([o1, o2, ...]) — right-most wins (reference removeEmail
+        idiom, JsonataTransformationTest.java:77-88). Compiles when the
+        argument is a literal array of struct-typed expressions: the output
+        schema is the field-by-field overlay, derived statically."""
+        if len(raw) != 1 or raw[0]["type"] != "array":
+            raise NotCompilable("$merge with non-literal array argument")
+        elems = [self._c(e, ctx, env) for e in raw[0]["expressions"]]
+        if not elems or not all(isinstance(e.dtype, T.StructType) for e in elems):
+            raise NotCompilable("$merge over non-struct elements")
+        cols: dict[str, Column] = {}
+        dts: dict[str, T.DataType] = {}
+        order: list[str] = []
+        for e in elems:
+            for f in e.dtype.fields:
+                if f.name not in dts:
+                    order.append(f.name)
+                cols[f.name] = e.col.getField(f.name)
+                dts[f.name] = f.dataType
+        return Typed(
+            F.struct(*[cols[n].alias(n) for n in order]),
+            T.StructType([T.StructField(n, dts[n]) for n in order]),
         )
 
     def _fn_replace(self, a, ctx, env, raw):

@@ -258,3 +258,30 @@ def test_compiled_replace_type_shuffle(people):
         )
     )
     assert c == i
+
+
+def test_compiled_merge(people):
+    """$merge compiles to a static struct overlay (right-most wins) — the
+    reference's removeEmail/reroute idiom on the typed tier."""
+    out = transform(
+        people,
+        "$merge([{'first': first, 'age': age}, {'age': age * 10, 'tag': 'x'}])",
+        force_tier="compiled",
+    )
+    assert out.columns == ["first", "age", "tag"]
+    rows = {r["first"]: r for r in out.collect()}
+    assert rows["test"]["age"] == 300 and rows["test"]["tag"] == "x"
+
+    # tier equivalence
+    expr = "$merge([{'a': first}, {'b': age}])"
+    c = sorted(map(tuple, transform(people, expr, force_tier="compiled").collect()))
+    i = sorted(
+        map(
+            tuple,
+            transform(
+                people, expr, force_tier="interpreter",
+                output_schema=transform(people, expr, force_tier="compiled").schema,
+            ).collect(),
+        )
+    )
+    assert c == i
