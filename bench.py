@@ -61,6 +61,7 @@ HEADLINE = [
     "jsonata_datetime_array_ops",
     "udtf_explode_tokens",
     "jsonata_interpreter",
+    "envelope_reroute",
 ]
 
 

@@ -772,6 +772,31 @@ WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
 """
 
 
+def envelope_reroute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6 through the full dynamic-envelope pipeline, oracle-gated:
+    wrap events as ConnectRecord envelopes, rewrite topic + partition with
+    the reference's $merge idiom (README.md:21-27 shape), read fields back
+    out of the value JSON. Runs in the interpreter tier (schema-as-data)."""
+    from kafka_connect_jsonata_spark.envelope import wrap_as_dynamic_envelope
+    from kafka_connect_jsonata_spark.transform import transform_envelope
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    env = wrap_as_dynamic_envelope(ev, topic="events", key_col="event_id")
+    out = transform_envelope(env, "$merge([$, {'topic': 'purchases', 'kafkaPartition': 3}])")
+    return out.select(
+        "topic",
+        "kafkaPartition",
+        F.col("key").cast("bigint").alias("event_id"),
+        F.get_json_object("value", "$.event_type").alias("event_type"),
+    )
+
+
+ENVELOPE_REROUTE_SQL = """
+SELECT 'purchases' AS topic, 3 AS kafkaPartition, event_id, event_type
+FROM events
+"""
+
+
 def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5 under skew: customer->nation on nationkey (25 hot keys — the
     shape where one key's rows swamp a task) through salted_join, then
@@ -1192,6 +1217,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count_summary": token_count_summary,
     "ngram_jaccard_dups": ngram_jaccard_dups,
     "skew_salted_join": skew_salted_join,
+    "envelope_reroute": envelope_reroute,
     "udtf_explode_tokens": udtf_explode_tokens,
     "jsonata_flagship": jsonata_flagship,
     "jsonata_interpreter": jsonata_interpreter,
@@ -1244,6 +1270,7 @@ ORACLES: dict[str, str] = {
     "cosine_topk_bruteforce": COSINE_TOPK_SQL,
     "ngram_jaccard_dups": NGRAM_JACCARD_SQL,
     "skew_salted_join": SKEW_SALTED_JOIN_SQL,
+    "envelope_reroute": ENVELOPE_REROUTE_SQL,
     "udtf_explode_tokens": UDTF_EXPLODE_SQL,
     "jsonata_flagship": JSONATA_FLAGSHIP_SQL,
     "jsonata_interpreter": JSONATA_FLAGSHIP_SQL,
