@@ -458,6 +458,49 @@ class Compiler:
             None,
         )
 
+    def _fn_sift(self, a, ctx, env, raw):
+        """$sift(obj, fn($v, $k)) — the reference's remove-field idiom
+        (JsonataTransformationTest.java:77-88, README.md:21-27). Struct
+        inputs compile to STATIC field selection when the predicate depends
+        only on the key: the lambda body is constant-folded per field name
+        through the interpreter at compile time, so the runtime plan is a
+        plain narrower struct. Map inputs compile to map_filter."""
+        lam = raw[-1]
+        if lam["type"] != "lambda" or not lam["args"]:
+            raise NotCompilable("$sift requires an inline lambda")
+        params = lam["args"]
+        obj = ctx if raw[0]["type"] == "lambda" else a[0]
+        if isinstance(obj.dtype, T.MapType):
+            vt = obj.dtype.valueType
+
+            def pred(k, v):
+                child = dict(env)
+                child[params[0]] = Typed(v, vt)
+                if len(params) > 1:
+                    child[params[1]] = Typed(k, obj.dtype.keyType)
+                return self._truthy(self._c(lam["body"], Typed(v, vt), child))
+
+            return Typed(F.map_filter(obj.col, pred), obj.dtype)
+        if isinstance(obj.dtype, T.StructType):
+            if len(params) < 2 or _mentions_var(lam["body"], params[0]):
+                raise NotCompilable("$sift over struct with value-dependent predicate")
+            from kafka_connect_jsonata_spark.jsonata.functions import boolean_of
+            from kafka_connect_jsonata_spark.jsonata.interpreter import Jsonata
+
+            folder = Jsonata(lam["body"])
+            keep = [
+                f
+                for f in obj.dtype.fields
+                if boolean_of(folder.evaluate({}, bindings={params[1]: f.name})) is True
+            ]
+            if not keep:
+                raise NotCompilable("$sift removes every field (undefined in tier 2)")
+            return Typed(
+                F.struct(*[obj.col.getField(f.name).alias(f.name) for f in keep]),
+                T.StructType([T.StructField(f.name, f.dataType) for f in keep]),
+            )
+        raise NotCompilable("$sift over non-object")
+
     def _fn_merge(self, a, ctx, env, raw):
         """$merge([o1, o2, ...]) — right-most wins (reference removeEmail
         idiom, JsonataTransformationTest.java:77-88). Compiles when the
@@ -661,3 +704,17 @@ def compile_expression(source: str, schema: T.StructType) -> Typed:
     """Compile a JSONata expression against a DataFrame schema; raises
     NotCompilable when outside the tier-1 subset."""
     return Compiler(schema).compile(source)
+
+
+def _mentions_var(node, name: str) -> bool:
+    """True if any variable node in the subtree references ``name`` —
+    over-approximates (shadowing in nested lambdas still counts)."""
+    if isinstance(node, dict):
+        if node.get("type") == "variable" and node.get("value") == name:
+            return True
+        return any(
+            _mentions_var(v, name) for v in node.values() if isinstance(v, (dict, list))
+        )
+    if isinstance(node, list):
+        return any(_mentions_var(v, name) for v in node)
+    return False

@@ -285,3 +285,19 @@ def test_compiled_merge(people):
         )
     )
     assert c == i
+
+
+def test_compiled_sift_static_struct(people):
+    """The reference's removeEmail idiom on the typed tier: $sift with a
+    key-only predicate compiles to a statically narrower struct."""
+    out = transform(
+        people,
+        "$sift($, function($v, $k) { $k != 'email' })",
+        force_tier="compiled",
+    )
+    assert "email" not in out.columns and set(out.columns) == {"first", "last", "age", "scores"}
+    assert out.count() == 2
+
+    # value-dependent predicate must fall back (struct can't filter per row)
+    with pytest.raises(NotCompilable):
+        transform(people, "$sift($, function($v) { $v = 30 })", force_tier="compiled")
