@@ -125,6 +125,8 @@ class Compiler:
             lhs = self._c(node["lhs"], ctx, env)
             rhs = self._c(node["rhs"], ctx, env)
             return Typed(F.sequence(lhs.col, rhs.col), T.ArrayType(T.LongType()))
+        if t == "sort":
+            return self._sort(node, ctx, env)
         if t == "call":
             return self._call(node, ctx, env)
         if t == "apply":
@@ -457,6 +459,84 @@ class Compiler:
             F.arrays_zip(*[x.col for x in a]),
             None,
         )
+
+    def _sort(self, node, ctx: Typed, env: dict) -> Typed:
+        """B2.5 ``^(key, >key)`` order-by over an ARRAY column: array_sort
+        with a compiled comparator (terms left-to-right, ``>`` descending).
+        Null keys compare equal and fall through to the next term; tier 2
+        handles row sequences and error-on-mixed-type semantics."""
+        base = self._c(node["expr"], ctx, env)
+        if not isinstance(base.dtype, T.ArrayType):
+            raise NotCompilable("^ sort over non-array")
+        et = base.dtype.elementType
+        terms = node["terms"]
+
+        def comparator(l, r):
+            expr = F.lit(0)
+            for term in reversed(terms):
+                kl = self._c(term["expression"], Typed(l, et), dict(env)).col
+                kr = self._c(term["expression"], Typed(r, et), dict(env)).col
+                lt, gt = (
+                    (F.lit(1), F.lit(-1)) if term["descending"] else (F.lit(-1), F.lit(1))
+                )
+                expr = F.when(kl < kr, lt).when(kl > kr, gt).otherwise(expr)
+            return expr
+
+        return Typed(F.array_sort(base.col, comparator), base.dtype)
+
+    def _fn_each(self, a, ctx, env, raw):
+        """$each(obj, fn($v,$k)) -> array. Struct inputs expand statically
+        (one element per field, $k a compile-time literal — all results
+        must share a type); map inputs run transform over map_entries."""
+        lam = raw[-1]
+        if lam["type"] != "lambda" or not lam["args"]:
+            raise NotCompilable("$each requires an inline lambda")
+        params = lam["args"]
+        obj = ctx if raw[0]["type"] == "lambda" else a[0]
+        if isinstance(obj.dtype, T.MapType):
+            vt = obj.dtype.valueType
+            out_t: list = [None]
+
+            def body(e):
+                child = dict(env)
+                child[params[0]] = Typed(e.getField("value"), vt)
+                if len(params) > 1:
+                    child[params[1]] = Typed(e.getField("key"), obj.dtype.keyType)
+                r = self._c(lam["body"], Typed(e.getField("value"), vt), child)
+                out_t[0] = r.dtype
+                return r.col
+
+            col = F.transform(F.map_entries(obj.col), body)
+            return Typed(col, T.ArrayType(out_t[0] or T.StringType()))
+        if isinstance(obj.dtype, T.StructType):
+            cols, dts = [], []
+            for f in obj.dtype.fields:
+                child = dict(env)
+                fv = Typed(obj.col.getField(f.name), f.dataType)
+                child[params[0]] = fv
+                if len(params) > 1:
+                    child[params[1]] = Typed(F.lit(f.name), T.StringType())
+                r = self._c(lam["body"], fv, child)
+                cols.append(r.col)
+                dts.append(r.dtype)
+            if not cols:
+                raise NotCompilable("$each over empty struct")
+            if len({str(d) for d in dts}) != 1:
+                raise NotCompilable("$each with heterogeneous result types")
+            return Typed(F.array(*cols), T.ArrayType(dts[0]))
+        raise NotCompilable("$each over non-object")
+
+    def _fn_spread(self, a, ctx, env, raw):
+        """$spread(map) -> array of single-entry maps. (Struct inputs would
+        need per-element schemas — tier 2.)"""
+        v = a[0] if a else ctx
+        if isinstance(v.dtype, T.MapType):
+            col = F.transform(
+                F.map_entries(v.col),
+                lambda e: F.create_map(e.getField("key"), e.getField("value")),
+            )
+            return Typed(col, T.ArrayType(T.MapType(v.dtype.keyType, v.dtype.valueType)))
+        raise NotCompilable("$spread over non-map")
 
     def _fn_sift(self, a, ctx, env, raw):
         """$sift(obj, fn($v, $k)) — the reference's remove-field idiom

@@ -301,3 +301,29 @@ def test_compiled_sift_static_struct(people):
     # value-dependent predicate must fall back (struct can't filter per row)
     with pytest.raises(NotCompilable):
         transform(people, "$sift($, function($v) { $v = 30 })", force_tier="compiled")
+
+
+def test_compiled_sort_each_spread(spark):
+    """B2.5 order-by over array columns + $each/$spread/$sift on maps."""
+    df = spark.createDataFrame(
+        [([{"p": 3.0, "q": 1}, {"p": 1.0, "q": 2}, {"p": 1.0, "q": 9}],
+          {"a": 1, "b": 7})],
+        "items array<struct<p double, q int>>, m map<string,int>",
+    )
+    out = transform(
+        df,
+        "{'sorted': items^(p, >q), 'doubled': $each(m, function($v) { $v * 2 }),"
+        " 'spread': $spread(m), 'big': $sift(m, function($v) { $v > 3 })}",
+        force_tier="compiled",
+    ).first()
+    assert [(r["p"], r["q"]) for r in out["sorted"]] == [(1.0, 9), (1.0, 2), (3.0, 1)]
+    assert sorted(out["doubled"]) == [2, 14]
+    assert {k: v for d in out["spread"] for k, v in d.items()} == {"a": 1, "b": 7}
+    assert out["big"] == {"b": 7}
+
+    # interpreter agreement on the sort (deterministic piece)
+    from kafka_connect_jsonata_spark.jsonata.interpreter import Jsonata
+
+    data = {"items": [{"p": 3.0, "q": 1}, {"p": 1.0, "q": 2}, {"p": 1.0, "q": 9}]}
+    got = Jsonata("items^(p, >q)").evaluate(data)
+    assert [(d["p"], d["q"]) for d in got] == [(1.0, 9), (1.0, 2), (3.0, 1)]
