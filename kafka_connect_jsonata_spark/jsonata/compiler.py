@@ -15,9 +15,14 @@ Compilable subset (SURVEY.md §2B tables, "Spark" column):
 - aggregation + higher-order functions over array columns
   ($sum/$max/$min/$average/$count/$map/$filter/$reduce/$distinct/...)
 
+Also compiled: ``^(...)`` order-by over array columns, object fns
+($merge/$sift/$each/$spread — struct cases resolve statically), $replace
+with literal patterns, $type from the static schema.
+
 Deliberately NOT compiled (fall back to tier 2): implicit array mapping with
-singleton unwrap, ``**``/``%``, group-by constructors, order-by, recursion,
-``$eval``, schema-as-data rewrites, regex-typed arguments.
+singleton unwrap, ``**``/``%``, group-by constructors, row-sequence
+order-by, recursion, ``$eval``, schema-as-data rewrites, picture strings,
+$match index reporting, $replace with limit or group refs.
 """
 
 from __future__ import annotations

@@ -772,6 +772,25 @@ WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
 """
 
 
+def jsonata_object_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 object functions on the COMPILED tier, oracle-gated: $sift picks
+    fields statically (the reference's remove-field idiom), $merge overlays
+    the result with computed fields — the whole expression is a Catalyst
+    projection."""
+    cust = load_table(spark, sf_dir, "customer")
+    expr = (
+        "$merge([$sift($, function($v, $k) { $k = 'c_custkey' or $k = 'c_name' }),"
+        " {'bal2': c_acctbal * 2, 'seg_lower': $lowercase(c_mktsegment)}])"
+    )
+    return transform(cust, expr, force_tier="compiled")
+
+
+JSONATA_OBJECT_OPS_SQL = """
+SELECT c_custkey, c_name, c_acctbal * 2 AS bal2, lower(c_mktsegment) AS seg_lower
+FROM customer
+"""
+
+
 def envelope_reroute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5/A6 through the full dynamic-envelope pipeline, oracle-gated:
     wrap events as ConnectRecord envelopes, rewrite topic + partition with
@@ -1218,6 +1237,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_dups": ngram_jaccard_dups,
     "skew_salted_join": skew_salted_join,
     "envelope_reroute": envelope_reroute,
+    "jsonata_object_ops": jsonata_object_ops,
     "udtf_explode_tokens": udtf_explode_tokens,
     "jsonata_flagship": jsonata_flagship,
     "jsonata_interpreter": jsonata_interpreter,
@@ -1271,6 +1291,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_dups": NGRAM_JACCARD_SQL,
     "skew_salted_join": SKEW_SALTED_JOIN_SQL,
     "envelope_reroute": ENVELOPE_REROUTE_SQL,
+    "jsonata_object_ops": JSONATA_OBJECT_OPS_SQL,
     "udtf_explode_tokens": UDTF_EXPLODE_SQL,
     "jsonata_flagship": JSONATA_FLAGSHIP_SQL,
     "jsonata_interpreter": JSONATA_FLAGSHIP_SQL,
