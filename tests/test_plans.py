@@ -134,3 +134,19 @@ def test_salted_join_plan_broadcasts_salt_sequence(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan  # salt sequence rides a broadcast
     assert "__salt" in plan  # join key includes the salt
+
+
+def test_jsonata_sift_merge_drives_column_pruning(spark, sf_dir):
+    """A compiled $sift+$merge JSONata expression must prune the parquet
+    scan to exactly the referenced columns — the end-to-end payoff of
+    compiling the language to Catalyst projections."""
+    import re
+
+    import __spark_entry__ as m
+
+    df = m.queries()["jsonata_object_ops"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert rs is not None
+    read_cols = {c.split(":")[0] for c in rs.group(1).split(",")}
+    assert read_cols == {"c_custkey", "c_name", "c_acctbal", "c_mktsegment"}
