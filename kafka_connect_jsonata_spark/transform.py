@@ -126,7 +126,11 @@ def jsonata_udf(expr: str, config: EngineConfig = DEFAULT_CONFIG):
                 out.append(json_serialize(result))
         return pd.Series(out, dtype="object")
 
-    return _eval
+    # deterministic in fact — but marked otherwise so Catalyst evaluates it
+    # EXACTLY ONCE: with a deterministic UDF, the tombstone filter above the
+    # projection gets a pushed-down copy and the whole interpreter runs
+    # twice per row (observed as two ArrowEvalPython nodes in the plan)
+    return _eval.asNondeterministic()
 
 
 def transform(
@@ -218,8 +222,14 @@ def transform_envelope(
                 out.append(json_serialize(result))
         return pd.Series(out, dtype="object")
 
+    if not df.isStreaming:
+        # same reasoning as _prepare_interpreter_input: envelope eval costs
+        # ~100 us/row in Python (full envelope JSON round trip per record),
+        # so spread it across every core regardless of scan partitioning
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     json_col = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
-    evaluated = df.withColumn("__json", _eval(json_col))
+    # nondeterministic marker = evaluate exactly once (see jsonata_udf)
+    evaluated = df.withColumn("__json", _eval.asNondeterministic()(json_col))
     kept = evaluated.filter(F.col("__json").isNotNull())
     result_schema = T.StructType(
         [

