@@ -106,7 +106,9 @@ def _band_signatures_udf(planes: list[list[list[float]]]):
         out = (bits * powers).sum(axis=2).astype("int32")        # (n, n_bands)
         return pd.Series(list(out))
 
-    return sigs
+    # deterministic in fact; marked otherwise so join-key IsNotNull pushdown
+    # can't clone the eval into a second ArrowEvalPython (see transform.py)
+    return sigs.asNondeterministic()
 
 
 def lsh_topk(
@@ -216,6 +218,8 @@ def ivf_topk(
         v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
         order = np.argsort(-(v @ cent_mat.T), axis=1, kind="stable").astype("int32")
         return pd.Series(list(order))
+
+    ranked_cells = ranked_cells.asNondeterministic()  # evaluate exactly once
 
     c_assigned = corpus.select(
         F.col(c_id).alias("neighbor_id"),
