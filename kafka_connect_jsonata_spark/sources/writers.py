@@ -44,7 +44,10 @@ def write_partitioned(
     it, every one of N upstream tasks writes a sliver into every partition
     directory (N*P tiny files); with it, rows for one directory land on a
     bounded set of tasks. Skewed partition values can be spread by raising
-    ``files_per_partition`` (adds a salt to the shuffle key).
+    ``files_per_partition`` (adds a salt to the shuffle key) — note AQE
+    coalesces the salted shuffle back together when the data is small,
+    which is the right call; the spread materializes exactly when
+    partitions are big enough to need it.
     """
     out = df
     if partition_by:

@@ -101,3 +101,24 @@ def test_range_sorted_write_has_disjoint_file_ranges(spark, tmp_path):
 
     back = spark.read.parquet(path).filter(F.col("k") < 1000)
     assert back.count() == 1000
+
+
+def test_partitioned_write_spreads_files_when_asked(spark, tmp_path):
+    """files_per_partition > 1 salts the pre-write shuffle so a skewed
+    partition value spreads over multiple files (and tasks)."""
+    df = spark.range(20_000).select(
+        F.lit("hot").alias("shard"), F.col("id").alias("v")
+    )
+    path = str(tmp_path / "salted")
+    # at this data size AQE would (correctly) coalesce the salted shuffle
+    # back to one partition; disable coalescing to observe the mechanism
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        write_partitioned(df, path, partition_by=["shard"], files_per_partition=4)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    files = [
+        f for f in os.listdir(os.path.join(path, "shard=hot")) if f.endswith(".parquet")
+    ]
+    assert 2 <= len(files) <= 8
+    assert spark.read.parquet(path).count() == 20_000
