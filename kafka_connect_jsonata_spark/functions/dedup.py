@@ -436,9 +436,6 @@ def embedding_dup_pairs(
     inside the same UDF (block outer product), or swapped for LSH/IVF
     candidate generation; the Spark-side plumbing is identical.
     """
-    import numpy as np
-    import pandas as pd
-
     spark = df.sparkSession
     side = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     corpus_pdf = side.toPandas()
