@@ -2,18 +2,19 @@
 
 - exact_dup_groups   — hash-groupBy on a normalized fingerprint (linear scan,
   map-side combine; the canonical 100 TB exact-dedup plan).
-- ngram_jaccard_pairs — n-gram Jaccard over candidate pairs (caller supplies a
-  blocking strategy; never an unbounded cross join).
-- minhash_lsh_pairs  — shingle -> minhash signature -> banded LSH buckets ->
-  bucket-join candidates -> exact Jaccard verify. The scale path: shuffle is
-  on (band, bucket-hash) keys with bounded fanout.
+- ngram_jaccard_pairs — EXACT set-similarity self-join (AllPairs/PPJoin
+  family): frequency-ordered prefix filter + positional filter + distributed
+  verify; lossless, never an unbounded cross join.
+- minhash_lsh_pairs  — shingle -> minhash signature (numpy-vectorized) ->
+  banded LSH buckets -> bucket-join candidates -> exact Jaccard verify. The
+  approximate scale path: shuffle is on (band, bucket-hash) keys with
+  bounded fanout.
 - simhash64          — 64-bit SimHash of token multiset, pure Column bit math.
-- embedding_dup_pairs — near-dup by embedding cosine over LSH-bucketed or
-  broadcast candidates.
+- embedding_dup_pairs — near-dup by embedding cosine, broadcast-GEMM scored.
 
-All of minhash/simhash run as native Column expressions: per-token hashes use
-Spark's xxhash64/crc32 (JVM, codegen'd), so signature computation is a single
-projection over the scan — no Python in the hot path.
+Shingle hashing is JVM-side (xxhash64, codegen'd); the dense per-document
+math (minhash remix, GEMM scoring) runs as one numpy broadcast per Arrow
+batch — the sanctioned vectorized path for linear algebra.
 """
 
 from __future__ import annotations
