@@ -94,6 +94,10 @@ _EXPR_PARTS = [
     "nums",
     "{'x': a, 'y': s}",
     "a in nums",
+    "$replace(s, 'l', 'L')",
+    "$merge([{'x': a}, {'y': b, 'x': a + 1}])",
+    "$sift($, function($v, $k) { $k = 'a' or $k = 's' })",
+    "$type(a) & ':' & $type(s)",
 ]
 
 
