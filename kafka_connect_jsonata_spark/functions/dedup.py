@@ -465,3 +465,62 @@ def embedding_dup_pairs(
 
     rows = side.repartition(spark.sparkContext.defaultParallelism)
     return rows.mapInPandas(score, "id_a bigint, id_b bigint, cosine_sim double")
+
+
+def dup_groups_from_pairs(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair list: every document gets
+    the MINIMUM id reachable through pair edges as its ``group_id`` (the
+    canonical representative a dedup pipeline keeps).
+
+    Iterative min-label propagation: each round every vertex takes the min
+    of its own label and its neighbors' labels; converges in O(diameter)
+    rounds (near-dup clusters are shallow — a handful of rounds in
+    practice, ``max_iter`` bounds adversarial chains). Each round is one
+    join + groupBy; lineage is truncated per round with an eager
+    localCheckpoint so the plan stays constant-size — the standard Spark
+    shape for iterative graph algorithms (large-star/small-star
+    optimizations plug in here for web-scale graphs).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.v)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.v == neighbor_min.src, "left")
+            .select(
+                "v",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("group_id"))

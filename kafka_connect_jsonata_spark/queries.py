@@ -772,6 +772,46 @@ WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
 """
 
 
+def dedup_group_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C26 end-to-end: exact near-dup PAIRS -> connected-component GROUPS
+    (canonical min-id per cluster) via iterative label propagation — the
+    iterative-algorithm shape Spark runs as bounded join+groupBy rounds.
+    Oracle: DuckDB recursive CTE over the same exact pair set."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup.dup_groups_from_pairs(pairs)
+
+
+DEDUP_GROUPS_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS ts
+  FROM documents),
+docs AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(ts) - 2),
+                         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+         ELSE [] END AS grams
+  FROM toks),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+  WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
+    AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+SELECT src AS doc_id, LEAST(src, MIN(dst)) AS group_id
+FROM reach GROUP BY src
+"""
+
+
 def jsonata_object_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B4 object functions on the COMPILED tier, oracle-gated: $sift picks
     fields statically (the reference's remove-field idiom), $merge overlays
@@ -1235,6 +1275,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": ann_ivf_topk,
     "token_count_summary": token_count_summary,
     "ngram_jaccard_dups": ngram_jaccard_dups,
+    "dedup_group_ids": dedup_group_ids,
     "skew_salted_join": skew_salted_join,
     "envelope_reroute": envelope_reroute,
     "jsonata_object_ops": jsonata_object_ops,
@@ -1289,6 +1330,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact_docs": DEDUP_DOCS_SQL,
     "cosine_topk_bruteforce": COSINE_TOPK_SQL,
     "ngram_jaccard_dups": NGRAM_JACCARD_SQL,
+    "dedup_group_ids": DEDUP_GROUPS_SQL,
     "skew_salted_join": SKEW_SALTED_JOIN_SQL,
     "envelope_reroute": ENVELOPE_REROUTE_SQL,
     "jsonata_object_ops": JSONATA_OBJECT_OPS_SQL,

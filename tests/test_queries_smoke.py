@@ -83,3 +83,15 @@ def test_source_scan_and_streams(spark, sf_dir, tmp_path):
     st = file_stream(spark, jdir, "json")
     assert st.isStreaming
     assert rate_stream(spark).isStreaming
+
+
+def test_dup_groups_chain_and_fixpoint(spark):
+    """Connected components: a 4-chain collapses to one group (multi-round
+    propagation), isolated pairs keep their own min id."""
+    from kafka_connect_jsonata_spark.functions.dedup import dup_groups_from_pairs
+
+    pairs = spark.createDataFrame(
+        [(10, 2), (2, 30), (30, 4), (50, 60)], "id_a bigint, id_b bigint"
+    )
+    out = {r["doc_id"]: r["group_id"] for r in dup_groups_from_pairs(pairs).collect()}
+    assert out == {10: 2, 2: 2, 30: 2, 4: 2, 50: 50, 60: 50}
