@@ -524,3 +524,60 @@ def dup_groups_from_pairs(
         if changed == 0:
             break
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("group_id"))
+
+
+def embedding_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bands: int = 16,
+    band_bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup WITHOUT a broadcastable corpus: random-hyperplane
+    LSH candidate generation + exact cosine verify — the shape
+    ``embedding_dup_pairs`` (broadcast-GEMM) swaps to when the corpus no
+    longer fits a broadcast.
+
+    Shuffle carries (id, band, signature) rows — bounded fanout of n_bands
+    per vector; vectors are fetched by id only for surviving candidates.
+    Approximate on RECALL only (a pair must collide in >=1 band); precision
+    is 1.0 because the verify recomputes exact cosine. At cos >= 0.95
+    (~18 deg) each band of 8 bits collides with p ~ 0.43, so 16 bands miss
+    a true pair with p ~ (1-0.43)^16 < 1e-3."""
+    from kafka_connect_jsonata_spark.functions.similarity import (
+        _band_signatures_udf,
+        _hyperplanes,
+    )
+
+    dim = len(df.select(vec_col).first()[0])
+    sig_udf = _band_signatures_udf(_hyperplanes(dim, n_bands, band_bits, seed))
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(sig_udf(F.col(vec_col))).alias("band", "sig"),
+    )
+    a = sigs.select(F.col("id").alias("id_a"), "band", "sig")
+    b = sigs.select(F.col("id").alias("id_b"), "band", "sig")
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .localCheckpoint(eager=True)
+    )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+
+    def side(tag: str):
+        need = cand.select(F.col(f"id_{tag}").alias("id")).distinct()
+        return vecs.join(need, "id", "left_semi").select(
+            F.col("id").alias(f"id_{tag}"), F.col("v").alias(f"v_{tag}")
+        )
+
+    pairs = cand.join(side("a"), "id_a").join(side("b"), "id_b")
+    sim = cosine(F.col("v_a"), F.col("v_b"))
+    return (
+        pairs.select("id_a", "id_b", F.round(sim, 4).alias("cosine_sim"), sim.alias("__raw"))
+        .filter(F.col("__raw") >= threshold)
+        .drop("__raw")
+    )

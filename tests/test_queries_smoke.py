@@ -95,3 +95,35 @@ def test_dup_groups_chain_and_fixpoint(spark):
     )
     out = {r["doc_id"]: r["group_id"] for r in dup_groups_from_pairs(pairs).collect()}
     assert out == {10: 2, 2: 2, 30: 2, 4: 2, 50: 50, 60: 50}
+
+
+def test_embedding_dup_pairs_lsh_matches_exact(spark):
+    """LSH-blocked embedding near-dup (the non-broadcast 100 TB shape):
+    precision must be 1.0 (exact verify) and recall ~1 in the
+    high-similarity regime LSH is built for. Constructed clusters, since
+    the synthetic corpus has no high-cosine pairs."""
+    import random
+
+    from kafka_connect_jsonata_spark.functions.dedup import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_lsh,
+    )
+
+    rnd = random.Random(7)
+    rows = []
+    vid = 0
+    for _ in range(20):  # 20 clusters of 3 near-identical vectors
+        base = [rnd.gauss(0, 1) for _ in range(32)]
+        for _ in range(3):
+            rows.append((vid, [x + rnd.gauss(0, 0.01) for x in base]))
+            vid += 1
+    for _ in range(140):  # noise vectors
+        rows.append((vid, [rnd.gauss(0, 1) for _ in range(32)]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    exact = {(r["id_a"], r["id_b"]) for r in embedding_dup_pairs(df, threshold=0.95).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in embedding_dup_pairs_lsh(df, threshold=0.95).collect()}
+    assert len(exact) >= 50  # the 20 clusters produce 60 true pairs
+    assert lsh <= exact  # precision 1.0: verify is exact
+    assert len(lsh & exact) / len(exact) >= 0.95  # recall in the LSH regime
