@@ -44,6 +44,8 @@ HEADLINE = [
     "text_doc_stats",
     "token_count_summary",
     "dedup_exact_docs",
+    "hash_sample_docs",
+    "hash_split_counts",
     "cosine_topk_bruteforce",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -1,0 +1,69 @@
+"""Deterministic sampling and splitting for training-data pipelines.
+
+Random sampling (``df.sample``) is irreproducible across engines, runs, and
+repartitions — the wrong tool for building training sets. These operators
+assign every record a position in [0, 1) from the MD5 of its id (+ salt),
+so membership is a pure function of content:
+
+- the same record lands in the same split on every engine and every run
+  (leakage-safe train/test boundaries — the published norm for dataset
+  splits);
+- sampling composes: a 1% sample is a subset of the 10% sample with the
+  same salt, so pipelines can dial scale up without resampling;
+- it is a stateless map-side filter — no shuffle, pushes down to the scan
+  as a deterministic predicate, trivially parallel at any scale.
+
+The hash-position compare happens on the hex digest STRING (uniform,
+lexicographic), which DuckDB reproduces byte-for-byte — every operator
+here is oracle-checkable, unlike RNG sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_SPACE = 16 ** 8  # resolution: first 8 hex chars (~4e9 buckets)
+
+
+def _threshold_hex(fraction: float) -> str:
+    """Hex-string threshold such that P(md5_prefix < threshold) = fraction."""
+    bucket = min(int(fraction * _HEX_SPACE), _HEX_SPACE)
+    return format(bucket, "08x") + "0" * 24 if bucket < _HEX_SPACE else "g" * 32
+
+
+def hash_position(id_col: Column, salt: str = "") -> Column:
+    """The record's deterministic position digest: md5(id || salt)."""
+    return F.md5(F.concat(id_col.cast("string"), F.lit(salt)))
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows by content hash."""
+    return df.filter(hash_position(F.col(id_col), salt) < _threshold_hex(fraction))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+) -> dict[str, DataFrame]:
+    """Partition into named splits (e.g. {'train': .9, 'test': .1}) —
+    exhaustive and disjoint by construction. Fractions must sum to 1."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    pos = hash_position(F.col(id_col), salt)
+    out: dict[str, DataFrame] = {}
+    acc = 0.0
+    items = list(fractions.items())
+    for i, (name, frac) in enumerate(items):
+        lo, hi = _threshold_hex(acc), _threshold_hex(acc + frac)
+        cond = pos >= F.lit(lo)
+        if i < len(items) - 1:
+            cond = cond & (pos < F.lit(hi))  # last split takes the remainder
+        out[name] = df.filter(cond)
+        acc += frac
+    return out

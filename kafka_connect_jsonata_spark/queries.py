@@ -772,6 +772,50 @@ WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
 """
 
 
+def hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% content-hash sample (training-pipeline sampling:
+    reproducible across engines/runs/partitionings, pushdown-friendly
+    map-side filter). Oracle: identical md5-threshold predicate."""
+    from kafka_connect_jsonata_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.1).select("doc_id", "lang")
+
+
+HASH_SAMPLE_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE md5(CAST(doc_id AS VARCHAR)) < '19999999000000000000000000000000'
+"""
+
+
+def hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by content hash —
+    exhaustive, disjoint, leakage-safe. Returns per-split doc counts."""
+    from kafka_connect_jsonata_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    splits = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    parts = [
+        df.select(F.lit(name).alias("split")).groupBy("split").agg(F.count("*").alias("n"))
+        for name, df in splits.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+HASH_SPLIT_SQL = """
+SELECT CASE
+         WHEN md5(CAST(doc_id AS VARCHAR)) < 'cccccccc000000000000000000000000' THEN 'train'
+         WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6666666000000000000000000000000' THEN 'val'
+         ELSE 'test'
+       END AS split,
+       count(*) AS n
+FROM documents GROUP BY 1
+"""
+
+
 def dedup_group_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C26 end-to-end: exact near-dup PAIRS -> connected-component GROUPS
     (canonical min-id per cluster) via iterative label propagation — the
@@ -1276,6 +1320,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count_summary": token_count_summary,
     "ngram_jaccard_dups": ngram_jaccard_dups,
     "dedup_group_ids": dedup_group_ids,
+    "hash_sample_docs": hash_sample_docs,
+    "hash_split_counts": hash_split_counts,
     "skew_salted_join": skew_salted_join,
     "envelope_reroute": envelope_reroute,
     "jsonata_object_ops": jsonata_object_ops,
@@ -1331,6 +1377,8 @@ ORACLES: dict[str, str] = {
     "cosine_topk_bruteforce": COSINE_TOPK_SQL,
     "ngram_jaccard_dups": NGRAM_JACCARD_SQL,
     "dedup_group_ids": DEDUP_GROUPS_SQL,
+    "hash_sample_docs": HASH_SAMPLE_SQL,
+    "hash_split_counts": HASH_SPLIT_SQL,
     "skew_salted_join": SKEW_SALTED_JOIN_SQL,
     "envelope_reroute": ENVELOPE_REROUTE_SQL,
     "jsonata_object_ops": JSONATA_OBJECT_OPS_SQL,

@@ -127,3 +127,24 @@ def test_embedding_dup_pairs_lsh_matches_exact(spark):
     assert len(exact) >= 50  # the 20 clusters produce 60 true pairs
     assert lsh <= exact  # precision 1.0: verify is exact
     assert len(lsh & exact) / len(exact) >= 0.95  # recall in the LSH regime
+
+
+def test_hash_sampling_properties(spark):
+    """Content-hash sampling: deterministic, composable (smaller fraction
+    is a subset of larger at the same salt), split exhaustive+disjoint."""
+    from kafka_connect_jsonata_spark.operators.sampling import hash_sample, hash_split
+
+    df = spark.range(5000)
+    s10 = {r["id"] for r in hash_sample(df, "id", 0.10).collect()}
+    s01 = {r["id"] for r in hash_sample(df, "id", 0.01).collect()}
+    assert s01 <= s10  # composability
+    assert abs(len(s10) / 5000 - 0.10) < 0.02
+    assert s10 == {r["id"] for r in hash_sample(df, "id", 0.10).collect()}  # stable
+
+    splits = hash_split(df, "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    sets = {k: {r["id"] for r in v.collect()} for k, v in splits.items()}
+    assert sum(len(s) for s in sets.values()) == 5000  # exhaustive
+    assert not (sets["train"] & sets["val"]) and not (sets["val"] & sets["test"])
+    # a different salt reshuffles membership
+    other = {r["id"] for r in hash_sample(df, "id", 0.10, salt="v2").collect()}
+    assert other != s10
