@@ -367,8 +367,23 @@ class Compiler:
             rx = _re.escape(pat["value"])
         else:
             raise NotCompilable("$split with dynamic separator")
-        limit = a[2].col.cast("int") if len(a) > 2 else F.lit(-1)
-        out = F.split(a[0].col, rx, F.lit(-1).cast("int") if len(a) <= 2 else limit)
+        out = F.split(a[0].col, rx, F.lit(-1).cast("int"))
+        if len(a) > 2:
+            # JSONata limit truncates the RESULT ARRAY ($split("a,b,c", ",", 2)
+            # = ["a","b"]); Spark's split limit keeps the remainder in the
+            # last element and treats 0 as unlimited — so always split fully,
+            # then slice. Matches the tier-2 interpreter (functions.py fn_split
+            # parts[:limit]). Negative literal limit is a JSONata error
+            # (D3020) — route to tier 2, which raises it.
+            lim = raw[2]
+            neg_literal = lim.get("type") == "unary" and lim.get("value") == "-" and (
+                lim.get("expression", {}).get("type") == "number"
+            )
+            if neg_literal or (
+                lim.get("type") == "number" and lim.get("value", 0) < 0
+            ):
+                raise NotCompilable("$split with negative limit")
+            out = F.slice(out, F.lit(1), a[2].col.cast("int"))
         return Typed(out, T.ArrayType(T.StringType()))
 
     def _fn_join(self, a, ctx, env, raw):

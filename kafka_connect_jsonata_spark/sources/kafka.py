@@ -94,6 +94,16 @@ def envelope_to_kafka(df: DataFrame) -> DataFrame:
     )
 
 
+def apply_default_topic(out: DataFrame, default_topic: str | None) -> DataFrame:
+    """Fill null topics by coalescing INTO the topic column. Never set the
+    sink's `topic` option for this: Spark's Kafka sink gives the option
+    precedence over the column for EVERY row, which would silently defeat
+    A5 re-routing."""
+    if default_topic is None:
+        return out
+    return out.withColumn("topic", F.coalesce(F.col("topic"), F.lit(default_topic)))
+
+
 def read_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -122,14 +132,17 @@ def write_stream(
     default_topic: str | None = None,
 ):
     """Publish an envelope stream back to Kafka. The `topic` column routes
-    each record (A5 re-route); `default_topic` covers null topics."""
-    out = envelope_to_kafka(envelope_df)
+    each record (A5 re-route); `default_topic` covers null topics.
+
+    `default_topic` is applied by coalescing INTO the topic column, never as
+    the sink's `topic` option — Spark's Kafka sink gives that option
+    precedence over the column for every row, which would silently defeat
+    re-routing."""
+    out = apply_default_topic(envelope_to_kafka(envelope_df), default_topic)
     writer = (
         out.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("checkpointLocation", checkpoint_dir)
         .option("includeHeaders", "true")
     )
-    if default_topic is not None:
-        writer = writer.option("topic", default_topic)
     return writer.start()

@@ -33,7 +33,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.ts`` is stored as TIMESTAMP(NANOS), which Spark reads as a
     nanosecond long (legacy.parquet.nanosAsLong); convert to a microsecond
     timestamp to match DuckDB's truncation.
+
+    Session-portable by design: ``nanosAsLong`` is a runtime-settable SQL
+    conf, so we set it here rather than relying on the session having been
+    built by :func:`engine.get_spark` — external harnesses hand us vanilla
+    sessions and TIMESTAMP(NANOS) parquet otherwise dies with
+    PARQUET_TYPE_ILLEGAL.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType

@@ -67,6 +67,15 @@ def referenced_roots(ast: dict) -> set[str] | None:
                 proc = node.get("procedure", {})
                 if proc.get("type") == "variable" and proc.get("value") == "eval":
                     return False
+                # Zero-argument builtins ($spread(), $keys(), $string(), ...)
+                # consume the evaluation context implicitly — no name/'$'
+                # node appears, so pruning would hand the interpreter an
+                # empty context and silently change results. Same for calls
+                # whose first argument is a lambda ($map(function($x){..})-
+                # style implicit-context HOFs).
+                args = node.get("arguments") or []
+                if not args or args[0].get("type") == "lambda":
+                    return False
             if t == "name":
                 names.add(node["value"])
             return all(

@@ -96,3 +96,19 @@ def test_header_filter_and_rewrite(spark):
     )
     r = {x["key"]: x for x in out.collect()}["k1"]
     assert [(h["key"], h["value"]) for h in r["headers"]] == [("route", "orders")]
+
+
+def test_apply_default_topic_preserves_rerouting(spark):
+    """Regression (round-1 advice): default_topic must only fill NULL
+    topics, never override re-routed ones (the sink 'topic' option would
+    override every row)."""
+    from kafka_connect_jsonata_spark.sources.kafka import apply_default_topic
+
+    df = spark.createDataFrame(
+        [("rerouted", b"k"), (None, b"k2")], "topic string, key binary"
+    )
+    out = apply_default_topic(df, "fallback")
+    got = sorted(r["topic"] for r in out.collect())
+    assert got == ["fallback", "rerouted"]
+    # no default: passthrough unchanged
+    assert apply_default_topic(df, None) is df

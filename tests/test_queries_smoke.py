@@ -148,3 +148,21 @@ def test_hash_sampling_properties(spark):
     # a different salt reshuffles membership
     other = {r["id"] for r in hash_sample(df, "id", 0.10, salt="v2").collect()}
     assert other != s10
+
+
+def test_load_table_session_portable(spark, sf_dir):
+    """Regression (round-1 verdict): load_table must work on sessions NOT
+    built by engine.get_spark — the external harness hands us a vanilla
+    session and events.parquet is TIMESTAMP(NANOS). load_table must set
+    nanosAsLong itself at read time."""
+    from pyspark.sql.types import TimestampType
+
+    from kafka_connect_jsonata_spark.sources.readers import load_table
+
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try:
+        df = load_table(spark, sf_dir, "events")
+        assert isinstance(df.schema["ts"].dataType, TimestampType)
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

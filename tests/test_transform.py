@@ -327,3 +327,58 @@ def test_compiled_sort_each_spread(spark):
     data = {"items": [{"p": 3.0, "q": 1}, {"p": 1.0, "q": 2}, {"p": 1.0, "q": 9}]}
     got = Jsonata("items^(p, >q)").evaluate(data)
     assert [(d["p"], d["q"]) for d in got] == [(1.0, 9), (1.0, 2), (3.0, 1)]
+
+
+def test_split_limit_tier_equivalence(people):
+    """Regression (round-1 advice): compiled $split must truncate the result
+    array like JSONata, not keep the remainder like Spark's split limit."""
+    exprs = [
+        "{'f': first, 'p': $split(email, '@')}",
+        "{'f': first, 'p': $split('a,b,c', ',', 2)}",
+        "{'f': first, 'p': $split('a,b,c', ',', 0)}",
+        "{'f': first, 'p': $split(email, /[@.]/, 2)}",
+    ]
+    for expr in exprs:
+        compiled = transform(people, expr, force_tier="compiled")
+        interp = transform(
+            people, expr, force_tier="interpreter", output_schema=compiled.schema
+        )
+        c = sorted([(r["f"], tuple(r["p"])) for r in compiled.collect()])
+        i = sorted([(r["f"], tuple(r["p"])) for r in interp.collect()])
+        assert c == i, f"tier divergence for {expr!r}: {c} != {i}"
+
+
+def test_split_negative_limit_not_compilable(people):
+    with pytest.raises(NotCompilable):
+        from kafka_connect_jsonata_spark.jsonata.compiler import compile_expression
+
+        compile_expression("$split('a,b', ',', -1)", people.schema)
+
+
+def test_referenced_roots_zero_arg_calls(people):
+    """Regression (round-1 advice): zero-arg / lambda-first calls read the
+    context implicitly, so column pruning must keep everything."""
+    from kafka_connect_jsonata_spark.jsonata.parser import parse
+    from kafka_connect_jsonata_spark.transform import referenced_roots
+
+    assert referenced_roots(parse("$spread()")) is None
+    assert referenced_roots(parse("$keys()")) is None
+    assert referenced_roots(parse("$string()")) is None
+    # lambda-first HOF call: context is the implicit sequence
+    assert referenced_roots(parse("$map(function($x){$x.a})")) is None
+    # ordinary explicit-argument calls still prune
+    assert referenced_roots(parse("{'n': $uppercase(first)}")) == {"first"}
+
+
+def test_spread_zero_arg_interpreter(spark):
+    """End-to-end: $spread() over the row context must see the row columns
+    (it previously evaluated against a pruned {'__ctx': 1})."""
+    df = spark.createDataFrame([(1, "x")], "a int, b string")
+    out = transform(
+        df,
+        "$count($spread())",
+        force_tier="interpreter",
+        output_schema=T.LongType(),
+    )
+    vals = [r[0] for r in out.collect()]
+    assert vals == [2]
