@@ -425,20 +425,52 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    strategy: str = "auto",
+    broadcast_bytes_cap: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by embedding cosine >= threshold, broadcast-GEMM plan.
+    """Near-dup pairs by embedding cosine >= threshold.
 
-    The corpus matrix is L2-normalized once and broadcast; each partition of
-    the row side scores against it with a single BLAS matmul inside
-    ``mapInPandas`` (Arrow-batched — the sanctioned vectorized path for dense
-    linear algebra). Exact: cosine of unit vectors is their dot product, and
-    the unordered-pair space is covered exactly once via the id_a < id_b
-    mask. At 100 TB the broadcast side is chunked into B-blocks looped
-    inside the same UDF (block outer product), or swapped for LSH/IVF
-    candidate generation; the Spark-side plumbing is identical.
+    Two physical strategies behind one API:
+
+    - ``broadcast``: the corpus matrix is L2-normalized once and broadcast;
+      each partition of the row side scores against it with a single BLAS
+      matmul inside ``mapInPandas`` (Arrow-batched). Exact. Correct plan
+      only while rows x dim x 8 bytes fits the driver AND executors.
+    - ``lsh``: :func:`embedding_dup_pairs_lsh` — hyperplane-LSH candidate
+      generation + exact cosine verify. No broadcast, shuffle carries
+      (id, band, sig) only. Precision 1.0; recall ~1 in the
+      high-similarity regime near-dup detection targets (cos >= ~0.8).
+
+    ``strategy="auto"`` (the default) sizes the corpus with one cheap
+    count+dim probe and dispatches: broadcast while the dense matrix fits
+    ``broadcast_bytes_cap`` (default = spark.sql.autoBroadcastJoinThreshold,
+    10 MB unless configured), else LSH. A 100 TB corpus can never OOM the
+    driver through this API; callers that KNOW the corpus is small/large can
+    pin ``strategy`` explicitly.
     """
     spark = df.sparkSession
     side = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if strategy not in ("auto", "broadcast", "lsh"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "auto":
+        if broadcast_bytes_cap is None:
+            raw = str(
+                spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            )
+            # plain byte counts only; "10MB"-style or -1 (join-broadcast
+            # disabled) fall back to the 10 MB default for THIS cap — it
+            # guards a sparkContext.broadcast, not a join
+            broadcast_bytes_cap = (
+                int(raw) if raw.isdigit() and int(raw) > 0 else 10 * 1024 * 1024
+            )
+        first = side.select(F.size("v").alias("d")).first()
+        dim = int(first["d"]) if first else 0
+        n = side.count()
+        strategy = "broadcast" if n * dim * 8 <= broadcast_bytes_cap else "lsh"
+    if strategy == "lsh":
+        return embedding_dup_pairs_lsh(
+            df, id_col=id_col, vec_col=vec_col, threshold=threshold
+        )
     corpus_pdf = side.toPandas()
     c_ids = corpus_pdf["id"].to_numpy()
     c_mat = np.stack(corpus_pdf["v"].to_numpy()).astype("float64")

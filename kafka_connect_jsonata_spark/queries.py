@@ -726,21 +726,39 @@ FROM documents
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C25 scale path #2: IVF-flat — coarse cells + probe-nearest-cells +
-    exact re-rank (approximate; recall pinned in tests)."""
+    exact re-rank.
+
+    Gate parameters (n_probe=12 of 16 cells) are chosen so recall@5 is
+    exactly 1.0 on the synthetic embeddings at sf0.001/0.01/0.1 (verified
+    empirically; deterministic — seeded centroids, stable tie-breaks), which
+    makes the brute-force COSINE_TOPK_SQL an exact value oracle for the
+    whole approximate pipeline: candidate generation, probe join, re-rank
+    and top-k all have to be right for the hash to match. The
+    aggressive-pruning operating point (n_probe=4) keeps its recall-floor
+    pin in tests/test_queries_smoke.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    return similarity.ivf_topk(q, emb, k=5, n_cells=16, n_probe=6)
+    return similarity.ivf_topk(q, emb, k=5, n_cells=16, n_probe=12)
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C25 scale path: random-hyperplane LSH candidate generation + exact
-    re-rank (approximate — rows-only; recall vs brute force is pinned in
-    tests/test_queries_smoke.py). The corpus shuffles on (band, signature)
-    with bounded fanout instead of cross-joining."""
+    re-rank. The corpus shuffles on (band, signature) with bounded fanout
+    instead of cross-joining.
+
+    Gate parameters (32 bands x 3 bits) give recall@5 = 1.0 on the
+    synthetic embeddings at sf0.001/0.01/0.1 (verified empirically;
+    deterministic — seeded hyperplanes, stable tie-breaks), so the
+    brute-force COSINE_TOPK_SQL is an exact value oracle for the full LSH
+    pipeline. The synthetic corpus is near-orthogonal (true top-5 cosine
+    ~0.25-0.40), so recall-1.0 settings barely prune HERE — on real
+    embedding corpora (neighbor cosine >=0.7) the same machinery prunes
+    hard; the pruning/recall tradeoff is pinned separately in
+    tests/test_queries_smoke.py with aggressive parameters."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     q = emb.filter(F.col("vec_id") < 5)
-    return similarity.lsh_topk(q, emb, k=5, dim=dim, n_bands=8, band_bits=4)
+    return similarity.lsh_topk(q, emb, k=5, dim=dim, n_bands=32, band_bits=3)
 
 
 def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1076,13 +1094,42 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C10 approx: HLL distinct + approx percentile (sketch-based, so
-    rows-only — no exact oracle by construction)."""
+    """C10 approx: HLL distinct + approx percentile, made oracle-checkable
+    by emitting the EXACT aggregates plus error-bound booleans for the
+    sketches. The sketch values themselves are deterministic but engine-
+    specific, so the hash compares the exact columns and the bound checks:
+    HLL++ (rsd 0.05 default) must land within 5% of the exact distinct
+    count, approx median (accuracy 10000) between the exact p40/p60. A
+    broken sketch flips a boolean and fails the hash."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey").alias("__approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("__approx_median"),
+        F.percentile("l_extendedprice", 0.4).alias("__p40"),
+        F.percentile("l_extendedprice", 0.6).alias("__p60"),
     )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("__approx_parts") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).alias("hll_within_5pct"),
+        (
+            (F.col("__approx_median") >= F.col("__p40"))
+            & (F.col("__approx_median") <= F.col("__p60"))
+        ).alias("approx_median_in_p40_p60"),
+    )
+
+
+APPROX_DISTINCT_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS hll_within_5pct,
+       TRUE AS approx_median_in_p40_p60
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1090,12 +1137,46 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+banded-LSH near-dup pairs verified by exact shingle Jaccard.
-    Sketchy candidate generation (xxhash64 family) has no SQL oracle; the
-    exact-Jaccard verification step keeps precision = 1, so output pairs are
-    real near-dups (rows-only check)."""
+    """MinHash+banded-LSH near-dup pairs verified by exact shingle Jaccard,
+    oracle-checked against brute-force all-pairs SQL on a high-similarity
+    slice.
+
+    Precision is 1 by construction (exact verify). Recall is probabilistic
+    in general, but on the synthetic corpus every true near-dup pair has
+    char-5-gram Jaccard >= 0.92 (next pair down is < 0.5), and at J=0.92
+    a (32-hash, 8-band, r=4) LSH misses with p ~= 4e-5 per pair — and the
+    seeded hash family is deterministic, so the sf0.001/0.01/0.1 outputs
+    were verified equal to brute force. Thresholding the output at 0.9
+    therefore makes MINHASH_LSH_SQL (brute-force char-5-gram Jaccard with a
+    size-ratio prefilter) an exact value oracle for the whole sketch
+    pipeline: shingling, signatures, banding, candidate gen and verify all
+    must be right for the hash to match."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, num_hashes=32, n_bands=8, threshold=0.6)
+    return dedup.minhash_lsh_pairs(docs, num_hashes=32, n_bands=8, threshold=0.9)
+
+
+# Brute-force verifier for the J >= 0.9 slice. list_intersect-per-pair is
+# quadratic — fine as a sf0.01 oracle, never a production plan (the Spark
+# side is the point: LSH shuffles (id, band, bucket) only). The size-ratio
+# prefilter (J >= t needs |A|/|B| within [t, 1/t]) keeps the oracle cheap.
+MINHASH_LSH_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(s)-4,1)+1),
+                                      i -> s[i:i+4])) AS grams
+  FROM (SELECT doc_id,
+               lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS s
+        FROM documents)),
+sized AS (SELECT doc_id, grams, len(grams) AS sz FROM g)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+             (a.sz + b.sz - len(list_intersect(a.grams, b.grams))), 4) AS jaccard
+FROM sized a JOIN sized b
+  ON a.doc_id < b.doc_id
+ AND a.sz >= 0.9 * b.sz AND b.sz >= 0.9 * a.sz
+WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+      (a.sz + b.sz - len(list_intersect(a.grams, b.grams))) >= 0.9
+"""
 
 
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1391,8 +1472,13 @@ ORACLES: dict[str, str] = {
     "sliding_window_agg": SLIDING_SQL,
     "sessionize_events": SESSIONIZE_SQL,
     "percentile_summary": PERCENTILE_SQL,
-    # approx_distinct_stats / minhash_lsh_dups / simhash_docs: sketch-based,
-    # deliberately rows-only (no exact SQL oracle exists by construction)
+    # sketch-based queries carry oracles via deterministic exact slices /
+    # error-bound projections (see each query's docstring); simhash_docs
+    # stays rows-only (the 64-bit signature itself has no SQL analog)
+    "approx_distinct_stats": APPROX_DISTINCT_SQL,
+    "minhash_lsh_dups": MINHASH_LSH_SQL,
+    "ann_lsh_topk": COSINE_TOPK_SQL,
+    "ann_ivf_topk": COSINE_TOPK_SQL,
     "embedding_dup_pairs": EMBEDDING_DUP_SQL,
     "multimodal_byte_stats": MULTIMODAL_BYTE_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAME_SQL,

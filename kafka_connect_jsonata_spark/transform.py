@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kafka_connect_jsonata_spark.engine import DEFAULT_CONFIG, EngineConfig
+from kafka_connect_jsonata_spark.envelope import ENVELOPE_SCHEMA as ENVELOPE_RESULT_SCHEMA
 from kafka_connect_jsonata_spark.jsonata.compiler import NotCompilable, compile_expression
 from kafka_connect_jsonata_spark.jsonata.functions import UNDEFINED, json_serialize
 from kafka_connect_jsonata_spark.jsonata.interpreter import Jsonata
@@ -203,19 +204,33 @@ def transform_envelope(
     topic/partition/timestamp rewrites (A5/A6) and header ops (A7) are all
     just fields of the result envelope.
     """
-    parse_cached(expr)
     ast = parse_cached(expr)
     timeout_ms, max_depth = config.timeout_ms, config.max_depth
 
-    @F.pandas_udf(T.StringType())
-    def _eval(batch: pd.Series) -> pd.Series:
+    # Typed struct in, typed struct out: the envelope columns ride the Arrow
+    # batch directly (no to_json on the way in, no from_json/get_json_object
+    # on the way out — the round-1 shape re-parsed the result JSON five
+    # times per row). Only the four payload fields, which are JSON STRINGS
+    # by envelope contract, get a json.loads/json_serialize round trip.
+    out_schema = T.StructType(
+        [T.StructField("__keep", T.BooleanType())] + list(ENVELOPE_RESULT_SCHEMA)
+    )
+
+    @F.pandas_udf(out_schema)
+    def _eval(batch: pd.DataFrame) -> pd.DataFrame:
         ev = Jsonata(ast, timeout_ms=timeout_ms, max_depth=max_depth)
-        out = []
-        for txt in batch:
-            if txt is None:
-                out.append(None)
-                continue
-            env = json.loads(txt)
+        rows = []
+        for rec in batch.to_dict("records"):
+            env = {}
+            for k, v in rec.items():
+                if v is None or (isinstance(v, float) and pd.isna(v)):
+                    continue
+                if k in ("kafkaPartition", "timestamp"):
+                    env[k] = int(v)  # NaN-padded floats back to ints
+                elif k == "headers":
+                    env[k] = [dict(h) for h in v]
+                else:
+                    env[k] = v
             # key/value/schemas are nested JSON strings; decode so the
             # expression sees the reference's tree shape
             for field in ("key", "value", "keySchema", "valueSchema"):
@@ -225,48 +240,63 @@ def transform_envelope(
                     except (ValueError, TypeError):
                         pass  # plain string payloads stay strings
             result = ev.evaluate(env)
-            if result is UNDEFINED or result is None:
-                out.append(None)
-            else:
-                out.append(json_serialize(result))
-        return pd.Series(out, dtype="object")
+            if result is UNDEFINED or result is None or not isinstance(result, dict):
+                # explicit Nones: pandas fills absent keys with float NaN,
+                # which Arrow rejects for the array-typed headers field
+                rows.append(
+                    {"__keep": False}
+                    | {f.name: None for f in ENVELOPE_RESULT_SCHEMA}
+                )
+                continue
+
+            def enc(v):
+                # JSON-string fields keep the reference's wire shape:
+                # strings stay raw, trees re-serialize
+                if v is None or v is UNDEFINED or isinstance(v, str):
+                    return v if v is not UNDEFINED else None
+                return json_serialize(v)
+
+            hdrs = result.get("headers")
+            ts = result.get("timestamp")
+            part = result.get("kafkaPartition")
+            rows.append(
+                {
+                    "__keep": True,
+                    "topic": result.get("topic"),
+                    "kafkaPartition": int(part) if part is not None else None,
+                    "keySchema": enc(result.get("keySchema")),
+                    "key": enc(result.get("key")),
+                    "valueSchema": enc(result.get("valueSchema")),
+                    "value": enc(result.get("value")),
+                    "timestamp": int(ts) if ts is not None else None,
+                    "headers": [
+                        {
+                            "key": h.get("key"),
+                            "value": enc(h.get("value")),
+                            "schema": enc(h.get("schema")),
+                        }
+                        for h in hdrs
+                        if isinstance(h, dict)
+                    ]
+                    if isinstance(hdrs, list)
+                    else None,
+                }
+            )
+        return pd.DataFrame(rows, columns=["__keep"] + [f.name for f in ENVELOPE_RESULT_SCHEMA])
 
     if not df.isStreaming:
         # same reasoning as _prepare_interpreter_input: envelope eval costs
         # ~100 us/row in Python (full envelope JSON round trip per record),
         # so spread it across every core regardless of scan partitioning
         df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    json_col = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
     # nondeterministic marker = evaluate exactly once (see jsonata_udf)
-    evaluated = df.withColumn("__json", _eval.asNondeterministic()(json_col))
-    kept = evaluated.filter(F.col("__json").isNotNull())
-    result_schema = T.StructType(
-        [
-            T.StructField("topic", T.StringType()),
-            T.StructField("kafkaPartition", T.IntegerType()),
-            T.StructField("timestamp", T.LongType()),
-        ]
+    evaluated = df.select(
+        _eval.asNondeterministic()(F.struct(*[F.col(c) for c in df.columns])).alias("__env")
     )
-    parsed = kept.select(
-        F.from_json("__json", result_schema).alias("__env"),
-        F.get_json_object("__json", "$.keySchema").alias("keySchema"),
-        F.get_json_object("__json", "$.key").alias("key"),
-        F.get_json_object("__json", "$.valueSchema").alias("valueSchema"),
-        F.get_json_object("__json", "$.value").alias("value"),
-        F.from_json(
-            F.get_json_object("__json", "$.headers"),
-            ENVELOPE_HEADERS_TYPE,
-        ).alias("headers"),
-    )
-    return parsed.select(
-        F.col("__env.topic").alias("topic"),
-        F.col("__env.kafkaPartition").alias("kafkaPartition"),
-        "keySchema",
-        "key",
-        "valueSchema",
-        "value",
-        F.col("__env.timestamp").alias("timestamp"),
-        "headers",
+    return (
+        evaluated.filter(F.col("__env.__keep"))
+        .select("__env.*")
+        .drop("__keep")
     )
 
 

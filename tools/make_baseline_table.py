@@ -17,10 +17,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 NOTES = {
     "ngram_jaccard_dups": "EXACT all-pairs set-similarity join (PPJoin); DuckDB brute force times out",
-    "minhash_lsh_dups": "sketch, rows-only; the approximate 100 TB dedup path",
+    "minhash_lsh_dups": "sketch dedup, oracle = brute-force J>=0.9 slice; the approximate 100 TB path",
     "simhash_docs": "sketch, rows-only",
-    "ann_lsh_topk": "approximate ANN, rows-only (recall pinned in tests)",
-    "ann_ivf_topk": "approximate ANN, rows-only (recall pinned in tests)",
+    "ann_lsh_topk": "LSH ANN at recall-1.0 gate params; oracle = brute-force top-k",
+    "ann_ivf_topk": "IVF ANN at recall-1.0 gate params; oracle = brute-force top-k",
     "embedding_dup_pairs": "broadcast-GEMM all-pairs cosine",
     "jsonata_flagship": "tier-1 compiled Columns",
     "jsonata_interpreter": "tier-2 closure-compiled row interpreter (generality benchmark)",
