@@ -150,3 +150,46 @@ def test_jsonata_sift_merge_drives_column_pruning(spark, sf_dir):
     assert rs is not None
     read_cols = {c.split(":")[0] for c in rs.group(1).split(",")}
     assert read_cols == {"c_custkey", "c_name", "c_acctbal", "c_mktsegment"}
+
+
+def test_interpreter_repartition_is_conditional(spark, sf_dir, tmp_path):
+    """Round-1 verdict #6: the interpreter-tier spread repartition must not
+    full-shuffle an input whose scan is already wide (>= parallelism files);
+    narrow single-file scans keep the spread."""
+    from pyspark.sql import types as T
+
+    from kafka_connect_jsonata_spark.transform import transform
+
+    par = spark.sparkContext.defaultParallelism
+    wide_dir = str(tmp_path / "wide")
+    spark.range(10000).selectExpr("id", "cast(id as string) AS txt").repartition(
+        par * 2
+    ).write.parquet(wide_dir)
+    out_schema = T.StructType([T.StructField("n", T.LongType())])
+
+    wide = transform(
+        spark.read.parquet(wide_dir),
+        "{'n': $count(**)}",  # ** is NotCompilable -> interpreter tier
+        output_schema=out_schema,
+    )
+    assert "Exchange RoundRobinPartitioning" not in plan_of(wide)
+    assert wide.count() == 10000
+
+    narrow_dir = str(tmp_path / "narrow")
+    spark.range(100).selectExpr("id", "cast(id as string) AS txt").coalesce(
+        1
+    ).write.parquet(narrow_dir)
+    narrow = transform(
+        spark.read.parquet(narrow_dir), "{'n': $count(**)}", output_schema=out_schema
+    )
+    assert "Exchange RoundRobinPartitioning" in plan_of(narrow)
+
+    # conf escape hatch
+    spark.conf.set("spark.jsonataspark.interpreter.repartition", "never")
+    try:
+        forced = transform(
+            spark.read.parquet(narrow_dir), "{'n': $count(**)}", output_schema=out_schema
+        )
+        assert "Exchange RoundRobinPartitioning" not in plan_of(forced)
+    finally:
+        spark.conf.unset("spark.jsonataspark.interpreter.repartition")

@@ -198,3 +198,32 @@ def test_embedding_dup_pairs_auto_dispatch(spark):
     assert {(r["id_a"], r["id_b"]) for r in bc.collect()} == {
         (r["id_a"], r["id_b"]) for r in lsh.collect()
     }
+
+
+def test_barrier_reliable_mode(spark, tmp_path):
+    """Round-1 verdict #7: dedup barriers must be switchable from
+    executor-local checkpoints to reliable ones for cluster mode."""
+    from kafka_connect_jsonata_spark.functions.dedup import (
+        barrier,
+        dup_groups_from_pairs,
+    )
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    spark.conf.set("spark.jsonataspark.checkpoint", "reliable")
+    try:
+        df = barrier(spark.range(10))
+        assert df.count() == 10
+        assert df._jdf.queryExecution().optimizedPlan().toString().startswith(
+            "LogicalRDD"
+        )  # lineage truncated through the RELIABLE checkpoint
+        import os
+
+        assert any(os.scandir(str(tmp_path / "ckpt")))  # files actually written
+        # an iterative pipeline end-to-end under reliable mode
+        pairs = spark.createDataFrame(
+            [(10, 2), (2, 30), (50, 60)], "id_a bigint, id_b bigint"
+        )
+        out = {r["doc_id"]: r["group_id"] for r in dup_groups_from_pairs(pairs).collect()}
+        assert out == {10: 2, 2: 2, 30: 2, 50: 50, 60: 50}
+    finally:
+        spark.conf.unset("spark.jsonataspark.checkpoint")
