@@ -61,6 +61,7 @@ HEADLINE = [
     "multimodal_frame_sample",
     "jsonata_flagship",
     "jsonata_datetime_array_ops",
+    "jsonata_picture_format",
     "jsonata_object_ops",
     "udtf_explode_tokens",
     "jsonata_interpreter",

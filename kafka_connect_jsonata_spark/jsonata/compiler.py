@@ -27,6 +27,7 @@ $match index reporting, $replace with limit or group refs.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import Column
@@ -426,6 +427,33 @@ class Compiler:
         radix = a[1].col if len(a) > 1 else F.lit(10)
         return Typed(F.lower(F.conv(a[0].col.cast("long").cast("string"), 10, radix.cast("int"))), T.StringType())
 
+    def _fn_formatNumber(self, a, ctx, env, raw):
+        # Common-picture subset (the '#,##0.00' family JSONata4Java users
+        # hit constantly) compiles to native format_number: same 3-digit
+        # grouping, same minimum-one-integer-digit, and java.text
+        # .DecimalFormat's HALF_EVEN matches the interpreter's Decimal
+        # quantize (functions.py fn_format_number). Everything else —
+        # options argument, %, per-mille, pos;neg split, exotic grouping —
+        # stays tier 2.
+        if len(a) != 2 or raw[1].get("type") != "string":
+            raise NotCompilable("$formatNumber with options/dynamic picture")
+        pic = raw[1]["value"]
+        m = re.fullmatch(r"#,##0(?:\.(0+))?", pic)
+        if m is None:
+            raise NotCompilable(f"$formatNumber picture {pic!r}")
+        # round the SHORTEST DECIMAL REPR, not the binary double: double ->
+        # string gives the shortest repr, -> decimal makes it exact, and
+        # format_number's DecimalFormat HALF_EVENs that — matching the
+        # interpreter's Decimal(repr(x)).quantize (and jsonata-js, which
+        # also formats from the decimal repr). format_number directly on
+        # the double would round 42.555 (binary 42.55499..) DOWN where
+        # both reference tiers round up.
+        as_decimal = self._num(a[0]).cast("string").cast("decimal(38,15)")
+        return Typed(
+            F.format_number(as_decimal, len(m.group(1) or "")),
+            T.StringType(),
+        )
+
     def _fn_sum(self, a, ctx, env, raw):
         return Typed(
             F.aggregate(a[0].col, F.lit(0.0), lambda acc, x: acc + x.cast("double")),
@@ -703,10 +731,64 @@ class Compiler:
     def _fn_base64decode(self, a, ctx, env, raw):
         return Typed(F.unbase64(a[0].col).cast("string"), T.StringType())
 
+    # explicitly-padded picture components (the ISO-style pictures users
+    # write) -> java.text format letters; unpadded/named/ordinal components
+    # and timezone args stay tier 2
+    _DT_PICTURE_COMPONENTS = {
+        "Y0001": "yyyy",
+        "M01": "MM",
+        "D01": "dd",
+        "H01": "HH",
+        "m01": "mm",
+        "s01": "ss",
+        "f001": "SSS",
+    }
+
+    def _compile_dt_picture(self, pic: str) -> str:
+        """JSONata/XPath datetime picture -> Spark date_format pattern.
+        Raises NotCompilable outside the padded-component subset."""
+        out = []
+        i = 0
+        while i < len(pic):
+            c = pic[i]
+            if c == "[":
+                if pic.startswith("[[", i):
+                    out.append("'['")
+                    i += 2
+                    continue
+                end = pic.find("]", i)
+                if end < 0:
+                    raise NotCompilable("unterminated datetime picture component")
+                comp = pic[i + 1 : end].replace(" ", "")
+                java = self._DT_PICTURE_COMPONENTS.get(comp)
+                if java is None:
+                    raise NotCompilable(f"datetime picture component [{comp}]")
+                out.append(java)
+                i = end + 1
+            elif c == "]":
+                if pic.startswith("]]", i):
+                    out.append("']'")
+                    i += 2
+                else:
+                    i += 1
+            else:
+                # literal run: quote so date_format can't interpret letters
+                j = i
+                while j < len(pic) and pic[j] not in "[]":
+                    j += 1
+                out.append("'" + pic[i:j].replace("'", "''") + "'")
+                i = j
+        return "".join(out)
+
     def _fn_fromMillis(self, a, ctx, env, raw):
-        if len(a) > 1:
-            raise NotCompilable("$fromMillis picture strings")
+        if len(a) > 2:
+            raise NotCompilable("$fromMillis with timezone")
         ts = F.timestamp_millis(a[0].col.cast("long"))
+        if len(a) == 2:
+            if raw[1].get("type") != "string":
+                raise NotCompilable("$fromMillis with dynamic picture")
+            pattern = self._compile_dt_picture(raw[1]["value"])
+            return Typed(F.date_format(ts, pattern), T.StringType())
         return Typed(
             F.concat(F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSS"), F.lit("Z")),
             T.StringType(),

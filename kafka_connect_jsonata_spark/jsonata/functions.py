@@ -605,7 +605,10 @@ def fn_format_number(ev, n=UNDEFINED, picture=UNDEFINED, options=UNDEFINED):
     q = Decimal(repr(float(value))).quantize(
         Decimal(1).scaleb(-max_frac), rounding=ROUND_HALF_EVEN
     )
-    neg = q < 0
+    # is_signed, not < 0: a negative value rounding to zero keeps its minus
+    # sign ("-0.00"), matching java.text.DecimalFormat — what the reference
+    # (JSONata4Java) emits — and XPath fn:format-number's negative zero
+    neg = q.is_signed()
     q = abs(q)
     s = format(q, "f")
     if "." in s:

@@ -1307,6 +1307,38 @@ FROM events
 """
 
 
+def jsonata_picture_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compiled picture strings (round-1 verdict #8): $formatNumber's
+    '#,##0.00' family -> native format_number, $fromMillis with padded
+    components -> native date_format. Pure Catalyst projection, no Python.
+
+    Amounts are constructed as event_id + 0.25 (exact binary fraction) so
+    the DuckDB oracle can form the expected string from integer grouping —
+    float grouping is unsupported there — while the Spark side exercises
+    the real format_number path."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_ms", F.unix_millis(F.col("ts"))
+    ).withColumn("amount", F.col("event_id") + F.lit(0.25))
+    expr = (
+        "{'event_id': event_id,"
+        " 'amount_fmt': $formatNumber(amount, '#,##0.00'),"
+        " 'amount_int': $formatNumber(amount, '#,##0'),"
+        " 'day': $fromMillis(ts_ms, '[Y0001]-[M01]-[D01]'),"
+        " 'minute': $fromMillis(ts_ms, '[D01]/[M01]/[Y0001] [H01]:[m01]')}"
+    )
+    return transform(ev, expr, force_tier="compiled")
+
+
+JSONATA_PICTURE_SQL = """
+SELECT event_id,
+       format('{:,}', event_id) || '.25' AS amount_fmt,
+       format('{:,}', event_id) AS amount_int,
+       strftime(ts, '%Y-%m-%d') AS day,
+       strftime(ts, '%d/%m/%Y %H:%M') AS minute
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal: opaque binary payload columns + Arrow-batched decode stages
 # ---------------------------------------------------------------------------
@@ -1411,6 +1443,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jsonata_interpreter": jsonata_interpreter,
     "jsonata_string_ops": jsonata_string_ops,
     "jsonata_datetime_array_ops": jsonata_datetime_array_ops,
+    "jsonata_picture_format": jsonata_picture_format,
     "tumbling_window_agg": tumbling_window_agg,
     "sliding_window_agg": sliding_window_agg,
     "sessionize_events": sessionize_events,
@@ -1468,6 +1501,7 @@ ORACLES: dict[str, str] = {
     "jsonata_interpreter": JSONATA_FLAGSHIP_SQL,
     "jsonata_string_ops": JSONATA_STRING_OPS_SQL,
     "jsonata_datetime_array_ops": JSONATA_DATETIME_SQL,
+    "jsonata_picture_format": JSONATA_PICTURE_SQL,
     "tumbling_window_agg": TUMBLING_SQL,
     "sliding_window_agg": SLIDING_SQL,
     "sessionize_events": SESSIONIZE_SQL,

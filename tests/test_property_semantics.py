@@ -129,3 +129,77 @@ def test_tier_equivalence_generated(spark, expr):
     c = sorted(map(tuple, compiled.collect()))
     i = sorted(map(tuple, interp.collect()))
     assert c == i, f"tier divergence for {expr!r}: {c} != {i}"
+
+
+_PICTURE_EXPRS = [
+    "$formatNumber(x, '#,##0.00')",
+    "$formatNumber(x, '#,##0')",
+    "$formatNumber(x, '#,##0.0000')",
+    "$fromMillis(ms, '[Y0001]-[M01]-[D01]')",
+    "$fromMillis(ms, '[Y0001]-[M01]-[D01]T[H01]:[m01]:[s01].[f001]Z')",
+    "$fromMillis(ms, '[D01]/[M01]/[Y0001] [H01]:[m01]')",
+]
+
+
+@pytest.mark.parametrize("expr", _PICTURE_EXPRS)
+def test_picture_string_tier_equivalence(spark, expr):
+    """Round-1 verdict #8: the compiled picture-string subset
+    ($formatNumber '#,##0.00' family, $fromMillis padded components) must
+    match the interpreter value-for-value — including repr-tie rounding
+    (42.555 rounds UP in both tiers: shortest-decimal-repr HALF_EVEN)."""
+    from pyspark.sql import types as T
+
+    from kafka_connect_jsonata_spark.jsonata.compiler import compile_expression
+    from kafka_connect_jsonata_spark.transform import transform
+
+    schema = T.StructType(
+        [T.StructField("x", T.DoubleType()), T.StructField("ms", T.LongType())]
+    )
+    compile_expression(expr, schema)  # must be tier 1, not a silent fallback
+
+    rows = [
+        (-42.555, 0),
+        (2.675, 1_700_000_000_123),
+        (0.125, 86_400_000),
+        (1234567.891, 1_712_345_678_901),
+        (0.0, 999),
+        (-0.004, 1_000_000_000_000),
+        # exact binary fractions: true HALF_EVEN ties in both tiers
+        (10.375, 123_456_789),
+        (10.125, 987_654_321_000),
+    ]
+    df = spark.createDataFrame(rows, "x double, ms long")
+    compiled = transform(df, expr, force_tier="compiled")
+    out_schema = (
+        compiled.schema["value"].dataType
+        if compiled.columns == ["value"]
+        else compiled.schema
+    )
+    interp = transform(df, expr, force_tier="interpreter", output_schema=out_schema)
+    c = sorted(map(tuple, compiled.collect()))
+    i = sorted(map(tuple, interp.collect()))
+    assert c == i, f"tier divergence for {expr!r}: {c} != {i}"
+
+
+def test_picture_string_fallbacks_not_compilable(spark):
+    """Outside the subset -> tier 2, never a wrong compiled answer."""
+    from kafka_connect_jsonata_spark.jsonata.compiler import (
+        NotCompilable,
+        compile_expression,
+    )
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("x", T.DoubleType()), T.StructField("ms", T.LongType())]
+    )
+    for expr in (
+        "$formatNumber(x, '00.0')",        # exotic min-int padding
+        "$formatNumber(x, '#,##0.00;(#,##0.00)')",  # pos;neg split
+        "$formatNumber(x, '#,##0%', {})",  # options argument
+        "$fromMillis(ms, '[M]/[D]/[Y]')",  # unpadded components
+        "$fromMillis(ms, '[F0]')",         # unsupported component
+        "$fromMillis(ms, '[Y0001]', 'America/New_York')",  # timezone
+    ):
+        with pytest.raises(NotCompilable):
+            compile_expression(expr, schema)
