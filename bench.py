@@ -81,12 +81,20 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = Q.QUERIES[name]
-        best = float("inf")
+        # best-of-2, plus up to 2 extra runs while the samples disagree by
+        # >1.4x — co-tenant CPU spikes on this shared host inflate single
+        # runs by 2-10x (BASELINE.md), and a spike can hit both of two
+        # back-to-back runs; disagreement is the cheap detector for it.
+        runs: list[float] = []
         for _ in range(2):
             t0 = time.time()
             fn(spark, sf_dir).count()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        while len(runs) < 4 and max(runs) > 1.4 * min(runs):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
