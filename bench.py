@@ -46,6 +46,9 @@ HEADLINE = [
     "dedup_exact_docs",
     "hash_sample_docs",
     "hash_split_counts",
+    "stratified_sample_docs",
+    "bm25_search",
+    "embedding_quantize_stats",
     "cosine_topk_bruteforce",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -43,6 +43,42 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def l2_normalize(a: Column) -> Column:
+    """Unit-normalize an array<numeric> column (NULL-safe: zero vectors
+    stay zero). Pure Column math — normalizing up front turns every
+    downstream cosine into a plain dot product, the standard prep step
+    before ANN indexing or embedding dedup."""
+    n = l2_norm(a)
+    return F.when(n == 0.0, F.transform(a, lambda x: x.cast("double"))).otherwise(
+        F.transform(a, lambda x: x.cast("double") / n)
+    )
+
+
+def quantize_int8(a: Column) -> Column:
+    """Symmetric max-abs int8 quantization of an array<numeric> column:
+    each component maps to round(x / max|x| * 127), an int in [-127, 127].
+    4x smaller than float32 at ~0.4% max component error — the standard
+    storage/bandwidth reduction for embedding corpora at scale. Zero
+    vectors quantize to zeros. JVM-side Column math; pair with
+    ``dequantize_int8`` (store max|x| alongside) to recover floats."""
+    scale = F.array_max(F.transform(a, lambda x: F.abs(x.cast("double"))))
+    return F.when(
+        scale == 0.0, F.transform(a, lambda x: F.lit(0).cast("int"))
+    ).otherwise(
+        F.transform(a, lambda x: F.round(x.cast("double") / scale * 127).cast("int"))
+    )
+
+
+def quantize_scale(a: Column) -> Column:
+    """The per-vector dequantization scale for ``quantize_int8``."""
+    return F.array_max(F.transform(a, lambda x: F.abs(x.cast("double")))) / 127.0
+
+
+def dequantize_int8(q: Column, scale: Column) -> Column:
+    """Recover approximate floats from ``quantize_int8`` output."""
+    return F.transform(q, lambda x: x.cast("double") * scale)
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -120,6 +120,65 @@ def doc_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 keyword relevance of every document against a fixed query
+    (Robertson/Sparck Jones BM25, the Lucene/Elasticsearch default scoring).
+
+    Returns (id_col, score) for documents matching >= 1 query term.
+
+    Scale design — NO per-token shuffle. Because the query terms are known
+    at plan time, per-document tf and dl are computed map-side from the
+    token array (``size(filter(tokens, = term))``), so the corpus is
+    scanned once with zero wide exchanges; the only aggregation is the
+    one-row corpus-stats reduce (N, sum dl, per-term document frequency),
+    which is map-side partial + broadcast back. Compare the textbook
+    explode -> groupBy(doc, term) formulation, which shuffles every token
+    of a 100 TB corpus. The per-term score sum is a static expression in
+    term order, so results are bit-reproducible (and oracle-exact vs the
+    same arithmetic in SQL).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = tokens(F.lower(F.col(text_col)))
+    dl = F.size(toks).alias("dl")
+    def _tf(term: str) -> Column:
+        # NB: a 2-arg lambda would be given (element, index) by F.filter
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    tf_cols = [_tf(t).alias(f"tf_{i}") for i, t in enumerate(query_terms)]
+    per_doc = df.select(F.col(id_col), dl, *tf_cols)
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    joined = per_doc.join(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        dfreq = F.col(f"df_{i}").cast("double")
+        idf = F.log((F.col("n_docs") - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        score = score + idf * tf * (k1 + 1.0) / (
+            tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl)
+        )
+    any_hit = None
+    for i in range(len(query_terms)):
+        hit = F.col(f"tf_{i}") > 0
+        any_hit = hit if any_hit is None else (any_hit | hit)
+    return joined.filter(any_hit).select(F.col(id_col), score.alias("score"))
+
+
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
 

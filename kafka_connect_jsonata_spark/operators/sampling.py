@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _HEX_SPACE = 16 ** 8  # resolution: first 8 hex chars (~4e9 buckets)
 
@@ -67,3 +68,34 @@ def hash_split(
         out[name] = df.filter(cond)
         acc += frac
     return out
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    n_per_group: int,
+    salt: str = "",
+) -> DataFrame:
+    """Keep a deterministic ``n_per_group`` rows from every ``group_col``
+    stratum: rows are ranked inside each group by their content-hash
+    position (uniform, reproducible) and the first n kept. The standard
+    way to balance a training mix (n docs per language/source/domain)
+    without RNG irreproducibility.
+
+    Scale: one shuffle, keyed by the stratum column. Bounded output per
+    group means reducers emit at most n rows no matter how skewed the
+    input; for a pathologically hot stratum the shuffle INPUT can still be
+    pre-thinned with ``hash_sample`` (composability: a hash_sample at
+    fraction f keeps exactly the first f of each group's hash order, so
+    sample-then-stratify selects the same rows as stratify alone whenever
+    f * group_size >= n).
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        hash_position(F.col(id_col), salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("__sample_rn", F.row_number().over(w))
+        .filter(F.col("__sample_rn") <= n_per_group)
+        .drop("__sample_rn")
+    )

@@ -834,6 +834,127 @@ FROM documents GROUP BY 1
 """
 
 
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-per-language stratified sample (training-mix
+    balancing). One shuffle keyed by the stratum; per-group output bounded
+    at n regardless of skew. Oracle: identical md5-order row_number."""
+    from kafka_connect_jsonata_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "doc_id", "lang", 5).select("doc_id", "lang")
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents) t
+WHERE rn <= 5
+"""
+
+
+_BM25_TERMS = ["spark", "vector", "stream"]
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C24 keyword relevance search: BM25 top-20 documents for a fixed
+    query. The plan has zero per-token shuffles — tf/dl are map-side
+    Column math over the token array, corpus stats one broadcast row
+    (functions/text.py:bm25_scores) — and the per-term score sum is a
+    static expression in term order, so the SQL oracle reproduces it
+    bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.bm25_scores(docs, _BM25_TERMS)
+    # distributed top-k (TakeOrderedAndProject) first; the single-partition
+    # rank window then only ever sees 20 rows
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(20)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", F.round("score", 4).alias("bm25"), "rank"
+    )
+
+
+_BM25_TOKS = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')"
+_BM25_TF = (
+    "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t = '{term}'))"
+)
+# Same arithmetic, same term order, same fold shapes as bm25_scores —
+# value-exact (k1=1.2, b=0.75; Spark ln == DuckDB ln on doubles).
+BM25_SQL = f"""
+WITH per_doc AS (
+  SELECT doc_id,
+         len({_BM25_TOKS}) AS dl,
+         {_BM25_TF.format(term="spark")} AS tf_0,
+         {_BM25_TF.format(term="vector")} AS tf_1,
+         {_BM25_TF.format(term="stream")} AS tf_2
+  FROM documents),
+stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+         sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+         sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+         sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+  FROM per_doc),
+scored AS (
+  SELECT doc_id,
+         (0.0
+          + ln((n_docs - CAST(df_0 AS DOUBLE) + 0.5) / (CAST(df_0 AS DOUBLE) + 0.5) + 1.0)
+            * CAST(tf_0 AS DOUBLE) * 2.2
+            / (CAST(tf_0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))
+          + ln((n_docs - CAST(df_1 AS DOUBLE) + 0.5) / (CAST(df_1 AS DOUBLE) + 0.5) + 1.0)
+            * CAST(tf_1 AS DOUBLE) * 2.2
+            / (CAST(tf_1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))
+          + ln((n_docs - CAST(df_2 AS DOUBLE) + 0.5) / (CAST(df_2 AS DOUBLE) + 0.5) + 1.0)
+            * CAST(tf_2 AS DOUBLE) * 2.2
+            / (CAST(tf_2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))
+         ) AS score
+  FROM per_doc CROSS JOIN stats
+  WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0)
+SELECT doc_id, round(score, 4) AS bm25, rank FROM (
+  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored) t
+WHERE rank <= 20
+"""
+
+
+def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C25 embedding storage prep: unit-normalize + symmetric int8
+    quantization, verified per vector by exact integer checksums. All
+    map-side Column math (functions/similarity.py) — no shuffle, no
+    Python."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    q = similarity.quantize_int8(v)
+    return emb.select(
+        "vec_id",
+        F.round(similarity.l2_norm(v), 4).alias("l2_before"),
+        F.round(similarity.l2_norm(similarity.l2_normalize(v)), 4).alias("l2_after"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("q8_sum"),
+        F.array_max(q).alias("q8_max"),
+        F.array_min(q).alias("q8_min"),
+    )
+
+
+_Q8 = (
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+    " / list_aggregate(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))), 'max')"
+    " * 127) AS INT))"
+)
+_NORM = (
+    "sqrt(list_reduce(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+    " (a, b) -> a + b))"
+)
+EMBEDDING_QUANTIZE_SQL = f"""
+SELECT vec_id,
+       round({_NORM.format(v="embedding")}, 4) AS l2_before,
+       round({_NORM.format(v=f"list_transform(embedding, e -> CAST(e AS DOUBLE) / {_NORM.format(v='embedding')})")}, 4) AS l2_after,
+       CAST(list_reduce({_Q8}, (a, b) -> a + b) AS BIGINT) AS q8_sum,
+       list_aggregate({_Q8}, 'max') AS q8_max,
+       list_aggregate({_Q8}, 'min') AS q8_min
+FROM embeddings
+"""
+
+
 def dedup_group_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C26 end-to-end: exact near-dup PAIRS -> connected-component GROUPS
     (canonical min-id per cluster) via iterative label propagation — the
@@ -1435,6 +1556,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_group_ids": dedup_group_ids,
     "hash_sample_docs": hash_sample_docs,
     "hash_split_counts": hash_split_counts,
+    "stratified_sample_docs": stratified_sample_docs,
+    "bm25_search": bm25_search,
+    "embedding_quantize_stats": embedding_quantize_stats,
     "skew_salted_join": skew_salted_join,
     "envelope_reroute": envelope_reroute,
     "jsonata_object_ops": jsonata_object_ops,
@@ -1493,6 +1617,9 @@ ORACLES: dict[str, str] = {
     "dedup_group_ids": DEDUP_GROUPS_SQL,
     "hash_sample_docs": HASH_SAMPLE_SQL,
     "hash_split_counts": HASH_SPLIT_SQL,
+    "stratified_sample_docs": STRATIFIED_SAMPLE_SQL,
+    "bm25_search": BM25_SQL,
+    "embedding_quantize_stats": EMBEDDING_QUANTIZE_SQL,
     "skew_salted_join": SKEW_SALTED_JOIN_SQL,
     "envelope_reroute": ENVELOPE_REROUTE_SQL,
     "jsonata_object_ops": JSONATA_OBJECT_OPS_SQL,

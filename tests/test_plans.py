@@ -193,3 +193,32 @@ def test_interpreter_repartition_is_conditional(spark, sf_dir, tmp_path):
         assert "Exchange RoundRobinPartitioning" not in plan_of(forced)
     finally:
         spark.conf.unset("spark.jsonataspark.interpreter.repartition")
+
+
+def test_bm25_has_no_per_token_shuffle(spark, sf_dir):
+    """BM25's tf/dl are map-side token-array math; the only exchanges are
+    the one-row corpus-stats reduce (broadcast back) and the distributed
+    top-k. No hash shuffle of exploded tokens, no Python."""
+    df = Q.QUERIES["bm25_search"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastExchange" in plan  # corpus stats ride a broadcast
+    assert "TakeOrderedAndProject" in plan  # distributed top-k, not a global sort
+    assert "Generate explode" not in plan  # no per-token row blowup
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_embedding_quantize_is_pure_map(spark, sf_dir):
+    """Normalize+quantize is a shuffle-free single-pass projection."""
+    df = Q.QUERIES["embedding_quantize_stats"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_stratified_sample_shuffles_by_stratum_only(spark, sf_dir):
+    """One hash exchange keyed by the stratum column; no global
+    single-partition exchange."""
+    df = Q.QUERIES["stratified_sample_docs"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "hashpartitioning(lang" in plan
+    assert "SinglePartition" not in plan

@@ -227,3 +227,86 @@ def test_barrier_reliable_mode(spark, tmp_path):
         assert out == {10: 2, 2: 2, 30: 2, 50: 50, 60: 50}
     finally:
         spark.conf.unset("spark.jsonataspark.checkpoint")
+
+
+def test_stratified_sample_properties(spark):
+    """Exactly n per stratum (capped at group size), deterministic, and a
+    different salt reshuffles the picks."""
+    from kafka_connect_jsonata_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(97)], "id bigint, grp string"
+    )
+    out = stratified_sample(df, "id", "grp", 5)
+    counts = {r["grp"]: r["n"] for r in out.groupBy("grp").count().withColumnRenamed("count", "n").collect()}
+    assert counts == {"big": 5, "small": 5}
+    picks = {(r["grp"], r["id"]) for r in out.collect()}
+    assert picks == {(r["grp"], r["id"]) for r in stratified_sample(df, "id", "grp", 5).collect()}
+    assert picks != {(r["grp"], r["id"]) for r in stratified_sample(df, "id", "grp", 5, salt="v2").collect()}
+    # a stratum smaller than n returns the whole stratum
+    tiny = stratified_sample(df.filter("id >= 95"), "id", "grp", 5)
+    assert tiny.count() == 2
+
+
+def test_bm25_ranking_semantics(spark):
+    """More occurrences of a rarer term in a shorter doc scores higher;
+    docs with no query term are excluded; values match a hand computation."""
+    import math
+
+    from kafka_connect_jsonata_spark.functions.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark spark spark"),
+            (1, "spark filler filler filler filler filler filler filler"),
+            (2, "filler only no hits here"),
+            (3, "spark"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["score"] for r in bm25_scores(docs, ["spark"]).collect()}
+    assert set(got) == {0, 1, 3}  # doc 2 has no query term
+    assert got[3] > got[1]  # same tf=1, shorter doc wins
+    assert got[0] > got[1]  # higher tf in shorter doc wins
+    # hand computation for doc 3: N=4, df=3, dl=1, avgdl=(3+8+5+1)/4
+    k1, b = 1.2, 0.75
+    idf = math.log((4 - 3 + 0.5) / (3 + 0.5) + 1.0)
+    denom = 1.0 + k1 * (1.0 - b + b * 1.0 / (17 / 4))
+    assert abs(got[3] - idf * 1.0 * (k1 + 1.0) / denom) < 1e-12
+
+
+def test_quantize_roundtrip_bounds(spark):
+    """int8 quantization stays in [-127,127], dequantize recovers each
+    component within scale/2, zero vectors are fixed points, and
+    normalization yields unit norm."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_jsonata_spark.functions.similarity import (
+        dequantize_int8,
+        l2_norm,
+        l2_normalize,
+        quantize_int8,
+        quantize_scale,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.1, -2.5, 3.75]), (1, [0.0, 0.0, 0.0]), (2, [-1e-3, 5e-4, 9.9])],
+        "vec_id bigint, embedding array<double>",
+    )
+    v = F.col("embedding")
+    out = df.select(
+        "vec_id",
+        quantize_int8(v).alias("q"),
+        dequantize_int8(quantize_int8(v), quantize_scale(v)).alias("back"),
+        l2_norm(l2_normalize(v)).alias("unit"),
+        v.alias("orig"),
+    ).collect()
+    for r in out:
+        assert all(-127 <= x <= 127 for x in r["q"])
+        scale = max(abs(x) for x in r["orig"]) / 127.0
+        for a, b in zip(r["back"], r["orig"]):
+            assert abs(a - b) <= scale / 2 + 1e-12
+        if any(r["orig"]):
+            assert abs(r["unit"] - 1.0) < 1e-12
+        else:
+            assert r["unit"] == 0.0 and r["q"] == [0, 0, 0]
