@@ -47,6 +47,7 @@ HEADLINE = [
     "hash_sample_docs",
     "hash_split_counts",
     "stratified_sample_docs",
+    "safe_transform_dlq",
     "bm25_search",
     "embedding_quantize_stats",
     "cosine_topk_bruteforce",

@@ -834,6 +834,40 @@ FROM documents GROUP BY 1
 """
 
 
+def safe_transform_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 error path: error-tolerant transform with dead-letter routing
+    (Connect errors.tolerance=all). $error() raises per record; failures
+    become (error_code, error, record) rows instead of job failures —
+    guards (timeout/depth) route the same way. Per-record id recovered
+    from the ok payload or the DLQ record JSON."""
+    from kafka_connect_jsonata_spark.transform import transform_safe
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = transform_safe(
+        docs, 'n_chars <= 260 ? {"id": doc_id} : $error("oversize document")'
+    )
+    return out.select(
+        F.coalesce(
+            F.get_json_object("value_json", "$.id"),
+            F.get_json_object("record_json", "$.doc_id"),
+        )
+        .cast("bigint")
+        .alias("doc_id"),
+        "status",
+        "error_code",
+        "error",
+    )
+
+
+SAFE_TRANSFORM_SQL = """
+SELECT doc_id,
+       CASE WHEN n_chars <= 260 THEN 'ok' ELSE 'error' END AS status,
+       CASE WHEN n_chars <= 260 THEN NULL ELSE 'D3137' END AS error_code,
+       CASE WHEN n_chars <= 260 THEN NULL ELSE 'D3137: oversize document' END AS error
+FROM documents
+"""
+
+
 def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 5-per-language stratified sample (training-mix
     balancing). One shuffle keyed by the stratum; per-group output bounded
@@ -1557,6 +1591,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_sample_docs": hash_sample_docs,
     "hash_split_counts": hash_split_counts,
     "stratified_sample_docs": stratified_sample_docs,
+    "safe_transform_dlq": safe_transform_dlq,
     "bm25_search": bm25_search,
     "embedding_quantize_stats": embedding_quantize_stats,
     "skew_salted_join": skew_salted_join,
@@ -1618,6 +1653,7 @@ ORACLES: dict[str, str] = {
     "hash_sample_docs": HASH_SAMPLE_SQL,
     "hash_split_counts": HASH_SPLIT_SQL,
     "stratified_sample_docs": STRATIFIED_SAMPLE_SQL,
+    "safe_transform_dlq": SAFE_TRANSFORM_SQL,
     "bm25_search": BM25_SQL,
     "embedding_quantize_stats": EMBEDDING_QUANTIZE_SQL,
     "skew_salted_join": SKEW_SALTED_JOIN_SQL,

@@ -34,6 +34,7 @@ from pyspark.sql import types as T
 from kafka_connect_jsonata_spark.engine import DEFAULT_CONFIG, EngineConfig
 from kafka_connect_jsonata_spark.envelope import ENVELOPE_SCHEMA as ENVELOPE_RESULT_SCHEMA
 from kafka_connect_jsonata_spark.jsonata.compiler import NotCompilable, compile_expression
+from kafka_connect_jsonata_spark.jsonata.errors import JsonataError
 from kafka_connect_jsonata_spark.jsonata.functions import UNDEFINED, json_serialize
 from kafka_connect_jsonata_spark.jsonata.interpreter import Jsonata
 from kafka_connect_jsonata_spark.jsonata.parser import parse
@@ -215,6 +216,98 @@ def transform(
         )
         return kept.select(F.element_at(arr, 1).alias("value"))
     return kept.select(F.col("__json").alias("value_json"))
+
+
+SAFE_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("status", T.StringType()),
+        T.StructField("value_json", T.StringType()),
+        T.StructField("error_code", T.StringType()),
+        T.StructField("error", T.StringType()),
+        T.StructField("record_json", T.StringType()),
+    ]
+)
+
+
+def transform_safe(
+    df: DataFrame,
+    expr: str,
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Error-tolerant transform: the Connect runtime's
+    ``errors.tolerance=all`` + dead-letter-queue semantics lifted to a
+    DataFrame. The reference SMT itself throws on a bad record
+    (JsonataTransformation.java:88-120 maps eval failures to
+    DataException) and the surrounding Connect runtime decides
+    fail-vs-skip-vs-DLQ; at 100 TB a single malformed record must not
+    kill a multi-hour job, so that policy moves into the plan.
+
+    Per record:
+    - evaluates ``expr`` in the interpreter tier (guards A11 included —
+      timeouts and depth overflows become dead letters, not job failures);
+    - success  -> ``status='ok'``, ``value_json`` holds the result;
+    - null result -> dropped (A4 tombstone, same as ``transform``);
+    - any failure -> ``status='error'`` with the spec error code, the
+      message, and ``record_json`` = the full original record, which is
+      exactly what a DLQ producer needs (Connect publishes the failing
+      record with error context headers).
+
+    Always interpreter-tier by design: a tier-1-compilable expression is
+    statically type-checked against the schema and evaluates
+    null-propagating Column ops — per-record runtime faults cannot occur —
+    so route those through ``transform`` and reserve this entry point for
+    the dynamic expressions that can actually fail. Unlike the pruned
+    ``transform`` path, the WHOLE record rides the Arrow batch (the DLQ
+    contract needs it back); expect tier-2 cost.
+
+    Split the result with ``ok_values`` / ``dead_letters``.
+    """
+    ast = parse_cached(expr)
+    timeout_ms, max_depth = config.timeout_ms, config.max_depth
+
+    @F.pandas_udf(SAFE_RESULT_SCHEMA)
+    def _eval(batch: pd.Series) -> pd.DataFrame:
+        ev = Jsonata(ast, timeout_ms=timeout_ms, max_depth=max_depth)
+        rows = []
+        for txt in batch:
+            if txt is None:
+                rows.append(("tombstone", None, None, None, None))
+                continue
+            try:
+                result = ev.evaluate(json.loads(txt))
+            except JsonataError as e:
+                rows.append(("error", None, e.code, str(e), txt))
+                continue
+            except Exception as e:  # tolerance=all: nothing escapes the row
+                rows.append(("error", None, "U0000", f"{type(e).__name__}: {e}", txt))
+                continue
+            if result is UNDEFINED or result is None:
+                rows.append(("tombstone", None, None, None, None))
+            else:
+                rows.append(("ok", json_serialize(result), None, None, None))
+        return pd.DataFrame(
+            rows, columns=[f.name for f in SAFE_RESULT_SCHEMA]
+        )
+
+    prepared = _spread_python_stage(df)
+    json_col = F.to_json(F.struct(*[F.col(c) for c in prepared.columns]))
+    # nondeterministic marker = evaluate exactly once (see jsonata_udf)
+    evaluated = prepared.select(_eval.asNondeterministic()(json_col).alias("__safe"))
+    return evaluated.select("__safe.*").filter(F.col("status") != "tombstone")
+
+
+def ok_values(safe_df: DataFrame) -> DataFrame:
+    """The successful results of ``transform_safe`` as (value_json)."""
+    return safe_df.filter(F.col("status") == "ok").select("value_json")
+
+
+def dead_letters(safe_df: DataFrame) -> DataFrame:
+    """The failed records of ``transform_safe``, shaped like a DLQ payload:
+    the original record plus error context (Connect publishes the record
+    to the DLQ topic with __connect.errors.* headers)."""
+    return safe_df.filter(F.col("status") == "error").select(
+        "record_json", "error_code", "error"
+    )
 
 
 def transform_envelope(

@@ -382,3 +382,41 @@ def test_spread_zero_arg_interpreter(spark):
     )
     vals = [r[0] for r in out.collect()]
     assert vals == [2]
+
+
+def test_transform_safe_routes_errors_to_dead_letters(spark):
+    """errors.tolerance=all semantics: per-record failures (including the
+    A11 guards) become DLQ rows with the original record; successes and
+    tombstones behave like transform()."""
+    from kafka_connect_jsonata_spark.engine import EngineConfig
+    from kafka_connect_jsonata_spark.transform import (
+        dead_letters,
+        ok_values,
+        transform_safe,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "good"), (2, "bad"), (3, "drop")], "id bigint, kind string"
+    )
+    expr = (
+        "kind = 'drop' ? null : "
+        "kind = 'bad' ? $error('poison pill') : {'id': id}"
+    )
+    out = transform_safe(df, expr)
+    rows = {r["status"]: r for r in out.collect()}
+    assert set(rows) == {"ok", "error"}  # tombstone dropped
+    assert out.count() == 2
+    assert rows["error"]["error_code"] == "D3137"
+    assert "poison pill" in rows["error"]["error"]
+    assert '"id":2' in rows["error"]["record_json"]  # full record for the DLQ
+    assert ok_values(out).collect()[0]["value_json"] == '{"id":1}'
+    dlq = dead_letters(out).collect()
+    assert len(dlq) == 1 and dlq[0]["error_code"] == "D3137"
+
+    # guard failures route to the DLQ instead of failing the job:
+    # unbounded recursion trips the depth guard (U1002)
+    rec = "($f := function($n) { $f($n + 1) }; $f(0))"
+    guard = transform_safe(df.limit(1), rec, EngineConfig(max_depth=50))
+    g = guard.collect()
+    assert len(g) == 1 and g[0]["status"] == "error"
+    assert g[0]["error_code"] == "U1002"
