@@ -222,3 +222,20 @@ def test_stratified_sample_shuffles_by_stratum_only(spark, sf_dir):
     plan = plan_of(df)
     assert "hashpartitioning(lang" in plan
     assert "SinglePartition" not in plan
+
+
+def test_transform_safe_evaluates_exactly_once(spark, sf_dir):
+    """The DLQ split filters on the UDF's status output — deterministic
+    pandas UDFs get CLONED below the filter by Catalyst pushdown (two
+    ArrowEvalPython nodes = every record evaluated twice, and error rows
+    double-produced). The nondeterministic marker must pin one node."""
+    from kafka_connect_jsonata_spark.transform import dead_letters, transform_safe
+
+    docs = Q.load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = transform_safe(
+        docs, 'n_chars <= 260 ? {"id": doc_id} : $error("oversize document")'
+    )
+    for df in (out, dead_letters(out)):
+        plan = plan_of(df)
+        assert plan.count("ArrowEvalPython") == 1
+        assert "BatchEvalPython" not in plan

@@ -194,3 +194,31 @@ def test_stream_to_partitioned_sink(spark, event_stream, sf_dir, tmp_path):
     got = {r["event_type"]: r["n"] for r in back.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
     exp = {r["event_type"]: r["n"] for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
     assert got == exp
+
+
+def test_streaming_dlq_split(spark, event_stream, sf_dir):
+    """transform_safe under the micro-batch runner: per-record failures
+    land in the dead-letter split, successes in ok_values — a malformed
+    record must not kill the stream (Connect errors.tolerance=all)."""
+    from kafka_connect_jsonata_spark.transform import (
+        dead_letters,
+        ok_values,
+        transform_safe,
+    )
+
+    ev = event_stream.select("event_id", "event_type", "value")
+    expr = (
+        "value < 0.1 ? $error('low-value record') : "
+        '{"id": event_id, "t": event_type}'
+    )
+    out = transform_safe(ev, expr)
+    run_to_memory(ok_values(out), "t_dlq_ok")
+    run_to_memory(dead_letters(out), "t_dlq_dead")
+    n_ok = spark.sql("SELECT count(*) AS n FROM t_dlq_ok").first()["n"]
+    n_dead = spark.sql("SELECT count(*) AS n FROM t_dlq_dead").first()["n"]
+    batch = load_table(spark, sf_dir, "events")
+    expected_dead = batch.filter(F.col("value") < 0.1).count()
+    assert n_dead == expected_dead and n_dead > 0
+    assert n_ok == batch.count() - expected_dead
+    row = spark.sql("SELECT * FROM t_dlq_dead LIMIT 1").first()
+    assert row["error_code"] == "D3137" and "low-value" in row["error"]
