@@ -421,6 +421,44 @@ def simhash64(col: Column) -> Column:
     return F.aggregate(sig_bits, F.lit(0).cast("long"), lambda a, x: a.bitwiseOR(x))
 
 
+def simhash_portable(col: Column, nbits: int = 32) -> Column:
+    """Engine-portable SimHash for cross-engine verification: bit i of a
+    token's hash is the parity of hex digit i of md5(token). md5 is
+    identical in every SQL engine, so a DuckDB oracle reproduces the
+    signature bit-for-bit — verifying the majority-vote core that
+    :func:`simhash64` shares. The production path stays ``simhash64``
+    (xxhash64 is one 64-bit mix per token vs md5's full digest); this
+    variant exists so the vote/assemble logic has a value-exact oracle
+    rather than rows-only evidence. ``nbits`` <= 32 (one md5 hex digit
+    per bit). Same shape as simhash64: one aggregate pass, constant-size
+    expression tree, no Python."""
+    toks = tokens(F.lower(col))
+    hashes = F.transform(toks, F.md5)
+    bit_idx = F.sequence(F.lit(0), F.lit(nbits - 1))
+    odd_hex = F.array(*[F.lit(c) for c in "13579bdf"])
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), nbits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                bit_idx,
+                lambda i: F.array_contains(
+                    odd_hex, h.substr(i + F.lit(1), F.lit(1))
+                ).cast("int"),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    n = F.size(toks)
+    sig_bits = F.zip_with(
+        counts,
+        F.transform(bit_idx, lambda i: F.pow(F.lit(2.0), i).cast("long")),
+        lambda c, p: F.when(c * 2 > n, p).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(sig_bits, F.lit(0).cast("long"), lambda a, x: a + x)
+
+
 def embedding_dup_pairs_columns(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -1335,13 +1335,44 @@ WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
 
 
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (pure Column bit math; rows-only).
-    Repartitioned so the compute-bound signature projection uses every core
-    even when the scan is one small file (at 100 TB the scan itself yields
-    thousands of partitions and the repartition is a no-op to remove)."""
+    """SimHash per document (pure Column bit math, no UDF). The gate runs
+    the md5-parity portable variant so the DuckDB oracle can rebuild every
+    signature bit-for-bit — value-exact evidence for the majority-vote
+    core that the xxhash64 production variant (dedup.simhash64, pinned by
+    unit tests) shares. Repartitioned so the compute-bound signature
+    projection uses every core even when the scan is one small file (at
+    100 TB the scan itself yields thousands of partitions and the
+    repartition is a no-op to remove)."""
     docs = load_table(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    return docs.select("doc_id", dedup.simhash64(F.col("text")).alias("simhash"))
+    return docs.select(
+        "doc_id", dedup.simhash_portable(F.col("text")).alias("simhash")
+    )
+
+
+SIMHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+), bits AS (
+  SELECT doc_id, g.i,
+         sum(CASE WHEN substr(md5(tok), g.i + 1, 1)
+                       IN ('1','3','5','7','9','b','d','f')
+                  THEN 1 ELSE 0 END) AS c,
+         count(*) AS n
+  FROM toks CROSS JOIN generate_series(0, 31) AS g(i)
+  GROUP BY doc_id, g.i
+), sigs AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN 2 * c > n THEN CAST(power(2, i) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sigs s USING (doc_id)
+"""
 
 
 def embedding_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1670,10 +1701,10 @@ ORACLES: dict[str, str] = {
     "sessionize_events": SESSIONIZE_SQL,
     "percentile_summary": PERCENTILE_SQL,
     # sketch-based queries carry oracles via deterministic exact slices /
-    # error-bound projections (see each query's docstring); simhash_docs
-    # stays rows-only (the 64-bit signature itself has no SQL analog)
+    # error-bound projections; simhash via the md5-parity portable variant
     "approx_distinct_stats": APPROX_DISTINCT_SQL,
     "minhash_lsh_dups": MINHASH_LSH_SQL,
+    "simhash_docs": SIMHASH_SQL,
     "ann_lsh_topk": COSINE_TOPK_SQL,
     "ann_ivf_topk": COSINE_TOPK_SQL,
     "embedding_dup_pairs": EMBEDDING_DUP_SQL,

@@ -17,9 +17,6 @@ def test_query_runs(spark, sf_dir, name):
 
 
 ROWS_ONLY = {
-    # the 64-bit signature itself has no SQL analog (bit math over xxhash64);
-    # pinned value-exactly in test_property_semantics
-    "simhash_docs",
     # rng-generated payload content: no SQL analog; exact values pinned in
     # tests/test_multimodal.py
     "multimodal_image_stats",
