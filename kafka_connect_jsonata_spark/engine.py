@@ -56,8 +56,10 @@ def get_spark(app_name: str = "spark-jsonata", cpus: int | None = None) -> Spark
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # testdata events.parquet stores TIMESTAMP(NANOS); read as long and
-        # convert in the reader (Spark has no nanosecond timestamp type).
+        # testdata events.parquet stores TIMESTAMP(NANOS); Spark 4.1+ reads
+        # it natively as TIMESTAMP_NTZ and ignores this conf — kept so the
+        # same code runs on Spark <=4.0 (there the column arrives as a ns
+        # long and load_table converts it).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()

@@ -26,7 +26,7 @@ from pyspark.sql.window import Window
 
 from kafka_connect_jsonata_spark.functions import dedup, multimodal, similarity, text
 from kafka_connect_jsonata_spark.operators import relational as R
-from kafka_connect_jsonata_spark.sources.readers import load_table
+from kafka_connect_jsonata_spark.sources.readers import load_table, ts_micros, ts_millis
 from kafka_connect_jsonata_spark.transform import transform
 
 
@@ -1189,7 +1189,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     gap_us = 30 * 60 * 1_000_000  # microsecond precision on both engines
-    us = F.unix_micros(F.col("ts"))
+    us = ts_micros(F.col("ts"))
     with_gap = ev.withColumn(
         "new_session",
         F.when(us - F.lag(us).over(w) > gap_us, 1)
@@ -1202,8 +1202,8 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_sid.groupBy("user_id", "session_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.min(F.unix_micros("ts")).alias("start_us"),
-            F.max(F.unix_micros("ts")).alias("end_us"),
+            F.min(ts_micros(F.col("ts"))).alias("start_us"),
+            F.max(ts_micros(F.col("ts"))).alias("end_us"),
         )
     )
 
@@ -1471,7 +1471,7 @@ def jsonata_datetime_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     $fromMillis/$toMillis round-trip, array constructor + $distinct + $sort
     + $join, $base64encode — all tier-1 native Columns."""
     ev = load_table(spark, sf_dir, "events").withColumn(
-        "ts_ms", F.unix_millis(F.col("ts"))
+        "ts_ms", ts_millis(F.col("ts"))
     )
     expr = (
         "{'event_id': event_id,"
@@ -1503,7 +1503,7 @@ def jsonata_picture_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     float grouping is unsupported there — while the Spark side exercises
     the real format_number path."""
     ev = load_table(spark, sf_dir, "events").withColumn(
-        "ts_ms", F.unix_millis(F.col("ts"))
+        "ts_ms", ts_millis(F.col("ts"))
     ).withColumn("amount", F.col("event_id") + F.lit(0.25))
     expr = (
         "{'event_id': event_id,"

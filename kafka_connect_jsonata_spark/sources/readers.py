@@ -30,15 +30,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Plain parquet scan: predicate pushdown and
     column pruning land automatically once callers filter/select.
 
-    ``events.ts`` is stored as TIMESTAMP(NANOS), which Spark reads as a
-    nanosecond long (legacy.parquet.nanosAsLong); convert to a microsecond
-    timestamp to match DuckDB's truncation.
+    ``events.ts`` is stored as TIMESTAMP(NANOS). Spark 4.1+ reads it
+    natively as TIMESTAMP_NTZ truncated to microseconds (UTC wall clock —
+    the exact naive-timestamp semantics DuckDB uses, so oracle values line
+    up bit-for-bit). Spark <=4.0 has no nanos read path at all unless
+    ``legacy.parquet.nanosAsLong`` is set, in which case the column arrives
+    as a nanosecond long; we set the conf defensively (runtime-settable,
+    ignored on 4.1+) and convert that long to a microsecond timestamp.
 
-    Session-portable by design: ``nanosAsLong`` is a runtime-settable SQL
-    conf, so we set it here rather than relying on the session having been
-    built by :func:`engine.get_spark` — external harnesses hand us vanilla
-    sessions and TIMESTAMP(NANOS) parquet otherwise dies with
-    PARQUET_TYPE_ILLEGAL.
+    Session-portable by design: no branch here depends on the session
+    having been built by :func:`engine.get_spark` — external harnesses hand
+    us vanilla sessions. Use :func:`ts_micros`/:func:`ts_millis` to get
+    epoch values out of ``ts``; bare ``unix_micros(ts)`` is a type error on
+    the NTZ column.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -50,6 +54,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # mantissa precision and would round the microsecond truncation
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def ts_micros(col):
+    """Epoch microseconds from a timestamp column, portable across the two
+    types ``events.ts`` can arrive as:
+
+    - TIMESTAMP_NTZ (Spark 4.1+ native nanos read): ``to_utc_timestamp``
+      interprets the wall clock as UTC — correct and independent of the
+      session timezone (the data's wall clock IS UTC).
+    - TIMESTAMP/LTZ (legacy long conversion path): the shift is a no-op
+      under the engine's pinned UTC session.
+
+    ``unix_micros`` directly on an NTZ column is an AnalysisException —
+    this wrapper is the one sanctioned spelling.
+    """
+    from pyspark.sql import functions as F
+
+    return F.unix_micros(F.to_utc_timestamp(col, "UTC"))
+
+
+def ts_millis(col):
+    """Epoch milliseconds; see :func:`ts_micros`."""
+    from pyspark.sql import functions as F
+
+    return F.unix_millis(F.to_utc_timestamp(col, "UTC"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
