@@ -1,0 +1,344 @@
+"""Training-data curation operators: decontamination, PII redaction,
+repetition/quality statistics, TF-IDF keyword extraction, and k-means
+clustering over embeddings.
+
+These extend the per-record transform surface of the reference
+(reference JsonataTransformation.java:88 — one record, one expression) to
+the corpus-level operations a 100 TB pretraining pipeline runs between
+ingestion and tokenization. Design rules, same as the rest of
+``functions/``:
+
+- hot paths are native Column expressions (JVM codegen) — the only Python
+  here is the bounded driver-side centroid pull in k-means (k rows);
+- every shuffle is keyed and map-side combined (groupBy aggregations),
+  never all-pairs: decontamination joins on the shingle hash, not doc x doc;
+- the eval/benchmark side of decontamination is deduplicated then broadcast
+  (eval suites are ~1e3-1e6 shingles; the 100 TB side streams map-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_connect_jsonata_spark.functions.text import tokens
+
+
+# ---------------------------------------------------------------------------
+# word n-gram shingles (shared by decontamination; cf. dedup.py's char grams)
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(col: Column, n: int) -> Column:
+    """Array of space-joined word n-grams of ``col``; empty array when the
+    text has fewer than ``n`` words. Pure Column expr: split -> indexed
+    slice windows. (sequence() counts *down* when size(w) < n — the guard
+    keeps the index array ascending-only.)"""
+    w = tokens(col)
+    idx = F.when(F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - n + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
+
+
+# ---------------------------------------------------------------------------
+# decontamination: n-gram overlap between a training corpus and an eval set
+# ---------------------------------------------------------------------------
+
+
+def ngram_overlap_contamination(
+    train: DataFrame,
+    eval_set: DataFrame,
+    n: int = 8,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str | None = None,
+    eval_text_col: str | None = None,
+) -> DataFrame:
+    """Flag training documents sharing >= ``min_overlap`` distinct word
+    n-grams with any eval/benchmark document (the standard pretraining
+    decontamination gate; 8-13 gram overlap in published recipes).
+
+    Returns (id_col, n_overlap, contaminated) for every training doc,
+    n_overlap = 0 rows included (left join) so the output is a total
+    annotation, not just the flagged subset.
+
+    Scale shape: the eval side is exploded to distinct shingles and
+    broadcast (eval suites are tiny vs the corpus); the train side explodes
+    to (doc, shingle) pairs that hash-join map-side — no shuffle of the
+    corpus, one final groupBy(id) count with map-side combine. At 100 TB
+    the only state that moves is the winning (doc_id, shingle-hit) pairs.
+    """
+    eval_id_col = eval_id_col or id_col
+    eval_text_col = eval_text_col or text_col
+    ev = (
+        eval_set.select(F.explode(word_shingles(F.col(eval_text_col), n)).alias("__sh"))
+        .distinct()
+    )
+    tr = train.select(
+        F.col(id_col),
+        F.explode_outer(word_shingles(F.col(text_col), n)).alias("__sh"),
+    )
+    hits = (
+        tr.join(F.broadcast(ev), "__sh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count_distinct("__sh").alias("n_overlap"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: regex scrub + per-category counts
+# ---------------------------------------------------------------------------
+
+# Deliberately simple, cross-engine-portable patterns (no lookaround — the
+# oracle runs them under DuckDB's RE2-style engine, Spark under java.util.regex)
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+# order matters: ssn before phone would double-match; apply phone first is
+# wrong too (123-45-6789 vs 123-456-7890 are disjoint patterns, safe either
+# way) — keep dict order and document that patterns must be disjoint.
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", patterns: dict[str, str] | None = None
+) -> DataFrame:
+    """Replace each PII category with ``[CATEGORY]`` and append per-category
+    match counts. All regexp_replace/regexp_count — JVM codegen, scan-speed
+    at 100 TB; the patterns are applied in dict order on the running text.
+    """
+    patterns = patterns or PII_PATTERNS
+    out = df
+    red = F.col(text_col)
+    for name, pat in patterns.items():
+        out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
+        red = F.regexp_replace(red, pat, f"[{name.upper()}]")
+    return out.withColumn("redacted", red)
+
+
+# ---------------------------------------------------------------------------
+# repetition / quality statistics
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_top_ratio: float = 0.2
+) -> DataFrame:
+    """Per-document repetition signals: word count, distinct-word count,
+    top-term ratio (most frequent word / total words), distinct ratio, and
+    a repetitive flag (top-term ratio above ``max_top_ratio`` — heavily
+    repeated boilerplate is the classic low-quality signature).
+
+    Two keyed aggregations — (doc, word) counts with map-side combine, then
+    per-doc max — both linear, both AQE-coalesced; nothing quadratic.
+    """
+    words = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__w"))
+    per_word = words.groupBy(id_col, "__w").agg(F.count("*").alias("__c"))
+    per_doc = per_word.groupBy(id_col).agg(
+        F.sum("__c").alias("n_words"),
+        F.count("*").alias("n_distinct_words"),
+        F.max("__c").alias("__top"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_words",
+        "n_distinct_words",
+        F.round(F.col("__top") / F.col("n_words"), 6).alias("top_term_ratio"),
+        F.round(F.col("n_distinct_words") / F.col("n_words"), 6).alias("distinct_ratio"),
+        (F.col("__top") / F.col("n_words") > max_top_ratio).alias("repetitive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (tf = raw count, idf =
+    ln((N+1)/(df+1)), deterministic tie-break score desc then term asc).
+
+    Shape: two hash aggs (term-frequency, document-frequency) + one
+    broadcast-joined idf lookup (vocab is small vs corpus) + per-doc top-k
+    window. The corpus shuffles once on (doc, term); the doc-frequency side
+    aggregates to vocab size and broadcasts.
+    """
+    words = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    n_docs = df.select(F.count("*").alias("__n"))
+    dfreq = (
+        words.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.log((F.col("__n") + 1) / (F.col("df") + 1)).alias("idf"),
+        )
+    )
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        id_col, "term", F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-means over embeddings (E-step gate + full Lloyd loop)
+# ---------------------------------------------------------------------------
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two float-array columns, accumulated in
+    double (float32 inputs upcast per element — same as the DuckDB oracle)."""
+    # explicit (d * d), not pow(d, 2): both engines then run the identical
+    # IEEE multiply, keeping the value-exact oracle hash honest
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_nearest_centroid(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    c_id_col: str = "cluster_id",
+    c_vec_col: str = "centroid",
+) -> DataFrame:
+    """k-means E-step: each vector -> nearest centroid (squared L2,
+    deterministic tie-break on cluster_id).
+
+    Scale shape: the centroid table is BY DEFINITION small (k rows), so it
+    is pulled to the driver and inlined as a literal array-of-structs; the
+    assignment is then a single per-row projection — array_min over a
+    transform — with ZERO shuffle and no row explosion (a crossJoin +
+    window-rank formulation would shuffle the whole corpus on id at 100 TB
+    just to rank k rows per vector). Struct ordering gives the (dist,
+    cluster_id) tie-break for free.
+    """
+    rows = centroids.select(F.col(c_id_col), F.col(c_vec_col)).collect()
+    if len(rows) > 4096:
+        raise ValueError("centroid table too large to inline (k capped at 4096)")
+    if not rows:
+        return emb.select(
+            F.col(id_col),
+            F.lit(None).cast("int").alias(c_id_col),
+            F.lit(None).cast("double").alias("dist_sq"),
+        ).filter(F.lit(False))
+    cents = F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(float(x)).cast("double") for x in r[c_vec_col]]).alias("cv"),
+                F.lit(int(r[c_id_col])).cast("int").alias("cid"),
+            )
+            for r in sorted(rows, key=lambda r: r[c_id_col])
+        ]
+    )
+    scored = F.transform(
+        cents,
+        lambda s: F.struct(
+            _l2sq(F.col(vec_col), s.getField("cv")).alias("d"),
+            s.getField("cid").alias("cid"),
+        ),
+    )
+    best = F.array_min(scored)
+    return emb.select(
+        F.col(id_col),
+        best.getField("cid").alias(c_id_col),
+        F.round(best.getField("d"), 4).alias("dist_sq"),
+    )
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means: deterministic init (k lowest ids), ``iters``
+    alternations of broadcast E-step + groupBy-mean M-step.
+
+    Each iteration is one map-side assignment plus one keyed aggregation of
+    dim doubles per cluster — linear passes over the corpus, centroid state
+    is k x dim collected to the driver (bounded: k<=4096 enforced). Returns
+    the final assignment (vec_id, cluster_id, dist_sq).
+    """
+    if k > 4096:
+        raise ValueError("k capped at 4096 (centroids are driver-held state)")
+    spark = emb.sparkSession
+    init = (
+        emb.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(F.col(vec_col).alias("centroid"))
+        .collect()
+    )
+    cents = [[float(x) for x in r["centroid"]] for r in init]
+    for _ in range(iters):
+        cdf = _centroid_df(spark, cents, vec_col)
+        assigned = assign_nearest_centroid(emb, cdf, id_col, vec_col)
+        joined = assigned.join(emb.select(id_col, vec_col), id_col)
+        # M-step: per-cluster elementwise mean — posexplode + two-key agg
+        # (map-side combined), re-assembled with array_agg ordered by dim
+        means = (
+            joined.select("cluster_id", F.posexplode(F.col(vec_col)).alias("__i", "__x"))
+            .groupBy("cluster_id", "__i")
+            .agg(F.avg(F.col("__x").cast("double")).alias("__m"))
+            .groupBy("cluster_id")
+            .agg(F.array_sort(F.collect_list(F.struct("__i", "__m"))).alias("__dims"))
+            .select(
+                "cluster_id",
+                F.expr("transform(__dims, s -> s.__m)").alias("centroid"),
+            )
+            .collect()
+        )
+        new = {r["cluster_id"]: [float(x) for x in r["centroid"]] for r in means}
+        cents = [new.get(i, cents[i]) for i in range(len(cents))]
+    return assign_nearest_centroid(emb, _centroid_df(spark, cents, vec_col), id_col, vec_col)
+
+
+def _centroid_df(spark: SparkSession, cents: list[list[float]], vec_col: str) -> DataFrame:
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("cluster_id", IntegerType()),
+            StructField("centroid", ArrayType(DoubleType())),
+        ]
+    )
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], schema
+    )

@@ -24,7 +24,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kafka_connect_jsonata_spark.functions import dedup, multimodal, similarity, text
+from kafka_connect_jsonata_spark.functions import (
+    curation,
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
 from kafka_connect_jsonata_spark.operators import relational as R
 from kafka_connect_jsonata_spark.sources.readers import load_table, ts_micros, ts_millis
 from kafka_connect_jsonata_spark.transform import transform
@@ -1581,6 +1587,173 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# training-data curation: decontamination, PII, quality, keywords, clustering
+# ---------------------------------------------------------------------------
+
+
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining decontamination: flag training docs sharing any 8-word
+    shingle with the eval/benchmark subset (here: doc_id % 50 == 0). Eval
+    shingles dedup + broadcast; corpus streams map-side (functions/
+    curation.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    return curation.ngram_overlap_contamination(docs, eval_set, n=8, min_overlap=1)
+
+
+DECONTAMINATE_SQL = r"""
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS w FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(w[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS s
+  FROM words, UNNEST(range(1, len(w) - 8 + 2)) AS t(i)
+  WHERE len(w) >= 8),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+hits AS (
+  SELECT sh.doc_id, count(DISTINCT sh.s) AS n_overlap
+  FROM sh JOIN ev USING (s) GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(h.n_overlap, 0) AS n_overlap,
+       COALESCE(h.n_overlap, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction gate. The corpus is synthetic word-salad with no real
+    PII, so the query plants deterministic contact strings (email + phone
+    for every doc, SSN-shaped ids on every 5th) and the operator must both
+    count and scrub them — value-exact against the oracle that plants the
+    identical strings."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.format_string(" contact user%d@mail.example.com or 555-%03d-%04d",
+                            F.col("doc_id"), F.col("doc_id") % 900 + 100,
+                            (F.col("doc_id") * 7) % 9000 + 1000),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.format_string(" id %03d-%02d-%04d", F.col("doc_id") % 900 + 100,
+                                F.col("doc_id") % 90 + 10, (F.col("doc_id") * 3) % 9000 + 1000),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    red = curation.pii_redact(planted, "text")
+    return red.select(
+        "doc_id", "n_email", "n_phone", "n_ssn",
+        F.substring("redacted", -60, 60).alias("redacted_tail"),
+    )
+
+
+PII_REDACT_SQL = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || printf(' contact user%d@mail.example.com or 555-%03d-%04d',
+                        doc_id, doc_id % 900 + 100, (doc_id * 7) % 9000 + 1000)
+              || CASE WHEN doc_id % 5 = 0
+                      THEN printf(' id %03d-%02d-%04d', doc_id % 900 + 100,
+                                  doc_id % 90 + 10, (doc_id * 3) % 9000 + 1000)
+                      ELSE '' END AS text
+  FROM documents),
+red AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+         CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phone,
+         CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssn,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+           '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS redacted
+  FROM planted)
+SELECT doc_id, n_email, n_phone, n_ssn,
+       CASE WHEN len(redacted) <= 60 THEN redacted
+            ELSE substr(redacted, len(redacted) - 59, 60) END AS redacted_tail
+FROM red
+"""
+
+
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/quality signals per document: word counts, top-term
+    ratio, distinct ratio, repetitive flag (functions/curation.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.repetition_stats(docs)
+
+
+REPETITION_SQL = r"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(trim(text), '\S+')) AS w FROM documents),
+pw AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2),
+pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+              count(*) AS n_distinct_words, max(c) AS top
+       FROM pw GROUP BY 1)
+SELECT doc_id, n_words, n_distinct_words,
+       round(top / n_words, 6) AS top_term_ratio,
+       round(n_distinct_words / n_words, 6) AS distinct_ratio,
+       top / n_words > 0.2 AS repetitive
+FROM pd
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document; rank ties broken on the rounded
+    score then term so both engines pick identical winners."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.tfidf_top_terms(docs, k=3)
+
+
+TFIDF_SQL = r"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(trim(text), '\S+')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term, round(tf * ln((n + 1) / (df + 1)), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+SELECT doc_id, term, tfidf, rank FROM (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored) t
+WHERE rank <= 3
+"""
+
+
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means E-step gate: nearest of 8 deterministic centroids (the
+    embeddings with vec_id < 8) per vector, squared-L2 in double with a
+    left-to-right fold both engines share. The full Lloyd loop
+    (curation.kmeans_lloyd) is iterative and pinned by tests instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cluster_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    return curation.assign_nearest_centroid(emb, cents)
+
+
+KMEANS_ASSIGN_SQL = """
+WITH c AS (
+  SELECT CAST(vec_id AS INT) AS cluster_id, embedding AS cv
+  FROM embeddings WHERE vec_id < 8),
+pairs AS (
+  SELECT e.vec_id, c.cluster_id,
+         list_reduce(list_transform(list_zip(e.embedding, c.cv),
+             p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+             (a, b) -> a + b) AS d
+  FROM embeddings e CROSS JOIN c)
+SELECT vec_id, cluster_id, round(d, 4) AS dist_sq FROM (
+  SELECT vec_id, cluster_id, d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster_id ASC) AS r
+  FROM pairs) t
+WHERE r = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1646,6 +1819,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_image_stats": multimodal_image_stats,
     "multimodal_audio_features": multimodal_audio_features,
+    "decontaminate_docs": decontaminate_docs,
+    "pii_redact_docs": pii_redact_docs,
+    "repetition_quality": repetition_quality,
+    "tfidf_top_terms": tfidf_top_terms,
+    "kmeans_assign": kmeans_assign,
 }
 
 ORACLES: dict[str, str] = {
@@ -1713,4 +1891,9 @@ ORACLES: dict[str, str] = {
     # multimodal_image_stats / multimodal_audio_features: payload content is
     # rng-generated (no SQL analog) - rows-only; exact values pinned in
     # tests/test_multimodal.py
+    "decontaminate_docs": DECONTAMINATE_SQL,
+    "pii_redact_docs": PII_REDACT_SQL,
+    "repetition_quality": REPETITION_SQL,
+    "tfidf_top_terms": TFIDF_SQL,
+    "kmeans_assign": KMEANS_ASSIGN_SQL,
 }

@@ -1,0 +1,121 @@
+"""Training-data curation operators (functions/curation.py): value-pinned
+unit tests for decontamination, PII redaction, repetition stats, TF-IDF and
+k-means, plus plan-shape checks for the zero-shuffle E-step."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_jsonata_spark.functions import curation
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_shingles(spark):
+    df = _docs(spark, [(1, "a b c d"), (2, "a b"), (3, "")])
+    out = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", curation.word_shingles(F.col("text"), 3).alias("sh")).collect()
+    }
+    assert out[1] == ["a b c", "b c d"]
+    assert out[2] == []  # shorter than n -> empty, not descending-sequence garbage
+    assert out[3] == []
+
+
+def test_ngram_overlap_contamination(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps"),   # shares "the quick brown" with eval
+            (2, "totally clean document text here"),
+            (3, "quick brown fox jumps high"),  # shares "quick brown fox" etc.
+        ],
+    )
+    eval_set = _docs(spark, [(100, "the quick brown fox runs")])
+    out = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in curation.ngram_overlap_contamination(train, eval_set, n=3).collect()
+    }
+    # eval 3-grams: {the quick brown, quick brown fox, brown fox runs}
+    assert out[1] == (2, True)   # "the quick brown", "quick brown fox"
+    assert out[2] == (0, False)  # zero-overlap docs still present (left join)
+    assert out[3] == (1, True)   # "quick brown fox"
+
+
+def test_pii_redact(spark):
+    df = _docs(
+        spark,
+        [(1, "mail a.b@x.io or 555-123-4567 ssn 123-45-6789 ok"), (2, "clean")],
+    )
+    out = {r["doc_id"]: r for r in curation.pii_redact(df, "text").collect()}
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ssn"]) == (1, 1, 1)
+    assert out[1]["redacted"] == "mail [EMAIL] or [PHONE] ssn [SSN] ok"
+    assert (out[2]["n_email"], out[2]["n_phone"], out[2]["n_ssn"]) == (0, 0, 0)
+    assert out[2]["redacted"] == "clean"
+
+
+def test_repetition_stats(spark):
+    df = _docs(spark, [(1, "a a a b"), (2, "v w x y z")])
+    out = {r["doc_id"]: r for r in curation.repetition_stats(df).collect()}
+    assert out[1]["n_words"] == 4 and out[1]["n_distinct_words"] == 2
+    assert out[1]["top_term_ratio"] == 0.75 and out[1]["repetitive"] is True
+    # 0.2 is not > the 0.2 default threshold -> clean
+    assert out[2]["top_term_ratio"] == 0.2 and out[2]["repetitive"] is False
+
+
+def test_tfidf_top_terms(spark):
+    df = _docs(spark, [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry date")])
+    out = curation.tfidf_top_terms(df, k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    # "apple" appears only in doc 1 (df=1) twice -> clear winner there;
+    # banana/cherry have df=2, date df=1
+    assert top[1] == "apple"
+    assert top[3] == "date"
+    assert all(r["rank"] == 1 for r in out)
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_assign_nearest_centroid_values_and_plan(spark):
+    emb = _emb(
+        spark,
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, [0.4, 0.0]), (3, [9.0, 10.0])],
+    )
+    cents = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").cast("int").alias("cluster_id"), F.col("embedding").alias("centroid")
+    )
+    res = curation.assign_nearest_centroid(emb, cents)
+    got = {r["vec_id"]: (r["cluster_id"], r["dist_sq"]) for r in res.collect()}
+    assert got[0] == (0, 0.0) and got[1] == (1, 0.0)
+    assert got[2] == (0, pytest.approx(0.16, abs=1e-4))
+    assert got[3] == (1, pytest.approx(1.0, abs=1e-4))
+    # zero-shuffle contract: pure projection, no Exchange in the plan
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_assign_tie_breaks_on_cluster_id(spark):
+    emb = _emb(spark, [(7, [1.0, 0.0])])
+    cents = spark.createDataFrame(
+        [(5, [0.0, 0.0]), (2, [2.0, 0.0])], "cluster_id int, centroid array<double>"
+    )
+    r = curation.assign_nearest_centroid(emb, cents).first()
+    assert r["cluster_id"] == 2  # equal distance -> lowest cluster_id wins
+
+
+def test_kmeans_lloyd_separates_clusters(spark):
+    rows = [(i, [0.0 + i * 0.01, 0.0]) for i in range(10)] + [
+        (100 + i, [50.0 + i * 0.01, 0.0]) for i in range(10)
+    ]
+    res = curation.kmeans_lloyd(_emb(spark, rows), k=2, iters=5).collect()
+    by_cluster: dict[int, set[int]] = {}
+    for r in res:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["vec_id"])
+    groups = sorted(by_cluster.values(), key=lambda s: min(s))
+    assert groups[0] == set(range(10))
+    assert groups[1] == {100 + i for i in range(10)}
