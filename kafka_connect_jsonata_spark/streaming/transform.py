@@ -36,6 +36,19 @@ def streaming_transform(
     return transform(stream_df, expr, config=config, output_schema=output_schema)
 
 
+def ensure_event_time(stream_df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks demand TIMESTAMP (with local tz); parquet TIMESTAMP(NANOS)
+    and TIMESTAMP_NTZ sources arrive as NTZ, which withWatermark rejects
+    outright (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Convert NTZ -> instant
+    interpreting the wall clock as UTC — independent of the session
+    timezone — and pass every other type through untouched."""
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(stream_df.schema[ts_col].dataType, TimestampNTZType):
+        return stream_df.withColumn(ts_col, F.to_utc_timestamp(F.col(ts_col), "UTC"))
+    return stream_df
+
+
 def windowed_agg(
     stream_df: DataFrame,
     ts_col: str,
@@ -47,7 +60,7 @@ def windowed_agg(
 ) -> DataFrame:
     """C19+C21: tumbling/sliding event-time window aggregation with a
     watermark bounding state."""
-    wm = stream_df.withWatermark(ts_col, watermark)
+    wm = ensure_event_time(stream_df, ts_col).withWatermark(ts_col, watermark)
     win = F.window(F.col(ts_col), window_duration, slide) if slide else F.window(
         F.col(ts_col), window_duration
     )
@@ -63,7 +76,7 @@ def session_agg(
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """C20: session windows (dynamic gap-based)."""
-    wm = stream_df.withWatermark(ts_col, watermark)
+    wm = ensure_event_time(stream_df, ts_col).withWatermark(ts_col, watermark)
     return wm.groupBy(F.session_window(F.col(ts_col), gap).alias("session"), *keys).agg(*aggs)
 
 
@@ -77,7 +90,11 @@ def stream_dedup(
     bounded (dropDuplicatesWithinWatermark); without, state grows unbounded
     (only for tests/small keys)."""
     if ts_col is not None:
-        return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
+        return (
+            ensure_event_time(stream_df, ts_col)
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(list(keys))
+        )
     return stream_df.dropDuplicates(list(keys))
 
 
@@ -108,8 +125,8 @@ def stream_stream_join(
     on BOTH sides plus the range bound are what let the runner evict join
     state — without them state grows with the stream. Right columns get an
     ``r_`` prefix so self-joins don't collide."""
-    l = left.withWatermark(left_ts, watermark)
-    r = right.withWatermark(right_ts, watermark)
+    l = ensure_event_time(left, left_ts).withWatermark(left_ts, watermark)
+    r = ensure_event_time(right, right_ts).withWatermark(right_ts, watermark)
     for c in r.columns:
         r = r.withColumnRenamed(c, f"r_{c}")
     cond = None
