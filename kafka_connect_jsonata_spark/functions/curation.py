@@ -324,6 +324,119 @@ def kmeans_lloyd(
     return assign_nearest_centroid(emb, _centroid_df(spark, cents, vec_col), id_col, vec_col)
 
 
+# ---------------------------------------------------------------------------
+# covariance / PCA over embeddings
+# ---------------------------------------------------------------------------
+
+
+def covariance_partials(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-Arrow-batch covariance partials: (n, sum[d], flattened X^T X
+    [d*d]) via numpy GEMM inside mapInPandas.
+
+    This is the scale-correct shape for second-moment statistics: each
+    executor reduces its partitions to a handful of ~d^2-double rows
+    map-side; what crosses the wire is O(partitions * d^2), independent of
+    row count. (The pure-Column alternative — posexplode the d^2 outer
+    product and hash-agg by index — is also linear but materializes d^2
+    values per ROW in the Generate; the GEMM does it per BATCH.)
+    """
+    import pandas as pd  # noqa: F401 (schema side)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for b in batches:
+            if not len(b):
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+            yield pd.DataFrame(
+                {
+                    "n": [int(len(x))],
+                    "s": [x.sum(axis=0).tolist()],
+                    "ss": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    return emb.select(vec_col).mapInPandas(
+        gen, "n long, s array<double>, ss array<double>"
+    )
+
+
+def embedding_covariance(emb: DataFrame, vec_col: str = "embedding"):
+    """Mean vector and population covariance matrix of an embedding column,
+    as numpy arrays (driver-held: d and d^2 doubles — bounded state like
+    the k-means centroids, not corpus-sized)."""
+    import numpy as np
+
+    rows = covariance_partials(emb, vec_col).collect()
+    if not rows:
+        raise ValueError("empty embedding corpus")
+    n = sum(r["n"] for r in rows)
+    d = len(rows[0]["s"])
+    s = np.zeros(d)
+    ss = np.zeros((d, d))
+    for r in rows:
+        s += np.asarray(r["s"])
+        ss += np.asarray(r["ss"]).reshape(d, d)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    return mean, cov
+
+
+def covariance_entries(
+    emb: DataFrame, max_dim: int = 8, vec_col: str = "embedding"
+) -> DataFrame:
+    """Gate-friendly projection of the covariance matrix: rows (i, j, cov)
+    for i, j < max_dim, rounded for cross-engine hash parity."""
+    spark = emb.sparkSession
+    _, cov = embedding_covariance(emb, vec_col)
+    rows = [
+        (i, j, round(float(cov[i, j]), 6))
+        for i in range(min(max_dim, cov.shape[0]))
+        for j in range(min(max_dim, cov.shape[1]))
+    ]
+    return spark.createDataFrame(rows, "i int, j int, cov double")
+
+
+def pca_project(
+    emb: DataFrame,
+    n_components: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project embeddings onto the top principal components.
+
+    The eigendecomposition runs on the driver over the d x d covariance
+    (bounded, like k-means centroids); the projection is then a literal
+    dot product per component — a single zero-shuffle scan of the corpus.
+    Component sign is fixed by convention (largest-|w| element positive)
+    so results are deterministic across eigensolver builds.
+    """
+    import numpy as np
+
+    mean, cov = embedding_covariance(emb, vec_col)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = []
+    for idx in order:
+        w = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(w)))
+        if w[pivot] < 0:
+            w = -w
+        comps.append(w)
+    cols = [F.col(id_col)]
+    for c_i, w in enumerate(comps):
+        lit_w = F.array(*[F.lit(float(x)) for x in w])
+        centered_dot = F.aggregate(
+            F.zip_with(F.col(vec_col), lit_w, lambda x, wv: x.cast("double") * wv),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ) - F.lit(float(np.dot(mean, w)))
+        cols.append(F.round(centered_dot, 6).alias(f"pc{c_i + 1}"))
+    return emb.select(*cols)
+
+
 def _centroid_df(spark: SparkSession, cents: list[list[float]], vec_col: str) -> DataFrame:
     from pyspark.sql.types import (
         ArrayType,

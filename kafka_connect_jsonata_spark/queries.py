@@ -1753,6 +1753,29 @@ WHERE r = 1
 """
 
 
+def embedding_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-prep gate: population covariance entries (i, j < 8) of the
+    embedding corpus. Partials are per-Arrow-batch numpy GEMMs (O(parts *
+    d^2) crosses the wire, never the corpus); the d x d reduce is driver-
+    side bounded state. Oracle recomputes the same naive-sum formula
+    per entry."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return curation.covariance_entries(emb, max_dim=8)
+
+
+EMBEDDING_COV_SQL = """
+WITH idx AS (SELECT CAST(i AS INT) AS i FROM range(8) t(i)),
+vals AS (
+  SELECT i.i AS i, j.i AS j,
+         CAST(e.embedding[i.i + 1] AS DOUBLE) AS x,
+         CAST(e.embedding[j.i + 1] AS DOUBLE) AS y
+  FROM embeddings e CROSS JOIN idx i CROSS JOIN idx j)
+SELECT i, j,
+       round((sum(x * y) - sum(x) * sum(y) / count(*)) / count(*), 6) AS cov
+FROM vals GROUP BY i, j
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1824,6 +1847,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_quality": repetition_quality,
     "tfidf_top_terms": tfidf_top_terms,
     "kmeans_assign": kmeans_assign,
+    "embedding_covariance_stats": embedding_covariance_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -1896,4 +1920,5 @@ ORACLES: dict[str, str] = {
     "repetition_quality": REPETITION_SQL,
     "tfidf_top_terms": TFIDF_SQL,
     "kmeans_assign": KMEANS_ASSIGN_SQL,
+    "embedding_covariance_stats": EMBEDDING_COV_SQL,
 }

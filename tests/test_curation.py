@@ -108,6 +108,28 @@ def test_assign_tie_breaks_on_cluster_id(spark):
     assert r["cluster_id"] == 2  # equal distance -> lowest cluster_id wins
 
 
+def test_embedding_covariance_and_pca(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    # anisotropic cloud: variance 9 along x, 0.25 along y, mean (3, -1)
+    pts = rng.normal(0, 1, (400, 2)) * [3.0, 0.5] + [3.0, -1.0]
+    emb = _emb(spark, [(i, [float(a), float(b)]) for i, (a, b) in enumerate(pts)])
+
+    mean, cov = curation.embedding_covariance(emb)
+    p32 = pts.astype(np.float32).astype(np.float64)  # storage is array<float>
+    np.testing.assert_allclose(mean, p32.mean(axis=0), rtol=1e-9)
+    np.testing.assert_allclose(cov, np.cov(p32.T, bias=True), rtol=1e-9)
+
+    proj = curation.pca_project(emb, n_components=2).toPandas()
+    # pc1 must capture the high-variance axis; projections are centered
+    assert proj["pc1"].var() > proj["pc2"].var() * 4
+    assert abs(proj["pc1"].mean()) < 1e-4 and abs(proj["pc2"].mean()) < 1e-4
+    # deterministic: second run bit-identical (sign convention pins eigvecs)
+    proj2 = curation.pca_project(emb, n_components=2).toPandas()
+    assert (proj.sort_values("vec_id").values == proj2.sort_values("vec_id").values).all()
+
+
 def test_kmeans_lloyd_separates_clusters(spark):
     rows = [(i, [0.0 + i * 0.01, 0.0]) for i in range(10)] + [
         (100 + i, [50.0 + i * 0.01, 0.0]) for i in range(10)
