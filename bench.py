@@ -75,6 +75,7 @@ HEADLINE = [
     "repetition_quality",
     "tfidf_top_terms",
     "kmeans_assign",
+    "embedding_covariance_stats",
 ]
 
 
