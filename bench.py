@@ -76,6 +76,8 @@ HEADLINE = [
     "tfidf_top_terms",
     "kmeans_assign",
     "embedding_covariance_stats",
+    "chunk_dedup_docs",
+    "unigram_logprob_docs",
 ]
 
 

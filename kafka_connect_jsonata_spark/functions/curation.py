@@ -325,6 +325,95 @@ def kmeans_lloyd(
 
 
 # ---------------------------------------------------------------------------
+# sub-document (chunk) dedup with order-preserving reassembly
+# ---------------------------------------------------------------------------
+
+
+def chunk_dedup(
+    df: DataFrame,
+    chunk_words: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide sub-document dedup: split each doc into fixed
+    ``chunk_words``-word chunks, keep only the globally FIRST occurrence of
+    each chunk (ordered by (doc, position) — deterministic winner), and
+    reassemble each doc from its surviving chunks in original order. The
+    C4/CCNet-style boilerplate-paragraph removal, with fixed-size chunks
+    standing in for paragraphs on unstructured text.
+
+    Returns (id, n_chunks, n_kept, text_dedup). Scale shape: two keyed
+    shuffles, both linear — first-occurrence ranking partitions by the
+    chunk value (duplicate groups are tiny; a hot boilerplate chunk is
+    bounded by its duplicate count), reassembly partitions by doc id.
+    """
+    w = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(w) / F.lit(chunk_words)).cast("int")
+    chunks = F.when(
+        F.size(w) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(w, i * chunk_words + 1, chunk_words), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(F.col(id_col), F.posexplode_outer(chunks).alias("pos", "chunk"))
+    first = Window.partitionBy("chunk").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    ranked = ex.withColumn(
+        "keep", (F.col("chunk").isNotNull()) & (F.row_number().over(first) == 1)
+    )
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count(F.col("chunk")).alias("n_chunks"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("pos", "chunk"))
+                        )
+                    ),
+                    lambda s: s.getField("chunk"),
+                ),
+                " ",
+            ).alias("text_dedup"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# unigram log-probability quality score
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean negative log-probability under the corpus's own
+    unigram distribution — the cheap, fully-distributed proxy for the LM
+    perplexity filters in published curation recipes (docs full of rare
+    junk tokens score high; formulaic boilerplate scores low).
+
+    Two passes: (1) vocabulary term counts (hash agg to vocab size, then
+    broadcast), (2) token stream joins the broadcast vocab map-side and
+    averages per doc. The corpus shuffles once, keyed by doc id.
+    """
+    words = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__w"))
+    vocab = words.groupBy("__w").agg(F.count("*").alias("__c"))
+    total = vocab.agg(F.sum("__c").alias("__t"))
+    neg_logp = F.log(F.col("__t").cast("double")) - F.log(F.col("__c").cast("double"))
+    return (
+        words.join(F.broadcast(vocab), "__w")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.round(F.avg(neg_logp), 6).alias("avg_neg_logp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # covariance / PCA over embeddings
 # ---------------------------------------------------------------------------
 

@@ -1776,6 +1776,58 @@ FROM vals GROUP BY i, j
 """
 
 
+def chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup gate: global first-occurrence dedup of 10-word
+    chunks with order-preserving reassembly (functions/curation.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.chunk_dedup(docs, chunk_words=10)
+
+
+CHUNK_DEDUP_SQL = r"""
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS w FROM documents),
+chunks AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(w[CAST(i * 10 + 1 AS BIGINT):CAST(i * 10 + 10 AS BIGINT)], ' ') AS chunk
+  FROM words, UNNEST(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) t(i)),
+ranked AS (
+  SELECT doc_id, pos, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id ASC, pos ASC) AS rn
+  FROM chunks),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos), '') AS text_dedup
+  FROM ranked GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(a.n_chunks, 0) AS n_chunks,
+       COALESCE(a.n_kept, 0) AS n_kept,
+       COALESCE(a.text_dedup, '') AS text_dedup
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality score gate: mean -log p(w) under the corpus's
+    own unigram distribution, the distributed perplexity-filter proxy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.unigram_logprob_score(docs)
+
+
+UNIGRAM_LOGPROB_SQL = r"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(trim(text), '\S+')) AS w FROM documents),
+vocab AS (SELECT w, count(*) AS c FROM words GROUP BY 1),
+total AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM vocab)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       round(avg(ln(t) - ln(CAST(c AS DOUBLE))), 6) AS avg_neg_logp
+FROM words JOIN vocab USING (w) CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1848,6 +1900,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": tfidf_top_terms,
     "kmeans_assign": kmeans_assign,
     "embedding_covariance_stats": embedding_covariance_stats,
+    "chunk_dedup_docs": chunk_dedup_docs,
+    "unigram_logprob_docs": unigram_logprob_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -1921,4 +1975,6 @@ ORACLES: dict[str, str] = {
     "tfidf_top_terms": TFIDF_SQL,
     "kmeans_assign": KMEANS_ASSIGN_SQL,
     "embedding_covariance_stats": EMBEDDING_COV_SQL,
+    "chunk_dedup_docs": CHUNK_DEDUP_SQL,
+    "unigram_logprob_docs": UNIGRAM_LOGPROB_SQL,
 }

@@ -108,6 +108,35 @@ def test_assign_tie_breaks_on_cluster_id(spark):
     assert r["cluster_id"] == 2  # equal distance -> lowest cluster_id wins
 
 
+def test_chunk_dedup(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d e f"),        # chunks (size 3): "a b c", "d e f"
+            (2, "a b c x y z"),        # "a b c" is a dup of doc 1's first chunk
+            (3, "d e f"),              # dup of doc 1's second chunk -> emptied
+        ],
+    )
+    out = {r["doc_id"]: r for r in curation.chunk_dedup(df, chunk_words=3).collect()}
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["text_dedup"] == "a b c d e f"
+    assert out[2]["n_kept"] == 1 and out[2]["text_dedup"] == "x y z"
+    assert out[3]["n_kept"] == 0 and out[3]["text_dedup"] == ""
+
+
+def test_unigram_logprob_score(spark):
+    import math
+
+    df = _docs(spark, [(1, "common common common"), (2, "common rare")])
+    out = {r["doc_id"]: r for r in curation.unigram_logprob_score(df).collect()}
+    # corpus: common x4, rare x1, total 5
+    lp_common = math.log(5) - math.log(4)
+    lp_rare = math.log(5) - math.log(1)
+    assert out[1]["avg_neg_logp"] == pytest.approx(lp_common, abs=1e-6)
+    assert out[2]["avg_neg_logp"] == pytest.approx((lp_common + lp_rare) / 2, abs=1e-6)
+    assert out[2]["avg_neg_logp"] > out[1]["avg_neg_logp"]  # rare tokens score higher
+
+
 def test_embedding_covariance_and_pca(spark):
     import numpy as np
 
