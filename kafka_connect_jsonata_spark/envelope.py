@@ -131,7 +131,11 @@ def spark_type_to_connect_schema(dt: T.DataType, optional: bool = True) -> dict:
         )
     elif isinstance(dt, T.DateType):
         out.update({"type": "INT32", "name": LOGICAL_DATE, "version": 1})
-    elif isinstance(dt, T.TimestampType):
+    elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        # Connect's Timestamp logical type is epoch-millis with no zone
+        # concept; both Spark timestamp flavors map onto it (NTZ sources —
+        # e.g. parquet TIMESTAMP(NANOS) under Spark 4.1 — carry UTC wall
+        # clocks in this engine, see sources/readers.py)
         out.update({"type": "INT64", "name": LOGICAL_TIMESTAMP, "version": 1})
     elif isinstance(dt, T.ArrayType):
         out.update({"type": "ARRAY", "valueSchema": spark_type_to_connect_schema(dt.elementType)})
