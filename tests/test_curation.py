@@ -45,6 +45,21 @@ def test_ngram_overlap_contamination(spark):
     assert out[3] == (1, True)   # "quick brown fox"
 
 
+def test_decontamination_plan_broadcasts_eval_side(spark, sf_dir):
+    """Scale contract: the eval shingles broadcast into a left-semi hash
+    join — the training corpus must reach the join without an Exchange
+    (no sort-merge, no corpus-side hash partitioning before the semi)."""
+    from kafka_connect_jsonata_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    out = curation.ngram_overlap_contamination(docs, ev, n=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    semi = [ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln and "LeftSemi" in ln]
+    assert semi, plan
+
+
 def test_pii_redact(spark):
     df = _docs(
         spark,
