@@ -1828,6 +1828,21 @@ GROUP BY doc_id
 """
 
 
+def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection onto the top-2 components (rows-only: the driver-side
+    eigh has no SQL analog; determinism — sign convention included — is
+    pinned in tests/test_curation.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return curation.pca_project(emb, n_components=2)
+
+
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lloyd k-means, k=8, 3 iterations, deterministic init (rows-only:
+    iterative; the E-step is oracle-gated separately as kmeans_assign)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return curation.kmeans_lloyd(emb, k=8, iters=3)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1902,6 +1917,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_covariance_stats": embedding_covariance_stats,
     "chunk_dedup_docs": chunk_dedup_docs,
     "unigram_logprob_docs": unigram_logprob_docs,
+    # rows-only (driver-side eigh / iterative; see docstrings)
+    "pca_project_embeddings": pca_project_embeddings,
+    "kmeans_clusters": kmeans_clusters,
 }
 
 ORACLES: dict[str, str] = {
