@@ -780,10 +780,21 @@ class Compiler:
                 i = j
         return "".join(out)
 
+    @staticmethod
+    def _utc_wall(ts):
+        # JSONata renders datetimes in UTC (unless an explicit zone arg,
+        # which we don't compile). date_format on a plain TIMESTAMP uses
+        # the SESSION timezone — wrong under any non-UTC harness session —
+        # so shift to the UTC wall clock as TIMESTAMP_NTZ first
+        # (convert_timezone with sourceTz=None is session-tz-independent
+        # for LTZ input: instant -> UTC wall clock; verified under
+        # America/New_York).
+        return F.convert_timezone(None, F.lit("UTC"), ts)
+
     def _fn_fromMillis(self, a, ctx, env, raw):
         if len(a) > 2:
             raise NotCompilable("$fromMillis with timezone")
-        ts = F.timestamp_millis(a[0].col.cast("long"))
+        ts = self._utc_wall(F.timestamp_millis(a[0].col.cast("long")))
         if len(a) == 2:
             if raw[1].get("type") != "string":
                 raise NotCompilable("$fromMillis with dynamic picture")
@@ -797,13 +808,33 @@ class Compiler:
     def _fn_toMillis(self, a, ctx, env, raw):
         if len(a) > 1:
             raise NotCompilable("$toMillis picture strings")
-        return Typed(F.unix_millis(F.to_timestamp(a[0].col)), T.LongType())
+        # ISO strings carrying an explicit zone (Z or +hh:mm) parse to the
+        # right instant under any session timezone; zoneless strings are
+        # UTC per the JSONata spec, but Spark's to_timestamp reads them in
+        # the SESSION zone — parse those as NTZ and reinterpret (the same
+        # cancelling two-step as sources/readers._ntz_to_instant).
+        s = a[0].col
+        zoned = s.rlike(r"([Zz]|[+-][0-9]{2}:?[0-9]{2})$")
+        ntz_instant = F.convert_timezone(
+            F.lit("UTC"), F.current_timezone(), F.to_timestamp_ntz(s)
+        ).cast("timestamp")
+        return Typed(
+            F.when(zoned, F.unix_millis(F.to_timestamp(s))).otherwise(
+                F.unix_millis(ntz_instant)
+            ),
+            T.LongType(),
+        )
 
     def _fn_now(self, a, ctx, env, raw):
         if a:
             raise NotCompilable("$now with picture")
         return Typed(
-            F.concat(F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSS"), F.lit("Z")),
+            F.concat(
+                F.date_format(
+                    self._utc_wall(F.current_timestamp()), "yyyy-MM-dd'T'HH:mm:ss.SSS"
+                ),
+                F.lit("Z"),
+            ),
             T.StringType(),
         )
 

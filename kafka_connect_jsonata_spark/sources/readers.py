@@ -56,29 +56,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def ts_micros(col):
-    """Epoch microseconds from a timestamp column, portable across the two
-    types ``events.ts`` can arrive as:
+def _ntz_to_instant(col):
+    """NTZ (UTC wall clock) -> TIMESTAMP instant, independent of the
+    session timezone: convert the UTC wall clock to the session zone's
+    wall clock, then let the session-zone cast turn it into an instant —
+    the two session-zone steps cancel exactly.
 
-    - TIMESTAMP_NTZ (Spark 4.1+ native nanos read): ``to_utc_timestamp``
-      interprets the wall clock as UTC — correct and independent of the
-      session timezone (the data's wall clock IS UTC).
-    - TIMESTAMP/LTZ (legacy long conversion path): the shift is a no-op
-      under the engine's pinned UTC session.
-
-    ``unix_micros`` directly on an NTZ column is an AnalysisException —
-    this wrapper is the one sanctioned spelling.
+    NOTE: the tempting one-step ``to_utc_timestamp(ntz, 'UTC')`` is WRONG
+    under a non-UTC session — Spark first casts NTZ->LTZ through the
+    session zone, silently shifting the value (verified: off by the zone
+    offset under America/New_York). LTZ input passes through correctly
+    under the engine's UTC-pinned legacy session.
     """
     from pyspark.sql import functions as F
 
-    return F.unix_micros(F.to_utc_timestamp(col, "UTC"))
+    return F.convert_timezone(F.lit("UTC"), F.current_timezone(), col).cast("timestamp")
+
+
+def ts_micros(col):
+    """Epoch microseconds from ``events.ts`` in either form it arrives as
+    (TIMESTAMP_NTZ on Spark 4.1+, legacy LTZ conversion on <=4.0) —
+    session-timezone independent. ``unix_micros`` directly on an NTZ
+    column is an AnalysisException; this wrapper is the one sanctioned
+    spelling."""
+    from pyspark.sql import functions as F
+
+    return F.unix_micros(_ntz_to_instant(col))
 
 
 def ts_millis(col):
     """Epoch milliseconds; see :func:`ts_micros`."""
     from pyspark.sql import functions as F
 
-    return F.unix_millis(F.to_utc_timestamp(col, "UTC"))
+    return F.unix_millis(_ntz_to_instant(col))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

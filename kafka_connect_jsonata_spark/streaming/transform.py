@@ -45,7 +45,15 @@ def ensure_event_time(stream_df: DataFrame, ts_col: str) -> DataFrame:
     from pyspark.sql.types import TimestampNTZType
 
     if isinstance(stream_df.schema[ts_col].dataType, TimestampNTZType):
-        return stream_df.withColumn(ts_col, F.to_utc_timestamp(F.col(ts_col), "UTC"))
+        # session-tz-independent NTZ->instant (same cancelling two-step as
+        # sources/readers._ntz_to_instant; a bare to_utc_timestamp shifts
+        # the value under non-UTC sessions)
+        return stream_df.withColumn(
+            ts_col,
+            F.convert_timezone(F.lit("UTC"), F.current_timezone(), F.col(ts_col)).cast(
+                "timestamp"
+            ),
+        )
     return stream_df
 
 

@@ -21,6 +21,12 @@ ROWS_ONLY = {
     # tests/test_multimodal.py
     "multimodal_image_stats",
     "multimodal_audio_features",
+    # driver-side eigh / iterative Lloyd loop: no SQL analog; determinism
+    # and convergence pinned in tests/test_curation.py (the E-step and
+    # covariance entries ARE oracle-gated: kmeans_assign,
+    # embedding_covariance_stats)
+    "pca_project_embeddings",
+    "kmeans_clusters",
 }
 
 
@@ -173,6 +179,29 @@ def test_load_table_session_portable(spark, sf_dir):
         assert lo > 1_500_000_000_000_000  # sane epoch-microsecond range
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def test_datetime_queries_session_tz_independent(spark, sf_dir):
+    """Regression (round 3): every epoch/ISO-rendering path must produce
+    identical values whatever spark.sql.session.timeZone the harness set.
+    to_utc_timestamp/date_format on session-zone timestamps silently shift
+    values under non-UTC sessions; the engine uses convert_timezone-based
+    forms instead."""
+    from kafka_connect_jsonata_spark import queries as Q
+
+    def snap(name):
+        df = Q.QUERIES[name](spark, sf_dir)
+        return sorted(tuple(str(v) for v in r) for r in df.limit(200).collect())
+
+    names = ["jsonata_datetime_array_ops", "jsonata_picture_format", "sessionize_events"]
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    base = {n: snap(n) for n in names}
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        for n in names:
+            assert snap(n) == base[n], f"{n} drifts with session timezone"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
 
 
 def test_embedding_dup_pairs_auto_dispatch(spark):
