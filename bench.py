@@ -78,6 +78,7 @@ HEADLINE = [
     "embedding_covariance_stats",
     "chunk_dedup_docs",
     "unigram_logprob_docs",
+    "heavy_hitter_terms",
 ]
 
 

@@ -193,3 +193,52 @@ def bpe_ish_tokens(col: Column) -> Column:
 
 def bpe_ish_token_count(col: Column) -> Column:
     return F.size(bpe_ish_tokens(col))
+
+
+def heavy_hitter_terms(
+    df: DataFrame, k: int = 10, capacity: int = 64, text_col: str = "text"
+) -> DataFrame:
+    """EXACT top-k terms over an unbounded corpus with bounded state:
+    Misra-Gries summaries per partition (at most ``capacity`` counters of
+    executor state, mapInPandas) propose candidates, then one keyed
+    aggregation re-counts ONLY the candidates exactly and takes top-k.
+
+    Why this is the 100 TB shape: the naive explode -> groupBy(term)
+    shuffles the corpus's entire token stream keyed by term; here the
+    shuffle carries just candidate terms (<= capacity x partitions rows)
+    plus the map-side-combined candidate counts. Exactness guarantee: any
+    term with global frequency > N/(capacity+1) must exceed the local MG
+    threshold in at least one partition (averaging/pigeonhole), so the
+    candidate set is a superset of the true top-k whenever the k-th term
+    clears that bound — natural-language term distributions clear it by
+    orders of magnitude; size ``capacity`` >> k for safety margin.
+    """
+    words = df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+
+    def mg(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for b in batches:
+            for t in b["term"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < capacity:
+                    counters[t] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"term": list(counters)})
+
+    cands = words.mapInPandas(mg, "term string").distinct()
+    exact = (
+        words.join(F.broadcast(cands), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    return exact.orderBy(F.col("freq").desc(), F.col("term").asc()).limit(k)

@@ -1828,6 +1828,23 @@ GROUP BY doc_id
 """
 
 
+def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 corpus terms via bounded-state Misra-Gries candidates +
+    exact candidate re-count (functions/text.py) — the no-vocab-shuffle
+    heavy-hitters path; oracle is the plain exact top-10."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.heavy_hitter_terms(docs, k=10, capacity=64)
+
+
+HEAVY_HITTERS_SQL = r"""
+SELECT w AS term, CAST(count(*) AS BIGINT) AS freq
+FROM (SELECT unnest(regexp_extract_all(trim(text), '\S+')) AS w FROM documents)
+GROUP BY w
+ORDER BY freq DESC, term ASC
+LIMIT 10
+"""
+
+
 def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection onto the top-2 components (rows-only: the driver-side
     eigh has no SQL analog; determinism — sign convention included — is
@@ -1917,6 +1934,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_covariance_stats": embedding_covariance_stats,
     "chunk_dedup_docs": chunk_dedup_docs,
     "unigram_logprob_docs": unigram_logprob_docs,
+    "heavy_hitter_terms": heavy_hitter_terms,
     # rows-only (driver-side eigh / iterative; see docstrings)
     "pca_project_embeddings": pca_project_embeddings,
     "kmeans_clusters": kmeans_clusters,
@@ -1995,4 +2013,5 @@ ORACLES: dict[str, str] = {
     "embedding_covariance_stats": EMBEDDING_COV_SQL,
     "chunk_dedup_docs": CHUNK_DEDUP_SQL,
     "unigram_logprob_docs": UNIGRAM_LOGPROB_SQL,
+    "heavy_hitter_terms": HEAVY_HITTERS_SQL,
 }

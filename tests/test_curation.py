@@ -174,6 +174,19 @@ def test_embedding_covariance_and_pca(spark):
     assert (proj.sort_values("vec_id").values == proj2.sort_values("vec_id").values).all()
 
 
+def test_heavy_hitter_terms_exact(spark):
+    from kafka_connect_jsonata_spark.functions.text import heavy_hitter_terms
+
+    rows = []
+    # zipf-ish: term_i appears (40 - i) times, plus 60 singleton noise terms
+    for i in range(20):
+        rows += [(len(rows) + j, f"t{i:02d}") for j in range(40 - i)]
+    noise = [(10_000 + i, f"noise{i}") for i in range(60)]
+    df = spark.createDataFrame(rows + noise, "doc_id long, text string").repartition(8)
+    got = [(r["term"], r["freq"]) for r in heavy_hitter_terms(df, k=5, capacity=32).collect()]
+    assert got == [(f"t{i:02d}", 40 - i) for i in range(5)]  # exact counts, exact order
+
+
 def test_kmeans_lloyd_separates_clusters(spark):
     rows = [(i, [0.0 + i * 0.01, 0.0]) for i in range(10)] + [
         (100 + i, [50.0 + i * 0.01, 0.0]) for i in range(10)
