@@ -56,6 +56,15 @@ def get_spark(app_name: str = "spark-jsonata", cpus: int | None = None) -> Spark
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The default codegen class cache holds 100 entries; a session that
+        # runs the full headline query set compiles several hundred
+        # WholeStageCodegen classes, so by the time a benchmark pass repeats
+        # a query its generated classes have been evicted and Janino + C2
+        # recompile from scratch — on a contended host that recompile is
+        # seconds per heavy stage, every pass (round-3 bench:
+        # minhash_lsh_dups 25 s driver vs 3.5 s isolated). Size the cache to
+        # the workload instead; entries are compiled classes, a few KB each.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
         # testdata events.parquet stores TIMESTAMP(NANOS); Spark 4.1+ reads
         # it natively as TIMESTAMP_NTZ and ignores this conf — kept so the
         # same code runs on Spark <=4.0 (there the column arrives as a ns

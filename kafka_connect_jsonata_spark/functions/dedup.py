@@ -272,6 +272,83 @@ def minhash_signature(col: Column, num_hashes: int = 64, ngram: int = 5) -> Colu
     return minhash_signature_from_hashes(base, num_hashes)
 
 
+def _minhash_sketch_fn(num_hashes: int, n_bands: int, ngram: int, seed: int):
+    """Build the per-batch numpy sketch kernel for ``minhash_lsh_pairs``.
+
+    One Arrow pass computes, per document: distinct shingle hashes (rolling
+    polynomial hash over codepoints + splitmix64 finalizer), the MinHash
+    signature (universal-hash remix, one broadcast min), and the per-band
+    bucket keys (Horner-combine of each signature slice). Returns a
+    mapInPandas generator: (id, __s) -> (id, __h, bkts).
+
+    Rationale (round-3 verdict, bench #1): the previous staging — a JVM
+    ``transform(sequence..substr..xxhash64)`` shingle expression, a pandas
+    signature UDF, then a 16-slot ``array(struct(hash(slice(sig))))`` band
+    expression — generated very large WholeStageCodegen classes whose
+    Janino+C2 compile cost (~20 s cold) was re-paid whenever the codegen
+    cache evicted them (driver benches: 25 s/pass). Collapsing the dense
+    math into one numpy kernel leaves only trivial JVM expressions; the
+    numpy work itself is a few vector ops per document."""
+    rows_per_band = num_hashes // n_bands
+    rng = np.random.RandomState(seed)
+
+    def u64(n):
+        return rng.randint(0, 2**32, size=n, dtype=np.uint64) << np.uint64(32) | rng.randint(
+            0, 2**32, size=n, dtype=np.uint64
+        )
+
+    a = u64(num_hashes) | np.uint64(1)  # odd multipliers
+    b = u64(num_hashes)
+    P = np.uint64(1099511628211)  # FNV-1a prime, odd
+    M1, M2 = np.uint64(0xBF58476D1CE4E5B9), np.uint64(0x94D049BB133111EB)
+    empty_sig = np.full(num_hashes, np.iinfo(np.int64).max, dtype=np.int64)
+
+    def mix(v: np.ndarray) -> np.ndarray:
+        # splitmix64 finalizer: decorrelates the weak polynomial hash
+        v = v ^ (v >> np.uint64(30))
+        v = v * M1
+        v = v ^ (v >> np.uint64(27))
+        v = v * M2
+        return v ^ (v >> np.uint64(31))
+
+    def sketch(batches):
+        err = np.seterr(over="ignore")  # uint64 wraparound is the hash ring
+        try:
+            for pdf in batches:
+                hs_out, bkt_out = [], []
+                for s in pdf["__s"]:
+                    cp = np.frombuffer(str(s).encode("utf-32-le"), dtype=np.uint32).astype(
+                        np.uint64
+                    )
+                    m = cp.size - ngram + 1
+                    if m < 1:
+                        # char_ngrams parity: a doc shorter than the shingle
+                        # width contributes its whole text as one shingle
+                        # (length folded in so "ab" never collides with
+                        # "ab\0\0\0"-style windows)
+                        acc = np.full(1, np.uint64(cp.size), dtype=np.uint64)
+                        for j in range(cp.size):
+                            acc = acc * P + cp[j : j + 1]
+                    else:
+                        acc = np.zeros(m, dtype=np.uint64)
+                        for j in range(ngram):
+                            acc = acc * P + cp[j : j + m]
+                    hs = np.unique(mix(acc))  # distinct shingles
+                    sig = (hs[:, None] * a[None, :] + b[None, :]).min(axis=0)
+                    # Horner over each band's contiguous signature slice
+                    sl = sig.reshape(n_bands, rows_per_band)
+                    bkt = np.zeros(n_bands, dtype=np.uint64)
+                    for r in range(rows_per_band):
+                        bkt = bkt * P + sl[:, r]
+                    hs_out.append(hs.view(np.int64))
+                    bkt_out.append(mix(bkt).view(np.int64))
+                yield pd.DataFrame({"id": pdf["id"], "__h": hs_out, "bkts": bkt_out})
+        finally:
+            np.seterr(**err)
+
+    return sketch
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -280,47 +357,36 @@ def minhash_lsh_pairs(
     n_bands: int = 16,
     ngram: int = 5,
     threshold: float = 0.7,
+    seed: int = 0x5EED,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, verified with exact shingle
     Jaccard. rows_per_band = num_hashes / n_bands; a pair collides if any
-    band's signature slice matches. Shuffle keys: (band, hash(slice)) —
-    bounded fanout of n_bands rows per document."""
-    rows_per_band = num_hashes // n_bands
-    # staged projections: grams -> base hashes (JVM xxhash64, one pass) ->
-    # signature (vectorized numpy remix, one Arrow batch per partition);
-    # repartition first so the work uses every core even when the scan is a
-    # single small file. The hashed-shingle table is checkpointed once and
-    # reused by the verify stage below — the corpus is shingled exactly
-    # once end to end.
-    hashed = (
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-        .select(
-            F.col(id_col).alias("id"),
-            F.transform(char_ngrams(F.col(text_col), ngram), lambda g: F.xxhash64(g)).alias(
-                "__h"
-            ),
+    band's signature slice matches. Shuffle keys: (band, bkt) — bounded
+    fanout of n_bands rows per document.
+
+    Text is normalized JVM-side (parity with the SQL oracle); all dense
+    per-document math — shingle hashing, signature, band buckets — runs in
+    ONE Arrow-batched numpy stage (``_minhash_sketch_fn``), so the corpus
+    is read and shingled exactly once and the JVM expression footprint
+    stays small (fast codegen, see round-3 bench finding)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    base = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+        F.col(id_col).alias("id"), norm.alias("__s")
+    )
+    id_type = base.schema["id"].dataType.simpleString()
+    sketched = (
+        base.mapInPandas(
+            _minhash_sketch_fn(num_hashes, n_bands, ngram, seed),
+            f"id {id_type}, __h array<bigint>, bkts array<bigint>",
         )
         .transform(lambda d: barrier(d, eager=False))
     )
-    sig = hashed.select(
-        "id", minhash_signatures_vectorized(num_hashes)(F.col("__h")).alias("sig")
-    )
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.hash(F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)).alias("bkt"),
-            )
-            for i in range(n_bands)
-        ]
-    )
-    # the LSH shuffle moves ONLY (id, band, bkt) rows — the gram arrays stay
-    # behind and are re-fetched by id for surviving candidates. At 100 TB the
-    # alternative (carrying shingle arrays through the band explode and a
-    # bucket self-join) shuffles each document 2*n_bands times.
-    buckets = sig.select("id", F.explode(bands).alias("b")).select(
-        "id", F.col("b.band").alias("band"), F.col("b.bkt").alias("bkt")
-    )
+    hashed = sketched.select("id", "__h")
+    # the LSH shuffle moves ONLY (id, band, bkt) rows — the shingle-hash
+    # arrays stay behind and are re-fetched by id for surviving candidates.
+    # At 100 TB the alternative (carrying shingle arrays through the band
+    # explode and a bucket self-join) shuffles each document 2*n_bands times.
+    buckets = sketched.select("id", F.posexplode("bkts").alias("band", "bkt"))
     # candidate pairs generated locally inside each bucket group (no
     # self-join, signature pipeline runs once); bucket skew is inherent to
     # LSH and bounded by band width
