@@ -488,6 +488,36 @@ def covariance_entries(
     return spark.createDataFrame(rows, "i int, j int, cov double")
 
 
+def project_components(
+    emb: DataFrame,
+    comps,
+    mean,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Project embeddings onto fixed component vectors: one zero-shuffle
+    scan, per-component literal dot product (``zip_with`` + left fold, so
+    the float summation order is defined and reproducible in any engine
+    with a left fold — the oracle-parity contract).
+
+    ``(x - mean)·w`` is computed as ``x·w - mean·w`` with ``mean·w`` folded
+    into one literal, so the hot loop is exactly d multiplies + d adds per
+    component per row."""
+    import numpy as np
+
+    cols = [F.col(id_col)]
+    for c_i, w in enumerate(comps):
+        lit_w = F.array(*[F.lit(float(x)) for x in w])
+        centered_dot = F.aggregate(
+            F.zip_with(F.col(vec_col), lit_w, lambda x, wv: x.cast("double") * wv),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ) - F.lit(float(np.dot(np.asarray(mean, dtype=np.float64), np.asarray(w, dtype=np.float64))))
+        cols.append(F.round(centered_dot, round_to).alias(f"pc{c_i + 1}"))
+    return emb.select(*cols)
+
+
 def pca_project(
     emb: DataFrame,
     n_components: int = 2,
@@ -501,7 +531,15 @@ def pca_project(
     dot product per component — a single zero-shuffle scan of the corpus.
     Component sign is fixed by convention (largest-|w| element positive)
     so results are deterministic across eigensolver builds.
-    """
+
+    Gate split (round-3 verdict item 7): the distributed covariance is
+    value-gated by ``embedding_covariance_stats`` and the distributed
+    projection by ``pca_project_fixed`` (seeded literal components, exact
+    SQL oracle); the driver-side ``eigh`` + sign convention between them is
+    not SQL-expressible and stays pinned by tests — an exact-hash oracle
+    through a data-dependent eigendecomposition would be flaky, since the
+    ~1e-14 covariance difference between independent float summation
+    orders is amplified by 1/eigengap into the projected values."""
     import numpy as np
 
     mean, cov = embedding_covariance(emb, vec_col)
@@ -514,16 +552,7 @@ def pca_project(
         if w[pivot] < 0:
             w = -w
         comps.append(w)
-    cols = [F.col(id_col)]
-    for c_i, w in enumerate(comps):
-        lit_w = F.array(*[F.lit(float(x)) for x in w])
-        centered_dot = F.aggregate(
-            F.zip_with(F.col(vec_col), lit_w, lambda x, wv: x.cast("double") * wv),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ) - F.lit(float(np.dot(mean, w)))
-        cols.append(F.round(centered_dot, 6).alias(f"pc{c_i + 1}"))
-    return emb.select(*cols)
+    return project_components(emb, comps, mean, id_col, vec_col)
 
 
 def _centroid_df(spark: SparkSession, cents: list[list[float]], vec_col: str) -> DataFrame:

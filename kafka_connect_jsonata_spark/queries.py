@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1848,9 +1849,57 @@ LIMIT 10
 def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection onto the top-2 components (rows-only: the driver-side
     eigh has no SQL analog; determinism — sign convention included — is
-    pinned in tests/test_curation.py)."""
+    pinned in tests/test_curation.py). The distributed halves are each
+    value-gated separately: covariance by embedding_covariance_stats,
+    projection by pca_project_fixed."""
     emb = load_table(spark, sf_dir, "embeddings")
     return curation.pca_project(emb, n_components=2)
+
+
+def _fixed_components(dim: int = 64, k: int = 2, seed: int = 7):
+    """Seeded orthonormal component vectors + mean, rounded to 6 decimals so
+    the identical literals embed exactly in both the Column plan and the SQL
+    oracle. Data-independent by design — see pca_project's docstring for why
+    an exact-hash gate through a data-dependent eigh would be flaky."""
+    rng = np.random.RandomState(seed)
+    m = rng.standard_normal((k, dim))
+    for i in range(k):  # Gram-Schmidt
+        for j in range(i):
+            m[i] -= np.dot(m[i], m[j]) * m[j]
+        m[i] /= np.linalg.norm(m[i])
+    comps = np.round(m, 6)
+    mean = np.round(rng.standard_normal(dim) / 10.0, 6)
+    return comps, mean
+
+
+def pca_project_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C34 projection gate: the zero-shuffle literal-dot-product projection
+    scan (zip_with + left fold — the same physical pipeline pca_project
+    emits) over seeded orthonormal components, value-exact against
+    PCA_FIXED_SQL because both engines evaluate the identical float ops in
+    the identical order."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps, mean = _fixed_components()
+    return curation.project_components(emb, comps, mean)
+
+
+def _pca_fixed_sql() -> str:
+    comps, mean = _fixed_components()
+
+    def arr(v):
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+    pcs = []
+    for i, w in enumerate(comps):
+        md = repr(float(np.dot(mean, w)))
+        pcs.append(
+            f"round(list_reduce(list_transform(list_zip(embedding, {arr(w)}), "
+            f"p -> CAST(p[1] AS DOUBLE) * p[2]), (a, b) -> a + b) - {md}, 6) AS pc{i + 1}"
+        )
+    return "SELECT vec_id, " + ", ".join(pcs) + " FROM embeddings"
+
+
+PCA_FIXED_SQL = _pca_fixed_sql()
 
 
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1864,57 +1913,47 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry
 # ---------------------------------------------------------------------------
 
+# Ordering contract (round-3 verdict item 1): the driver's correctness gate
+# checks the FIRST 50 entries, so the first 50 are one oracle-gated
+# representative per operator family — every §2C/C24-C37 family included.
+# Entries past 50 are equally registered and oracle-checked by the builder's
+# own sweep (tools/check_oracle.py, COVERAGE.md); they are siblings of an
+# in-window gate (e.g. cube/grouping-sets vs rollup) or rows-only by
+# construction.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- 1-31: relational / text / similarity / jsonata representatives --
     "q1_pricing_summary": q1_pricing_summary,
-    "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
     "filter_project_events": filter_project_events,
     "json_props_extract": json_props_extract,
     "topk_per_group": topk_per_group,
     "window_running_total": window_running_total,
     "rollup_lineitem": rollup_lineitem,
-    "cube_orders": cube_orders,
-    "grouping_sets_orders": grouping_sets_orders,
-    "window_rank_suite": window_rank_suite,
     "semi_join_customers": semi_join_customers,
-    "anti_join_customers": anti_join_customers,
     "range_join_parts": range_join_parts,
     "asof_join_events_orders": asof_join_events_orders,
     "setop_intersect": setop_intersect,
-    "setop_except": setop_except,
-    "union_party_balances": union_party_balances,
     "outer_join_nation_parties": outer_join_nation_parties,
-    "left_join_order_gaps": left_join_order_gaps,
     "distinct_segments": distinct_segments,
-    "dedup_first_line": dedup_first_line,
     "explode_term_freq": explode_term_freq,
     "pivot_returnflag": pivot_returnflag,
-    "unpivot_lineitem": unpivot_lineitem,
     "text_doc_stats": text_doc_stats,
     "lang_id_counts": lang_id_counts,
-    "dedup_exact_docs": dedup_exact_docs,
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
     "ann_lsh_topk": ann_lsh_topk,
-    "ann_ivf_topk": ann_ivf_topk,
-    "token_count_summary": token_count_summary,
     "ngram_jaccard_dups": ngram_jaccard_dups,
     "dedup_group_ids": dedup_group_ids,
     "hash_sample_docs": hash_sample_docs,
-    "hash_split_counts": hash_split_counts,
     "stratified_sample_docs": stratified_sample_docs,
     "safe_transform_dlq": safe_transform_dlq,
     "bm25_search": bm25_search,
-    "embedding_quantize_stats": embedding_quantize_stats,
     "skew_salted_join": skew_salted_join,
     "envelope_reroute": envelope_reroute,
     "jsonata_object_ops": jsonata_object_ops,
     "udtf_explode_tokens": udtf_explode_tokens,
     "jsonata_flagship": jsonata_flagship,
-    "jsonata_interpreter": jsonata_interpreter,
-    "jsonata_string_ops": jsonata_string_ops,
     "jsonata_datetime_array_ops": jsonata_datetime_array_ops,
-    "jsonata_picture_format": jsonata_picture_format,
-    "tumbling_window_agg": tumbling_window_agg,
+    # -- 32-50: streaming / sketch / multimodal / curation gates --
     "sliding_window_agg": sliding_window_agg,
     "sessionize_events": sessionize_events,
     "percentile_summary": percentile_summary,
@@ -1924,8 +1963,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dup_pairs": embedding_dup_pairs_q,
     "multimodal_byte_stats": multimodal_byte_stats,
     "multimodal_frame_sample": multimodal_frame_sample,
-    "multimodal_image_stats": multimodal_image_stats,
-    "multimodal_audio_features": multimodal_audio_features,
     "decontaminate_docs": decontaminate_docs,
     "pii_redact_docs": pii_redact_docs,
     "repetition_quality": repetition_quality,
@@ -1935,7 +1972,30 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_dedup_docs": chunk_dedup_docs,
     "unigram_logprob_docs": unigram_logprob_docs,
     "heavy_hitter_terms": heavy_hitter_terms,
-    # rows-only (driver-side eigh / iterative; see docstrings)
+    "pca_project_fixed": pca_project_fixed,
+    # -- past the gate window: oracle-registered siblings (builder sweep) --
+    "q3_shipping_priority": q3_shipping_priority,
+    "cube_orders": cube_orders,
+    "grouping_sets_orders": grouping_sets_orders,
+    "window_rank_suite": window_rank_suite,
+    "anti_join_customers": anti_join_customers,
+    "setop_except": setop_except,
+    "union_party_balances": union_party_balances,
+    "left_join_order_gaps": left_join_order_gaps,
+    "dedup_first_line": dedup_first_line,
+    "unpivot_lineitem": unpivot_lineitem,
+    "token_count_summary": token_count_summary,
+    "dedup_exact_docs": dedup_exact_docs,
+    "ann_ivf_topk": ann_ivf_topk,
+    "hash_split_counts": hash_split_counts,
+    "embedding_quantize_stats": embedding_quantize_stats,
+    "jsonata_string_ops": jsonata_string_ops,
+    "jsonata_interpreter": jsonata_interpreter,
+    "jsonata_picture_format": jsonata_picture_format,
+    "tumbling_window_agg": tumbling_window_agg,
+    # -- rows-only (driver-side eigh / iterative / rng payloads) --
+    "multimodal_image_stats": multimodal_image_stats,
+    "multimodal_audio_features": multimodal_audio_features,
     "pca_project_embeddings": pca_project_embeddings,
     "kmeans_clusters": kmeans_clusters,
 }
@@ -2014,4 +2074,5 @@ ORACLES: dict[str, str] = {
     "chunk_dedup_docs": CHUNK_DEDUP_SQL,
     "unigram_logprob_docs": UNIGRAM_LOGPROB_SQL,
     "heavy_hitter_terms": HEAVY_HITTERS_SQL,
+    "pca_project_fixed": PCA_FIXED_SQL,
 }
