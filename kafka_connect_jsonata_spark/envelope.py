@@ -178,11 +178,18 @@ def wrap_as_envelope(
     ``value`` is a typed struct of all columns. The value schema is the
     DataFrame schema — one schema for the batch, the common Connect case."""
     value = F.struct(*[F.col(c) for c in df.columns])
-    ts = (
-        F.col(timestamp_col).cast("timestamp").cast("double") * 1000
-        if timestamp_col
-        else F.lit(None).cast("double")
-    )
+    if timestamp_col:
+        src = F.col(timestamp_col)
+        if isinstance(df.schema[timestamp_col].dataType, T.TimestampNTZType):
+            # NTZ carries a UTC wall clock in this engine; a bare
+            # cast('timestamp') would reinterpret it through the session
+            # zone and shift the envelope epoch-millis under non-UTC
+            # sessions (round-3 advice). Same cancelling two-step as
+            # sources/readers._ntz_to_instant.
+            src = F.convert_timezone(F.lit("UTC"), F.current_timezone(), src)
+        ts = src.cast("timestamp").cast("double") * 1000
+    else:
+        ts = F.lit(None).cast("double")
     return df.select(
         F.lit(topic).alias("topic"),
         F.spark_partition_id().alias("kafkaPartition"),

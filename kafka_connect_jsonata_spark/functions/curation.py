@@ -231,6 +231,7 @@ def assign_nearest_centroid(
     vec_col: str = "embedding",
     c_id_col: str = "cluster_id",
     c_vec_col: str = "centroid",
+    literal_budget: int = 200_000,
 ) -> DataFrame:
     """k-means E-step: each vector -> nearest centroid (squared L2,
     deterministic tie-break on cluster_id).
@@ -252,6 +253,44 @@ def assign_nearest_centroid(
             F.lit(None).cast("int").alias(c_id_col),
             F.lit(None).cast("double").alias("dist_sq"),
         ).filter(F.lit(False))
+    n_lits = len(rows) * len(rows[0][c_vec_col])
+    if n_lits > literal_budget:
+        # The literal budget is k*d expression nodes, not k (round-3
+        # advice: k=4096 with d=1024 would be ~4M literals and stall
+        # analysis/codegen long before the k cap fires). Above the budget,
+        # switch to the closure-carried numpy kernel: same zero-shuffle
+        # scan, centroids cross the wire once per task in the pickled
+        # closure instead of per-plan as literals.
+        import numpy as np
+
+        c = np.asarray(
+            [[float(x) for x in r[c_vec_col]] for r in sorted(rows, key=lambda r: r[c_id_col])],
+            dtype=np.float64,
+        )
+        cids = np.asarray([int(r[c_id_col]) for r in sorted(rows, key=lambda r: r[c_id_col])])
+        c_sq = (c * c).sum(axis=1)
+        id_type = emb.schema[id_col].dataType.simpleString()
+
+        def gen(batches):
+            import pandas as pd
+
+            for b in batches:
+                if not len(b):
+                    continue
+                x = np.asarray([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+                d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ c.T) + c_sq[None, :]
+                a = d2.argmin(axis=1)
+                yield pd.DataFrame(
+                    {
+                        id_col: b[id_col],
+                        c_id_col: cids[a].astype("int32"),
+                        "dist_sq": np.round(np.maximum(d2[np.arange(len(a)), a], 0.0), 4),
+                    }
+                )
+
+        return emb.select(id_col, vec_col).mapInPandas(
+            gen, f"{id_col} {id_type}, {c_id_col} int, dist_sq double"
+        )
     cents = F.array(
         *[
             F.struct(
@@ -293,6 +332,8 @@ def kmeans_lloyd(
     """
     if k > 4096:
         raise ValueError("k capped at 4096 (centroids are driver-held state)")
+    import numpy as np
+
     spark = emb.sparkSession
     init = (
         emb.orderBy(F.col(id_col).asc())
@@ -300,28 +341,62 @@ def kmeans_lloyd(
         .select(F.col(vec_col).alias("centroid"))
         .collect()
     )
-    cents = [[float(x) for x in r["centroid"]] for r in init]
+    cents = np.asarray([[float(x) for x in r["centroid"]] for r in init], dtype=np.float64)
+
+    # Fused E+M step (round-3 verdict item 4): ONE mapInPandas pass per
+    # iteration computes GEMM distances against the closure-held centroids,
+    # assigns, and emits per-batch (cluster -> count, sum[d]) partials.
+    # Nothing corpus-sized ever shuffles: the old formulation re-joined the
+    # assignment to the vectors by id (corpus shuffle) and posexploded dim x
+    # rows through a Generate into two groupBys — ~2 corpus-scale shuffles
+    # per iteration; this wire-transfers O(partitions * k * d) doubles per
+    # iteration, like covariance_partials.
+    def partials_fn(c: np.ndarray):
+        c_sq = (c * c).sum(axis=1)
+        kk, d = c.shape
+
+        def gen(batches):
+            import pandas as pd
+
+            for b in batches:
+                if not len(b):
+                    continue
+                x = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in b[vec_col]]
+                )
+                d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ c.T) + c_sq[None, :]
+                # argmin tie-breaks on the lowest cluster_id, matching the
+                # E-step's (dist, cid) struct-min convention
+                assign = d2.argmin(axis=1)
+                cnt = np.bincount(assign, minlength=kk)
+                sums = np.zeros((kk, d))
+                np.add.at(sums, assign, x)
+                nz = np.nonzero(cnt)[0]
+                yield pd.DataFrame(
+                    {
+                        "cluster_id": nz.astype("int32"),
+                        "n": cnt[nz].astype("int64"),
+                        "s": [sums[i].tolist() for i in nz],
+                    }
+                )
+
+        return gen
+
     for _ in range(iters):
-        cdf = _centroid_df(spark, cents, vec_col)
-        assigned = assign_nearest_centroid(emb, cdf, id_col, vec_col)
-        joined = assigned.join(emb.select(id_col, vec_col), id_col)
-        # M-step: per-cluster elementwise mean — posexplode + two-key agg
-        # (map-side combined), re-assembled with array_agg ordered by dim
-        means = (
-            joined.select("cluster_id", F.posexplode(F.col(vec_col)).alias("__i", "__x"))
-            .groupBy("cluster_id", "__i")
-            .agg(F.avg(F.col("__x").cast("double")).alias("__m"))
-            .groupBy("cluster_id")
-            .agg(F.array_sort(F.collect_list(F.struct("__i", "__m"))).alias("__dims"))
-            .select(
-                "cluster_id",
-                F.expr("transform(__dims, s -> s.__m)").alias("centroid"),
-            )
-            .collect()
-        )
-        new = {r["cluster_id"]: [float(x) for x in r["centroid"]] for r in means}
-        cents = [new.get(i, cents[i]) for i in range(len(cents))]
-    return assign_nearest_centroid(emb, _centroid_df(spark, cents, vec_col), id_col, vec_col)
+        rows = emb.select(vec_col).mapInPandas(
+            partials_fn(cents), "cluster_id int, n long, s array<double>"
+        ).collect()  # bounded driver state: <= partitions * k rows of d doubles
+        n = np.zeros(k)
+        s = np.zeros((k, cents.shape[1]))
+        for r in rows:
+            n[r["cluster_id"]] += r["n"]
+            s[r["cluster_id"]] += np.asarray(r["s"])
+        nz = n > 0
+        cents = cents.copy()
+        cents[nz] = s[nz] / n[nz, None]  # empty clusters keep their centroid
+    return assign_nearest_centroid(
+        emb, _centroid_df(spark, [list(map(float, c)) for c in cents], vec_col), id_col, vec_col
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -814,7 +814,9 @@ class Compiler:
         # the SESSION zone — parse those as NTZ and reinterpret (the same
         # cancelling two-step as sources/readers._ntz_to_instant).
         s = a[0].col
-        zoned = s.rlike(r"([Zz]|[+-][0-9]{2}:?[0-9]{2})$")
+        # minutes are optional in ISO-8601 offsets: +05 == +05:00 (round-3
+        # advice — hour-only offsets were misread as zoneless before)
+        zoned = s.rlike(r"([Zz]|[+-][0-9]{2}(:?[0-9]{2})?)$")
         ntz_instant = F.convert_timezone(
             F.lit("UTC"), F.current_timezone(), F.to_timestamp_ntz(s)
         ).cast("timestamp")

@@ -51,8 +51,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # integer div, NOT double division: ns values ~1.7e18 exceed double
-        # mantissa precision and would round the microsecond truncation
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # mantissa precision and would round the microsecond truncation.
+        # Normalize the legacy (Spark <=4.0) path all the way to
+        # TIMESTAMP_NTZ holding the UTC wall clock — the same type the 4.1+
+        # native nanos read produces — so every downstream consumer sees ONE
+        # type and _ntz_to_instant's NTZ assumption always holds. The
+        # convert_timezone(session, UTC, ltz) form is session-independent:
+        # the implicit LTZ->NTZ cast goes through the session zone, and
+        # declaring sourceTz = session zone cancels it exactly (round-3
+        # advice: the previous LTZ passthrough shifted epoch values under a
+        # non-UTC session on the legacy path).
+        df = df.withColumn(
+            "ts",
+            F.convert_timezone(
+                F.current_timezone(),
+                F.lit("UTC"),
+                F.timestamp_micros(F.expr("ts div 1000")),
+            ),
+        )
     return df
 
 
@@ -65,8 +81,8 @@ def _ntz_to_instant(col):
     NOTE: the tempting one-step ``to_utc_timestamp(ntz, 'UTC')`` is WRONG
     under a non-UTC session — Spark first casts NTZ->LTZ through the
     session zone, silently shifting the value (verified: off by the zone
-    offset under America/New_York). LTZ input passes through correctly
-    under the engine's UTC-pinned legacy session.
+    offset under America/New_York). Input here is always NTZ:
+    ``load_table`` normalizes the legacy long-nanos path to NTZ too.
     """
     from pyspark.sql import functions as F
 

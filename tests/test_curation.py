@@ -114,6 +114,25 @@ def test_assign_nearest_centroid_values_and_plan(spark):
     assert "Exchange" not in plan
 
 
+def test_assign_nearest_centroid_gemm_fallback_matches_literal_plan(spark):
+    """Above the k*d literal budget the E-step switches to the
+    closure-carried numpy kernel; values (incl. the cluster_id tie-break)
+    must match the inlined-literal plan exactly."""
+    rows = [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(40)]
+    emb = _emb(spark, rows)
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [5.0, 3.0]), (2, [3.0, 1.0])],
+        "cluster_id int, centroid array<double>",
+    )
+    lit = curation.assign_nearest_centroid(emb, cents)
+    gemm = curation.assign_nearest_centroid(emb, cents, literal_budget=1)
+    assert "MapInPandas" in gemm._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in gemm._jdf.queryExecution().executedPlan().toString()
+    a = {r["vec_id"]: (r["cluster_id"], r["dist_sq"]) for r in lit.collect()}
+    b = {r["vec_id"]: (r["cluster_id"], r["dist_sq"]) for r in gemm.collect()}
+    assert a == b
+
+
 def test_assign_tie_breaks_on_cluster_id(spark):
     emb = _emb(spark, [(7, [1.0, 0.0])])
     cents = spark.createDataFrame(

@@ -55,6 +55,25 @@ def test_compiled_scalar_functions(people):
     assert first["r"] == 4.29  # bround(30/7, 2)
 
 
+def test_compiled_tomillis_offset_forms(spark):
+    """ISO-8601 zone offsets: Z, +hh:mm, +hhmm AND hour-only +hh must all
+    parse as zoned (round-3 advice: +05 was misread as zoneless and
+    reinterpreted as UTC, off by the offset)."""
+    df = spark.createDataFrame(
+        [
+            ("2020-01-01T00:00:00Z", 1577836800000),
+            ("2020-01-01T00:00:00+05:00", 1577818800000),
+            ("2020-01-01T00:00:00+0530", 1577817000000),
+            ("2020-01-01T00:00:00+05", 1577818800000),
+            ("2020-01-01T00:00:00", 1577836800000),  # zoneless -> UTC
+        ],
+        "s string, want long",
+    )
+    out = transform(df, "{'ms': $toMillis(s), 'want': want}", force_tier="compiled")
+    for r in out.collect():
+        assert r["ms"] == r["want"]
+
+
 def test_compiled_hof(people):
     out = transform(
         people,
