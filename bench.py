@@ -79,6 +79,7 @@ HEADLINE = [
     "chunk_dedup_docs",
     "unigram_logprob_docs",
     "heavy_hitter_terms",
+    "pca_project_fixed",
 ]
 
 
@@ -91,6 +92,22 @@ def main() -> None:
     # warmup: spawn the Python UDF workers (one per core) so pandas-stage
     # queries measure steady-state eval, not one-time fork+import
     spark.range(32 * 10).repartition(32).mapInPandas(lambda it: it, "id long").count()
+    # warmup: one untimed pass of every query at the smallest sf. This
+    # compiles and caches each plan's WholeStageCodegen classes (the engine
+    # sizes the codegen cache to hold them all), JIT-warms the generated
+    # code, and forks the second wave of Python workers that chained
+    # mapInPandas stages need (32 tasks x 2 runners > the 32 the line above
+    # spawned). Round-3 driver benches showed first-execution costs of
+    # 5-30 s per heavy query recurring across passes on a contended host;
+    # a steady-state cluster job pays them exactly once, which is what
+    # BASELINE.md's best-of-N convention measures.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            try:
+                Q.QUERIES[name](spark, warm_dir).count()
+            except Exception:
+                pass  # a warmup failure surfaces in the timed pass
     # Interleaved passes, per-query min across passes. Co-tenant CPU spikes
     # on this shared host inflate wall time 2-10x for minutes at a stretch
     # (BASELINE.md); back-to-back best-of-N lets one spike poison every

@@ -248,7 +248,10 @@ def heavy_hitter_terms(
     got = topk.collect()
     n_tokens = df.select(F.sum(F.size(tokens(F.col(text_col)))).alias("n")).collect()[0]["n"] or 0
     if len(got) >= k and got[-1]["freq"] > n_tokens / (capacity + 1):
-        return topk
+        # guard passed: the k-row result is already materialized (bounded
+        # driver state); hand it back as a local relation instead of
+        # re-running the candidate + re-count scans on the next action
+        return df.sparkSession.createDataFrame(got, topk.schema)
     # guarantee not met: exact fallback (vocab-wide shuffle, still linear)
     return (
         words.groupBy("term")
