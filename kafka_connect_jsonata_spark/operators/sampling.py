@@ -70,6 +70,34 @@ def hash_split(
     return out
 
 
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    rates: dict[str, float],
+    salt: str = "",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Weighted corpus mixing: keep a different deterministic fraction per
+    ``group_col`` value (the data-mixture step of a pretraining pipeline —
+    e.g. {'wiki': 1.0, 'web': 0.3, 'forum': 0.1}). Same md5-position
+    contract as ``hash_sample``: membership is a pure function of content,
+    per-source samples are nested across rates, and the whole thing is one
+    map-side filter — no shuffle, no RNG, oracle-checkable.
+
+    Groups absent from ``rates`` keep ``default_rate`` of their rows.
+    """
+    if not rates:
+        raise ValueError("rates must be non-empty")
+    pos = hash_position(F.col(id_col), salt)
+    cutoff = F.lit(_threshold_hex(default_rate))
+    for name, rate in rates.items():
+        cutoff = F.when(
+            F.col(group_col) == F.lit(name), F.lit(_threshold_hex(rate))
+        ).otherwise(cutoff)
+    return df.filter(pos < cutoff)
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,

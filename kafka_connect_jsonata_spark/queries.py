@@ -895,6 +895,67 @@ WHERE rn <= 5
 """
 
 
+def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C28 data-mixture step: per-source keep rates (src0 100%, src1 50%,
+    src2 25%, everything else 10%) via the md5-position predicate — one
+    map-side filter, no shuffle, no RNG; membership is a pure function of
+    content so the mixture is reproducible on any engine."""
+    from kafka_connect_jsonata_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs,
+        "doc_id",
+        "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+    ).select("doc_id", "source")
+
+
+MIXTURE_SAMPLE_SQL = """
+SELECT doc_id, source FROM documents
+WHERE md5(CAST(doc_id AS VARCHAR)) <
+      CASE source
+        WHEN 'src0' THEN 'gggggggggggggggggggggggggggggggg'
+        WHEN 'src1' THEN '80000000000000000000000000000000'
+        WHEN 'src2' THEN '40000000000000000000000000000000'
+        ELSE '19999999000000000000000000000000'
+      END
+"""
+
+
+def pack_token_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing at 512 tokens/pack: per document
+    the global start offset, owning pack, and boundary-straddle flag.
+    Spark side is the two-phase distributed prefix sum
+    (operators/packing.py — per-bucket totals + within-bucket running sum,
+    never a single-partition global window); the oracle is the
+    straightforward global window cumsum DuckDB can afford at gate scale."""
+    from kafka_connect_jsonata_spark.operators.packing import pack_token_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_token_budget(docs, budget=512)
+
+
+PACK_TOKEN_BUDGET_SQL = r"""
+WITH t AS (
+  SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_offset
+  FROM t)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(floor(start_offset / 512) AS BIGINT) AS pack_id,
+       (n_tokens > 0 AND
+        floor(start_offset / 512) <> floor((start_offset + n_tokens - 1) / 512))
+       AS spans_boundary
+FROM c
+"""
+
+
 _BM25_TERMS = ["spark", "vector", "stream"]
 
 
@@ -1993,6 +2054,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jsonata_interpreter": jsonata_interpreter,
     "jsonata_picture_format": jsonata_picture_format,
     "tumbling_window_agg": tumbling_window_agg,
+    "mixture_sample_docs": mixture_sample_docs,
+    "pack_token_budget_docs": pack_token_budget_docs,
     # -- rows-only (driver-side eigh / iterative / rng payloads) --
     "multimodal_image_stats": multimodal_image_stats,
     "multimodal_audio_features": multimodal_audio_features,
@@ -2075,4 +2138,6 @@ ORACLES: dict[str, str] = {
     "unigram_logprob_docs": UNIGRAM_LOGPROB_SQL,
     "heavy_hitter_terms": HEAVY_HITTERS_SQL,
     "pca_project_fixed": PCA_FIXED_SQL,
+    "mixture_sample_docs": MIXTURE_SAMPLE_SQL,
+    "pack_token_budget_docs": PACK_TOKEN_BUDGET_SQL,
 }

@@ -5,6 +5,7 @@ Full value-level correctness vs DuckDB is exercised by tools/check_oracle.py
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from kafka_connect_jsonata_spark import queries as Q
 
@@ -154,6 +155,50 @@ def test_hash_sampling_properties(spark):
     # a different salt reshuffles membership
     other = {r["id"] for r in hash_sample(df, "id", 0.10, salt="v2").collect()}
     assert other != s10
+
+
+def test_mixture_sample_rates_and_nesting(spark):
+    """Per-source mixture: each source keeps ~its rate; a source's sample
+    nests inside the same source's higher-rate sample (same salt)."""
+    from kafka_connect_jsonata_spark.operators.sampling import hash_sample, mixture_sample
+
+    df = spark.range(6000).select(
+        F.col("id"), (F.concat(F.lit("s"), (F.col("id") % 3).cast("string"))).alias("src")
+    )
+    out = mixture_sample(df, "id", "src", {"s0": 1.0, "s1": 0.3}, default_rate=0.05)
+    by_src = {
+        r["src"]: r["n"] for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src["s0"] == 2000  # rate 1.0 keeps everything
+    assert abs(by_src["s1"] / 2000 - 0.3) < 0.05
+    assert abs(by_src.get("s2", 0) / 2000 - 0.05) < 0.03
+    # nesting: mixture rows of s1 == hash_sample(0.3) rows restricted to s1
+    direct = {
+        r["id"]
+        for r in hash_sample(df.filter(F.col("src") == "s1"), "id", 0.3).collect()
+    }
+    assert {r["id"] for r in out.filter(F.col("src") == "s1").collect()} == direct
+
+
+def test_pack_token_budget_matches_sequential_fill(spark):
+    """Distributed two-phase prefix sum must equal the single-threaded
+    concat-then-chunk reference exactly, for any bucketing."""
+    from kafka_connect_jsonata_spark.operators.packing import pack_token_budget
+
+    rows = [(i, " ".join(["w"] * ((i * 7) % 23))) for i in range(200)]  # incl. empty docs
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+    for nb in (1, 3, 16):
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["start_offset"], r["pack_id"], r["spans_boundary"])
+            for r in pack_token_budget(df, budget=50, n_buckets=nb).collect()
+        }
+        off = 0
+        for i, t in rows:
+            n = len(t.split()) if t else 0
+            pack = off // 50
+            spans = n > 0 and (off + n - 1) // 50 != pack
+            assert got[i] == (n, off, pack, spans), (nb, i)
+            off += n
 
 
 def test_load_table_session_portable(spark, sf_dir):
