@@ -59,3 +59,48 @@ def test_simhash64_near_dup_property(spark):
     assert got[0] == got[1]  # case/whitespace-normalized
     assert 0 < hamming(got[0], got[2]) <= 16  # near-dup: small bit drift
     assert hamming(got[0], got[3]) > 16  # unrelated: far
+
+
+def test_minhash_sketch_shingle_parity_with_jvm(spark):
+    """The numpy sketch kernel's distinct-shingle hashes must agree with
+    the JVM char_ngrams semantics on COUNT per document (incl. unicode,
+    short, and empty docs) and on cross-document intersection structure —
+    the two properties the exact-Jaccard verify depends on."""
+    import pandas as pd
+
+    from kafka_connect_jsonata_spark.functions.dedup import (
+        _minhash_sketch_fn,
+        char_ngrams,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "ab",          # shorter than the shingle width
+        "",            # empty
+        "héllo wörld — unicode ünïcödé",
+        "aaaaaaaaaaaa",  # degenerate: one distinct shingle
+        "  spaced   out\ttabs  ",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    jvm = {
+        r["id"]: r["n"]
+        for r in df.select(
+            "id", F.size(F.array_distinct(char_ngrams(F.col("text"), 5))).alias("n")
+        ).collect()
+    }
+    norm = [t.strip().lower() for t in texts]
+    import re
+
+    norm = [re.sub(r"\s+", " ", t) for t in norm]
+    batch = pd.DataFrame({"id": range(len(texts)), "__s": norm})
+    out = next(_minhash_sketch_fn(32, 8, 5, 0x5EED)([batch]))
+    for i in range(len(texts)):
+        assert len(out["__h"][i]) == jvm[i], (i, texts[i])
+    # intersection structure: docs 0/1 share all but the tail shingles
+    a, b = set(out["__h"][0]), set(out["__h"][1])
+    jvm_ab = df.filter(F.col("id") < 2).select(
+        F.array_distinct(char_ngrams(F.col("text"), 5)).alias("g")
+    ).collect()
+    inter_jvm = len(set(jvm_ab[0]["g"]) & set(jvm_ab[1]["g"]))
+    assert len(a & b) == inter_jvm
