@@ -88,8 +88,10 @@ def pack_token_budget(
         .withColumn("__end", F.sum("n_tokens").over(w) + F.col("__prefix"))
         .withColumn("start_offset", F.col("__end") - F.col("n_tokens"))
     )
-    pack = F.floor(F.col("start_offset") / budget)
-    last_pack = F.floor((F.col("__end") - 1) / budget)
+    # integer division, not floor(double): a 100 TB corpus holds ~1e14
+    # tokens and double-rounded offsets would misplace packs near 2^53
+    pack = F.expr(f"start_offset div {budget}")
+    last_pack = F.expr(f"(__end - 1) div {budget}")
     return placed.select(
         F.col("id").alias(id_col),
         "n_tokens",

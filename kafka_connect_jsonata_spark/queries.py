@@ -948,9 +948,9 @@ c AS (
               AS BIGINT) AS start_offset
   FROM t)
 SELECT doc_id, n_tokens, start_offset,
-       CAST(floor(start_offset / 512) AS BIGINT) AS pack_id,
+       CAST(start_offset // 512 AS BIGINT) AS pack_id,
        (n_tokens > 0 AND
-        floor(start_offset / 512) <> floor((start_offset + n_tokens - 1) / 512))
+        start_offset // 512 <> (start_offset + n_tokens - 1) // 512)
        AS spans_boundary
 FROM c
 """
