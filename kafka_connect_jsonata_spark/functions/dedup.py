@@ -12,9 +12,13 @@
 - simhash64          — 64-bit SimHash of token multiset, pure Column bit math.
 - embedding_dup_pairs — near-dup by embedding cosine, broadcast-GEMM scored.
 
-Shingle hashing is JVM-side (xxhash64, codegen'd); the dense per-document
-math (minhash remix, GEMM scoring) runs as one numpy broadcast per Arrow
-batch — the sanctioned vectorized path for linear algebra.
+For the EXACT join (ngram_jaccard_pairs) shingle hashing is JVM-side
+(xxhash64, codegen'd). For the MinHash path the dense per-document math —
+shingle hashing, signature remix, band buckets — runs as ONE numpy kernel
+per Arrow batch (see _minhash_sketch_fn: the split keeps the JVM
+expression footprint small, which round-4 benchmarking showed dominates
+cold cost through codegen compile time). GEMM scoring is likewise numpy
+per batch — the sanctioned vectorized path for linear algebra.
 """
 
 from __future__ import annotations
