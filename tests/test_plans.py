@@ -224,6 +224,25 @@ def test_stratified_sample_shuffles_by_stratum_only(spark, sf_dir):
     assert "SinglePartition" not in plan
 
 
+def test_pack_token_budget_never_global_windows(spark, sf_dir):
+    """The global running sum must be the two-phase prefix sum: prefix
+    offsets ride a broadcast join, the corpus shuffles once keyed by
+    bucket — NEVER a single-partition global window (the naive
+    Window.orderBy(id) formulation)."""
+    df = Q.QUERIES["pack_token_budget_docs"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastExchange" in plan  # prefix-offset table
+    assert "SinglePartition" not in plan  # the scale trap this op exists to avoid
+    assert "hashpartitioning(__b" in plan  # one keyed shuffle by bucket
+
+
+def test_mixture_sample_is_map_side_filter(spark, sf_dir):
+    df = Q.QUERIES["mixture_sample_docs"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_transform_safe_evaluates_exactly_once(spark, sf_dir):
     """The DLQ split filters on the UDF's status output — deterministic
     pandas UDFs get CLONED below the filter by Catalyst pushdown (two
