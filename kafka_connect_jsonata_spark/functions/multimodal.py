@@ -152,18 +152,33 @@ IMAGE_STATS_SCHEMA = (
 )
 
 
+def decode_image_payload(buf: bytes) -> np.ndarray:
+    """Codec dispatch for image payloads: RAW1 magic -> toy codec, anything
+    else -> the Pillow-backed real decode (``decode_real_image``). Keeps
+    every downstream operator (stats, resize) codec-agnostic — swapping in
+    PNG/JPEG inputs changes nothing in the Spark plans."""
+    if buf[: len(_MAGIC)] == _MAGIC:
+        arr, _ = decode_raw1(buf)
+        return arr
+    img = decode_real_image(buf)  # (1, h, w, c) or (1, h, w) grayscale
+    if img.ndim == 3:  # grayscale: add a channel axis
+        img = img[..., None]
+    return img
+
+
 def image_stats(df: DataFrame, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
     """Per-image pixel statistics. The decode runs once per Arrow batch in
     a single Python worker per partition; only (id, payload) ship to
     Python — select the two columns before calling so Spark prunes the
-    rest out of the Arrow transfer."""
+    rest out of the Arrow transfer. Payloads dispatch by magic bytes, so
+    RAW1 and real-codec images mix freely in one column."""
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("media_id", "width", "height", "channels",
                                    "px_sum", "px_min", "px_max", "px_mean")}
             for mid, buf in zip(pdf[id_col], pdf[payload_col]):
-                arr, _ = decode_raw1(bytes(buf))
+                arr = decode_image_payload(bytes(buf))
                 f, h, w, c = arr.shape
                 out["media_id"].append(int(mid))
                 out["width"].append(w)

@@ -133,3 +133,31 @@ def test_real_codec_stub_raises():
         pytest.skip("Pillow unexpectedly present")
     with pytest.raises(NotImplementedError):
         mm.decode_real_image(b"\x89PNG\r\n")
+
+
+def test_decode_dispatch_raw1_vs_real():
+    """Payloads dispatch by magic: RAW1 -> toy codec; anything else routes
+    to the Pillow-backed real decode (which raises a clear error when
+    Pillow is absent, and round-trips when present)."""
+    import numpy as np
+    import pytest
+
+    from kafka_connect_jsonata_spark.functions import multimodal as M
+
+    arr = np.arange(2 * 3 * 4 * 3, dtype=np.uint8).reshape(2, 3, 4, 3)
+    raw = M.encode_raw1(arr, M.KIND_VIDEO)
+    assert (M.decode_image_payload(raw) == arr).all()
+
+    png_ish = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    if M._PILImage is None:
+        with pytest.raises(NotImplementedError):
+            M.decode_image_payload(png_ish)
+    else:  # real-codec environment: round-trip an actual PNG
+        import io
+
+        img = M._PILImage.fromarray(arr[0])
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        got = M.decode_image_payload(buf.getvalue())
+        assert got.shape == (1, 3, 4, 3)
+        assert (got[0] == arr[0]).all()
