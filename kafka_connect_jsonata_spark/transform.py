@@ -170,6 +170,40 @@ def jsonata_udf(expr: str, config: EngineConfig = DEFAULT_CONFIG):
     return _eval.asNondeterministic()
 
 
+def register_sql_jsonata(spark, config: EngineConfig = DEFAULT_CONFIG, name: str = "jsonata"):
+    """Register ``jsonata(expr, json_str) -> json_str`` for the SQL API, so
+    ``spark.sql("SELECT jsonata('a + 1', payload) FROM t")`` works — the
+    engine's equivalent of calling the reference transform ad hoc instead
+    of configuring it on a connector. Arrow-batched; expressions are parsed
+    once per distinct string per batch through the same LRU the DataFrame
+    tier uses (A10), and the A11 timeout/depth guards apply per row.
+    Returns NULL for null input, null expression, or an A4 tombstone
+    result."""
+    timeout_ms, max_depth = config.timeout_ms, config.max_depth
+
+    @F.pandas_udf(T.StringType())
+    def _jsonata(exprs: pd.Series, txts: pd.Series) -> pd.Series:
+        evs: dict[str, Jsonata] = {}
+        out = []
+        for e, t in zip(exprs, txts):
+            if e is None or t is None:
+                out.append(None)
+                continue
+            ev = evs.get(e)
+            if ev is None:
+                ev = Jsonata(parse_cached(e), timeout_ms=timeout_ms, max_depth=max_depth)
+                evs[e] = ev
+            result = ev.evaluate(json.loads(t))
+            out.append(
+                None if result is UNDEFINED or result is None else json_serialize(result)
+            )
+        return pd.Series(out, dtype="object")
+
+    fn = _jsonata.asNondeterministic()  # exactly-once, like jsonata_udf
+    spark.udf.register(name, fn)
+    return fn
+
+
 def transform(
     df: DataFrame,
     expr: str,

@@ -439,3 +439,26 @@ def test_transform_safe_routes_errors_to_dead_letters(spark):
     g = guard.collect()
     assert len(g) == 1 and g[0]["status"] == "error"
     assert g[0]["error_code"] == "U1002"
+
+
+def test_sql_registered_jsonata(spark):
+    """jsonata(expr, json) from spark.sql: literal + column expressions,
+    tombstone -> NULL, null-safe."""
+    from kafka_connect_jsonata_spark.transform import register_sql_jsonata
+
+    register_sql_jsonata(spark)
+    spark.createDataFrame(
+        [(1, '{"a": 2, "keep": true}'), (2, '{"a": 5, "keep": false}'), (3, None)],
+        "id long, payload string",
+    ).createOrReplaceTempView("sqlj")
+    rows = {
+        r["id"]: (r["v"], r["t"])
+        for r in spark.sql(
+            "SELECT id, jsonata('a + 1', payload) AS v,"
+            "       jsonata('keep ? {\"id\": a} : null', payload) AS t "
+            "FROM sqlj ORDER BY id"
+        ).collect()
+    }
+    assert rows[1] == ("3", '{"id":2}')
+    assert rows[2][0] == "6" and rows[2][1] is None  # tombstone -> NULL
+    assert rows[3] == (None, None)
