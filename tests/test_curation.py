@@ -217,3 +217,37 @@ def test_kmeans_lloyd_separates_clusters(spark):
     groups = sorted(by_cluster.values(), key=lambda s: min(s))
     assert groups[0] == set(range(10))
     assert groups[1] == {100 + i for i in range(10)}
+
+
+def test_kmeans_lloyd_matches_numpy_reference_exactly(spark):
+    """The fused E+M partials loop must reproduce a single-threaded numpy
+    Lloyd reference exactly. Integer-valued vectors make every sum exactly
+    representable, so float summation order cannot blur the comparison —
+    any divergence is a real algorithmic difference (init, tie-break,
+    empty-cluster rule, or partial aggregation)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    x = rng.randint(-8, 9, size=(120, 6)).astype(float)
+    df = _emb(spark, [(i, [float(a) for a in v]) for i, v in enumerate(x)]).repartition(9)
+
+    k, iters = 5, 4
+    cents = x[:k].copy()  # deterministic init: k lowest ids
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # ties -> lowest cluster id
+        for c in range(k):
+            sel = x[assign == c]
+            if len(sel):
+                cents[c] = sel.mean(axis=0)
+    d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    want_assign = d2.argmin(axis=1)
+    want_dist = d2[np.arange(len(x)), want_assign]
+
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["dist_sq"])
+        for r in curation.kmeans_lloyd(df, k=k, iters=iters).collect()
+    }
+    for i in range(len(x)):
+        assert got[i][0] == int(want_assign[i]), i
+        assert got[i][1] == pytest.approx(float(want_dist[i]), abs=1e-4), i
