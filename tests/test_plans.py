@@ -224,6 +224,31 @@ def test_stratified_sample_shuffles_by_stratum_only(spark, sf_dir):
     assert "SinglePartition" not in plan
 
 
+def test_topk_partial_runs_below_the_exchange(spark, sf_dir):
+    """l_returnflag has 3 values: the window's exchange must see only the
+    map-side survivor set (partitions x groups x k rows), i.e. the
+    MapInPandas partial top-k sits BELOW the exchange in the plan."""
+    df = Q.QUERIES["topk_per_group"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "MapInPandas" in plan
+    ex, mp = plan.index("Exchange"), plan.index("MapInPandas")
+    assert ex < mp  # printed top-down: partial feeds the exchange, not after it
+
+
+def test_topk_partial_matches_window_plan(spark):
+    """Partial and plain window paths must return identical rows+ranks."""
+    from kafka_connect_jsonata_spark.operators.relational import top_k_per_group
+
+    rows = [(i % 4, i, float((i * 37) % 100)) for i in range(500)]
+    df = spark.createDataFrame(rows, "g int, id int, v double").repartition(11)
+    order = [F.col("v").desc(), F.col("id").asc()]
+    plain = top_k_per_group(df, ["g"], order, 5)
+    part = top_k_per_group(df, ["g"], order, 5, order_spec=[("v", True), ("id", False)])
+    a = sorted(tuple(r) for r in plain.collect())
+    b = sorted(tuple(r) for r in part.collect())
+    assert a == b
+
+
 def test_pack_token_budget_never_global_windows(spark, sf_dir):
     """The global running sum must be the two-phase prefix sum: prefix
     offsets ride a broadcast join, the corpus shuffles once keyed by
