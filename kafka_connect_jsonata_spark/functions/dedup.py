@@ -305,7 +305,7 @@ def _minhash_sketch_fn(num_hashes: int, n_bands: int, ngram: int, seed: int):
     b = u64(num_hashes)
     P = np.uint64(1099511628211)  # FNV-1a prime, odd
     M1, M2 = np.uint64(0xBF58476D1CE4E5B9), np.uint64(0x94D049BB133111EB)
-    empty_sig = np.full(num_hashes, np.iinfo(np.int64).max, dtype=np.int64)
+    no_sketch = np.empty(0, dtype=np.int64)
 
     def mix(v: np.ndarray) -> np.ndarray:
         # splitmix64 finalizer: decorrelates the weak polynomial hash
@@ -321,6 +321,13 @@ def _minhash_sketch_fn(num_hashes: int, n_bands: int, ngram: int, seed: int):
             for pdf in batches:
                 hs_out, bkt_out = [], []
                 for s in pdf["__s"]:
+                    if s is None:
+                        # NULL text: no shingles, no buckets — can never be
+                        # a candidate (the SQL oracle likewise excludes
+                        # null-text docs from every pair)
+                        hs_out.append(no_sketch)
+                        bkt_out.append(no_sketch)
+                        continue
                     cp = np.frombuffer(str(s).encode("utf-32-le"), dtype=np.uint32).astype(
                         np.uint64
                     )
