@@ -80,6 +80,8 @@ HEADLINE = [
     "unigram_logprob_docs",
     "heavy_hitter_terms",
     "pca_project_fixed",
+    "mixture_sample_docs",
+    "pack_token_budget_docs",
 ]
 
 
