@@ -29,6 +29,9 @@ NOTES = {
     "udtf_explode_tokens": "Python UDTF LATERAL join vs native UNNEST",
     "multimodal_frame_sample": "DuckDB side is a row generator, not a decode",
     "skew_salted_join": "salted plan; oracle is the plain join",
+    "mixture_sample_docs": "map-side md5 CASE filter",
+    "pack_token_budget_docs": "two-phase distributed prefix sum; oracle is a single-threaded global window",
+    "topk_per_group": "partial top-k below the exchange (low-cardinality group)",
 }
 
 
