@@ -203,3 +203,33 @@ def test_picture_string_fallbacks_not_compilable(spark):
     ):
         with pytest.raises(NotCompilable):
             compile_expression(expr, schema)
+
+
+# ------------------------------------------------------ Misra-Gries property
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=3000),
+    st.integers(min_value=2, max_value=12),  # capacity
+    st.integers(min_value=1, max_value=200),  # batch size
+)
+@settings(max_examples=150, deadline=None)
+def test_batched_misra_gries_candidate_superset(stream, capacity, batch):
+    """The batched MG reduction (merge exact batch counts, subtract the
+    (capacity+1)-th largest, drop non-positive) must keep every term whose
+    true frequency strictly exceeds N/(capacity+1) — the invariant
+    heavy_hitter_terms' exactness guard relies on. Mirrors the kernel in
+    functions/text.py:heavy_hitter_terms."""
+    from collections import Counter
+
+    counters: dict[int, int] = {}
+    for i in range(0, len(stream), batch):
+        for t, c in Counter(stream[i : i + batch]).items():
+            counters[t] = counters.get(t, 0) + c
+        if len(counters) > capacity:
+            cut = sorted(counters.values(), reverse=True)[capacity]
+            counters = {t: c - cut for t, c in counters.items() if c > cut}
+    true = Counter(stream)
+    n = len(stream)
+    for t, freq in true.items():
+        if freq > n / (capacity + 1):
+            assert t in counters, (t, freq, n, capacity)
+    assert len(counters) <= capacity
