@@ -54,7 +54,9 @@ def pack_token_budget(
     spark = df.sparkSession
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        # null text counts as zero tokens (size(NULL) is NULL, which would
+        # poison the prefix sums)
+        F.coalesce(F.size(tokens(F.col(text_col))), F.lit(0)).cast("long").alias("n_tokens"),
     )
     bounds = toks.agg(F.min("id").alias("lo"), F.max("id").alias("hi")).collect()[0]
     if bounds["lo"] is None:

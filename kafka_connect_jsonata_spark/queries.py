@@ -945,7 +945,8 @@ def pack_token_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PACK_TOKEN_BUDGET_SQL = r"""
 WITH t AS (
-  SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  SELECT doc_id,
+         CAST(COALESCE(len(regexp_extract_all(text, '\S+')), 0) AS BIGINT) AS n_tokens
   FROM documents),
 c AS (
   SELECT doc_id, n_tokens,
