@@ -1,3 +1,3 @@
-from kafka_connect_jsonata_spark.operators import relational
+from kafka_connect_jsonata_spark.operators import packing, relational, sampling
 
-__all__ = ["relational"]
+__all__ = ["packing", "relational", "sampling"]
