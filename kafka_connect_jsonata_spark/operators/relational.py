@@ -95,7 +95,7 @@ def cube_agg(df: DataFrame, keys: Sequence[str], *aggs: Column) -> DataFrame:
 def top_k_per_group(
     df: DataFrame,
     group: Sequence[str],
-    order: Sequence[Column],
+    order: Sequence[Column] | None,
     k: int,
     rank_col: str = "rn",
     order_spec: Sequence[tuple[str, bool]] | None = None,
@@ -115,7 +115,14 @@ def top_k_per_group(
     shuffled set O(partitions * groups * k) regardless of corpus size. The
     union of per-partition top-ks is a superset of the global top-k
     whenever the ordering is total (use tiebreaker columns, as row_number
-    semantics already demand for determinism)."""
+    semantics already demand for determinism). ``order`` may be None when
+    ``order_spec`` is given — the window ordering derives from it."""
+    if order is None:
+        if not order_spec:
+            raise ValueError("one of order / order_spec is required")
+        order = [
+            F.col(c).desc() if desc else F.col(c).asc() for c, desc in order_spec
+        ]
     w = Window.partitionBy(*group).orderBy(*order)
     if not order_spec:
         return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)

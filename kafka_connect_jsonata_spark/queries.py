@@ -208,7 +208,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = R.top_k_per_group(
         li.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
         ["l_returnflag"],
-        [F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        None,
         3,
         order_spec=[("l_extendedprice", True), ("l_orderkey", False), ("l_linenumber", False)],
     )
