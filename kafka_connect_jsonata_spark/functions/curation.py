@@ -280,11 +280,14 @@ def assign_nearest_centroid(
                 x = np.asarray([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
                 d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ c.T) + c_sq[None, :]
                 a = d2.argmin(axis=1)
+                best = np.maximum(d2[np.arange(len(a)), a], 0.0)
+                # HALF_UP to match the literal plan's F.round (np.round is
+                # half-even; dists are non-negative so floor(+0.5) is exact)
                 yield pd.DataFrame(
                     {
                         id_col: b[id_col],
                         c_id_col: cids[a].astype("int32"),
-                        "dist_sq": np.round(np.maximum(d2[np.arange(len(a)), a], 0.0), 4),
+                        "dist_sq": np.floor(best * 1e4 + 0.5) / 1e4,
                     }
                 )
 
@@ -342,6 +345,9 @@ def kmeans_lloyd(
         .collect()
     )
     cents = np.asarray([[float(x) for x in r["centroid"]] for r in init], dtype=np.float64)
+    if not len(cents):
+        raise ValueError("empty embedding corpus")
+    k = cents.shape[0]  # corpus may hold fewer than k rows
 
     # Fused E+M step (round-3 verdict item 4): ONE mapInPandas pass per
     # iteration computes GEMM distances against the closure-held centroids,

@@ -225,9 +225,12 @@ def minhash_signature_from_hashes(hashes: Column, num_hashes: int) -> Column:
     string-hash passes over the shingles. Pass a materialized column so the
     base hashes compute once per row.
 
-    ``minhash_signatures_vectorized`` below computes the same shape of
-    signature ~5x faster via one numpy broadcast per Arrow batch; this
-    Column form stays as the no-Python fallback."""
+    Standalone API: since round 4 the LSH query pipeline
+    (``minhash_lsh_pairs``) computes signatures inside its fused numpy
+    sketch kernel (``_minhash_sketch_fn``) with an independent hash
+    family — this Column form and ``minhash_signatures_vectorized`` below
+    remain as library entry points for callers who want signatures as a
+    column, and do NOT feed the LSH query."""
     return F.array(
         *[
             F.array_min(F.transform(hashes, lambda h: F.xxhash64(h, F.lit(i))))

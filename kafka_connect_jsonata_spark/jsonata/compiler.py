@@ -814,9 +814,15 @@ class Compiler:
         # the SESSION zone — parse those as NTZ and reinterpret (the same
         # cancelling two-step as sources/readers._ntz_to_instant).
         s = a[0].col
-        # minutes are optional in ISO-8601 offsets: +05 == +05:00 (round-3
-        # advice — hour-only offsets were misread as zoneless before)
-        zoned = s.rlike(r"([Zz]|[+-][0-9]{2}(:?[0-9]{2})?)$")
+        # Zone designators count only when they FOLLOW a time component:
+        # minutes are optional in ISO-8601 offsets (+05 == +05:00, round-3
+        # advice), but a bare trailing [+-]dd also matches the day of a
+        # date-only string ('2020-01-05'), which must stay on the zoneless
+        # NTZ path — anchoring on hh:mm[:ss[.f]] immediately before the
+        # designator disambiguates (round-4 review).
+        zoned = s.rlike(
+            r"[0-9]{2}:[0-9]{2}(:[0-9]{2}(\.[0-9]+)?)?([Zz]|[+-][0-9]{2}(:?[0-9]{2})?)$"
+        )
         ntz_instant = F.convert_timezone(
             F.lit("UTC"), F.current_timezone(), F.to_timestamp_ntz(s)
         ).cast("timestamp")

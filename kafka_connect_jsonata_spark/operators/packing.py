@@ -52,6 +52,12 @@ def pack_token_budget(
     if budget <= 0:
         raise ValueError("budget must be positive")
     spark = df.sparkSession
+    id_type = df.schema[id_col].dataType
+    if id_type.simpleString() not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"pack_token_budget orders by an integral id column; got {id_col}: "
+            f"{id_type.simpleString()} (map non-integral ids to a dense rank first)"
+        )
     toks = df.select(
         F.col(id_col).alias("id"),
         # null text counts as zero tokens (size(NULL) is NULL, which would
@@ -61,7 +67,9 @@ def pack_token_budget(
     bounds = toks.agg(F.min("id").alias("lo"), F.max("id").alias("hi")).collect()[0]
     if bounds["lo"] is None:
         return spark.createDataFrame(
-            [], f"{id_col} long, n_tokens long, start_offset long, pack_id long, spans_boundary boolean"
+            [],
+            f"{id_col} {id_type.simpleString()}, n_tokens long, start_offset long, "
+            "pack_id long, spans_boundary boolean",
         )
     lo, hi = int(bounds["lo"]), int(bounds["hi"])
     nb = n_buckets or spark.sparkContext.defaultParallelism

@@ -135,33 +135,46 @@ def top_k_per_group(
     def local_topk(batches):
         import decimal
 
+        import numpy as np
         import pandas as pd
 
         def sort_keys(pool: "pd.DataFrame"):
-            # Decimal columns arrive as object dtype and sort via Python
-            # compares; a float64 shadow key sorts ~50x faster and keeps
-            # the same ORDER whenever distinct decimals stay distinct in
-            # double (true for money-scale decimals; ties fall through to
-            # the later tiebreaker columns regardless)
-            keys, names = [], []
+            # Per ordering column, emit (placement, value) key pairs that
+            # reproduce Spark's window NULL ordering (round-4 review):
+            # placement 0 for null else 1, sorted in the SAME direction as
+            # the column, lands nulls where Spark puts them — FIRST under
+            # asc, LAST under desc (value comparisons only happen within
+            # the non-null placement group, so no fill value is needed).
+            # Caveat: float NaN is indistinguishable from NULL after the
+            # Arrow transfer and is ordered as NULL here; Spark's window
+            # orders NaN as the largest value — a descending order over a
+            # column that MIXES NaN with data should use the window path.
+            # Decimal columns also get a float64 shadow value (object-dtype
+            # Python compares are ~50x slower; distinct money-scale
+            # decimals stay distinct in double, and ties fall to later
+            # tiebreaker columns regardless).
+            names, dirs = [], []
             for i, c in enumerate(by):
                 col = pool[c]
-                if col.dtype == object and col.map(
-                    lambda v: isinstance(v, decimal.Decimal), na_action="ignore"
-                ).all():
-                    kc = f"__k{i}"
-                    pool = pool.assign(**{kc: col.astype("float64")})
-                    names.append(kc)
-                else:
-                    names.append(c)
-            return pool, names
+                if col.dtype == object:
+                    is_dec = col.map(
+                        lambda v: isinstance(v, decimal.Decimal), na_action="ignore"
+                    )
+                    if bool(is_dec.fillna(True).all()):
+                        col = col.astype("float64")
+                place = np.where(col.isna().to_numpy(), 0, 1).astype("int8")
+                pk, vk = f"__p{i}", f"__v{i}"
+                pool = pool.assign(**{pk: place, vk: col})
+                names += [pk, vk]
+                dirs += [asc[i], asc[i]]
+            return pool, names, dirs
 
         best: "pd.DataFrame | None" = None
         for b in batches:
             pool = b if best is None else pd.concat([best, b], ignore_index=True)
-            pool, names = sort_keys(pool)
+            pool, names, dirs = sort_keys(pool)
             best = (
-                pool.sort_values(by=names, ascending=asc, kind="mergesort")
+                pool.sort_values(by=names, ascending=dirs, kind="mergesort")
                 .groupby(gcols, sort=False, dropna=False)
                 .head(k)[list(b.columns)]
             )

@@ -219,6 +219,16 @@ def test_kmeans_lloyd_separates_clusters(spark):
     assert groups[1] == {100 + i for i in range(10)}
 
 
+def test_kmeans_lloyd_fewer_rows_than_k(spark):
+    """A corpus smaller than k must degrade to k=n, not crash (round-4
+    review: the fused M-step sized its partial arrays by the requested k
+    while init had fewer centroids)."""
+    emb = _emb(spark, [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, [10.0, 9.0])])
+    got = {r["vec_id"]: r["cluster_id"] for r in curation.kmeans_lloyd(emb, k=5, iters=2).collect()}
+    assert len(got) == 3
+    assert got[1] == got[2] != got[0] or len(set(got.values())) <= 3
+
+
 def test_kmeans_lloyd_matches_numpy_reference_exactly(spark):
     """The fused E+M partials loop must reproduce a single-threaded numpy
     Lloyd reference exactly. Integer-valued vectors make every sum exactly

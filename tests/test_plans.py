@@ -236,17 +236,24 @@ def test_topk_partial_runs_below_the_exchange(spark, sf_dir):
 
 
 def test_topk_partial_matches_window_plan(spark):
-    """Partial and plain window paths must return identical rows+ranks."""
+    """Partial and plain window paths must return identical rows+ranks —
+    including NULL ordering (Spark: NULLS FIRST under asc, LAST under
+    desc), in both directions, with nulls outnumbering k in some groups."""
     from kafka_connect_jsonata_spark.operators.relational import top_k_per_group
 
-    rows = [(i % 4, i, float((i * 37) % 100)) for i in range(500)]
+    rows = [
+        (i % 4, i, None if i % 7 == 0 else float((i * 37) % 100)) for i in range(500)
+    ]
     df = spark.createDataFrame(rows, "g int, id int, v double").repartition(11)
-    order = [F.col("v").desc(), F.col("id").asc()]
-    plain = top_k_per_group(df, ["g"], order, 5)
-    part = top_k_per_group(df, ["g"], order, 5, order_spec=[("v", True), ("id", False)])
-    a = sorted(tuple(r) for r in plain.collect())
-    b = sorted(tuple(r) for r in part.collect())
-    assert a == b
+    for desc in (True, False):
+        order = [(F.col("v").desc() if desc else F.col("v").asc()), F.col("id").asc()]
+        plain = top_k_per_group(df, ["g"], order, 5)
+        part = top_k_per_group(
+            df, ["g"], None, 5, order_spec=[("v", desc), ("id", False)]
+        )
+        a = sorted((r["g"], r["id"], r["v"], r["rn"]) for r in plain.collect())
+        b = sorted((r["g"], r["id"], r["v"], r["rn"]) for r in part.collect())
+        assert a == b, f"desc={desc}"
 
 
 def test_pack_token_budget_never_global_windows(spark, sf_dir):

@@ -66,12 +66,22 @@ def test_compiled_tomillis_offset_forms(spark):
             ("2020-01-01T00:00:00+0530", 1577817000000),
             ("2020-01-01T00:00:00+05", 1577818800000),
             ("2020-01-01T00:00:00", 1577836800000),  # zoneless -> UTC
+            # date-only strings END in [+-]dd but are NOT zoned (round-4
+            # review: '-05' here is the day, must stay on the UTC/NTZ path)
+            ("2020-01-05", 1578182400000),
+            ("2020-01-05T00:00:00.250Z", 1578182400250),
         ],
         "s string, want long",
     )
     out = transform(df, "{'ms': $toMillis(s), 'want': want}", force_tier="compiled")
-    for r in out.collect():
-        assert r["ms"] == r["want"]
+    tz0 = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in (tz0, "America/New_York"):  # values must be session-tz independent
+            df.sparkSession.conf.set("spark.sql.session.timeZone", tz)
+            for r in out.collect():
+                assert r["ms"] == r["want"], (tz, r)
+    finally:
+        df.sparkSession.conf.set("spark.sql.session.timeZone", tz0)
 
 
 def test_compiled_hof(people):
