@@ -676,14 +676,42 @@ FROM scored GROUP BY 1
 
 
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup groups gate. The synthetic corpus holds no exact
+    duplicates, so at gate scale the raw operator returns 0 rows — a
+    vacuous pass (round-4 verdict item 3). Like pii_redact_docs, the gate
+    PLANTS its targets: every doc with doc_id % 7 == 3 becomes shared
+    boilerplate keyed by doc_id % 21 (three large dup groups), with
+    case/whitespace variants by parity so the normalizing fingerprint does
+    real work; all other docs keep their unique text and must NOT appear."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.exact_dup_groups(docs)
+    group = (F.col("doc_id") % 21).cast("string")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 3,
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit("Shared Boilerplate Text "), group),
+            ).otherwise(F.concat(F.lit("shared  boilerplate   text "), group)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup.exact_dup_groups(planted)
 
 
 DEDUP_DOCS_SQL = """
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 3 THEN
+           CASE WHEN doc_id % 2 = 0
+                THEN 'Shared Boilerplate Text ' || CAST(doc_id % 21 AS VARCHAR)
+                ELSE 'shared  boilerplate   text ' || CAST(doc_id % 21 AS VARCHAR) END
+         ELSE text END AS text
+  FROM documents)
 SELECT fp, count(*) AS n_dups, min(doc_id) AS keep_id FROM (
   SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
-  FROM documents) t
+  FROM planted) t
 GROUP BY fp HAVING count(*) > 1
 """
 
@@ -1897,6 +1925,29 @@ GROUP BY doc_id
 """
 
 
+def unigram_floor_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-floored unigram LM score: terms seen < 3 times collapse to
+    a default logprob, bounding the vocabulary by construction (at most
+    total_tokens/3 entries) — the 100 TB-safe configuration of the
+    perplexity-proxy filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.unigram_logprob_score(docs, min_term_count=3)
+
+
+UNIGRAM_FLOOR_SQL = r"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(trim(text), '\S+')) AS w FROM documents),
+vocab AS (SELECT w, count(*) AS c FROM words GROUP BY 1),
+total AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM vocab),
+kept AS (SELECT * FROM vocab WHERE c >= 3)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       round(avg(ln(t) - ln(CAST(coalesce(kept.c, 2) AS DOUBLE))), 6) AS avg_neg_logp
+FROM words LEFT JOIN kept USING (w) CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
 def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10 corpus terms via bounded-state Misra-Gries candidates +
     exact candidate re-count (functions/text.py) — the no-vocab-shuffle
@@ -1988,6 +2039,12 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # own sweep (tools/check_oracle.py, COVERAGE.md); they are siblings of an
 # in-window gate (e.g. cube/grouping-sets vs rollup) or rows-only by
 # construction.
+# Round-5 rotation (round-4 verdict item 9): six always-green basics
+# (window_running_total, distinct_segments, setop_intersect,
+# outer_join_nation_parties, pivot_returnflag, explode_term_freq) moved
+# past the window in favor of first-party driver rows for the newest
+# operators (mixture/pack/picture/interpreter) plus the de-vacuated
+# dedup_exact_docs and the new unigram_floor_docs.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- 1-31: relational / text / similarity / jsonata representatives --
     "q1_pricing_summary": q1_pricing_summary,
@@ -1995,16 +2052,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_project_events": filter_project_events,
     "json_props_extract": json_props_extract,
     "topk_per_group": topk_per_group,
-    "window_running_total": window_running_total,
     "rollup_lineitem": rollup_lineitem,
     "semi_join_customers": semi_join_customers,
     "range_join_parts": range_join_parts,
     "asof_join_events_orders": asof_join_events_orders,
-    "setop_intersect": setop_intersect,
-    "outer_join_nation_parties": outer_join_nation_parties,
-    "distinct_segments": distinct_segments,
-    "explode_term_freq": explode_term_freq,
-    "pivot_returnflag": pivot_returnflag,
+    "dedup_exact_docs": dedup_exact_docs,
     "text_doc_stats": text_doc_stats,
     "lang_id_counts": lang_id_counts,
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
@@ -2013,6 +2065,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_group_ids": dedup_group_ids,
     "hash_sample_docs": hash_sample_docs,
     "stratified_sample_docs": stratified_sample_docs,
+    "mixture_sample_docs": mixture_sample_docs,
+    "pack_token_budget_docs": pack_token_budget_docs,
     "safe_transform_dlq": safe_transform_dlq,
     "bm25_search": bm25_search,
     "skew_salted_join": skew_salted_join,
@@ -2021,7 +2075,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udtf_explode_tokens": udtf_explode_tokens,
     "jsonata_flagship": jsonata_flagship,
     "jsonata_datetime_array_ops": jsonata_datetime_array_ops,
-    # -- 32-50: streaming / sketch / multimodal / curation gates --
+    "jsonata_picture_format": jsonata_picture_format,
+    "jsonata_interpreter": jsonata_interpreter,
+    # -- streaming / sketch / multimodal / curation gates --
     "sliding_window_agg": sliding_window_agg,
     "sessionize_events": sessionize_events,
     "percentile_summary": percentile_summary,
@@ -2039,30 +2095,32 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_covariance_stats": embedding_covariance_stats,
     "chunk_dedup_docs": chunk_dedup_docs,
     "unigram_logprob_docs": unigram_logprob_docs,
+    "unigram_floor_docs": unigram_floor_docs,
     "heavy_hitter_terms": heavy_hitter_terms,
     "pca_project_fixed": pca_project_fixed,
     # -- past the gate window: oracle-registered siblings (builder sweep) --
     "q3_shipping_priority": q3_shipping_priority,
+    "window_running_total": window_running_total,
     "cube_orders": cube_orders,
     "grouping_sets_orders": grouping_sets_orders,
     "window_rank_suite": window_rank_suite,
     "anti_join_customers": anti_join_customers,
+    "setop_intersect": setop_intersect,
     "setop_except": setop_except,
     "union_party_balances": union_party_balances,
+    "outer_join_nation_parties": outer_join_nation_parties,
     "left_join_order_gaps": left_join_order_gaps,
+    "distinct_segments": distinct_segments,
     "dedup_first_line": dedup_first_line,
+    "explode_term_freq": explode_term_freq,
+    "pivot_returnflag": pivot_returnflag,
     "unpivot_lineitem": unpivot_lineitem,
     "token_count_summary": token_count_summary,
-    "dedup_exact_docs": dedup_exact_docs,
     "ann_ivf_topk": ann_ivf_topk,
     "hash_split_counts": hash_split_counts,
     "embedding_quantize_stats": embedding_quantize_stats,
     "jsonata_string_ops": jsonata_string_ops,
-    "jsonata_interpreter": jsonata_interpreter,
-    "jsonata_picture_format": jsonata_picture_format,
     "tumbling_window_agg": tumbling_window_agg,
-    "mixture_sample_docs": mixture_sample_docs,
-    "pack_token_budget_docs": pack_token_budget_docs,
     # -- rows-only (driver-side eigh / iterative / rng payloads) --
     "multimodal_image_stats": multimodal_image_stats,
     "multimodal_audio_features": multimodal_audio_features,
@@ -2143,6 +2201,7 @@ ORACLES: dict[str, str] = {
     "embedding_covariance_stats": EMBEDDING_COV_SQL,
     "chunk_dedup_docs": CHUNK_DEDUP_SQL,
     "unigram_logprob_docs": UNIGRAM_LOGPROB_SQL,
+    "unigram_floor_docs": UNIGRAM_FLOOR_SQL,
     "heavy_hitter_terms": HEAVY_HITTERS_SQL,
     "pca_project_fixed": PCA_FIXED_SQL,
     "mixture_sample_docs": MIXTURE_SAMPLE_SQL,

@@ -136,6 +136,61 @@ def test_asof_join_hot_key_is_linear(spark):
     assert got == {1: 7, 2: 5, 3: None, 4: None}
 
 
+def test_vocab_joins_degrade_to_shuffle_join_above_cap(spark, sf_dir):
+    """The term-vocabulary sides of tfidf/unigram are UNBOUNDED (Heaps'
+    law) and must never be force-broadcast: with the broadcast threshold
+    disabled (stand-in for a vocab that outgrew the cap) the vocab join
+    must plan as a shuffle join keyed on term — no BroadcastHashJoin
+    anywhere (the surviving broadcasts are the deliberate one-row
+    count/total cross joins, which plan as hinted BNLJ)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in ("tfidf_top_terms", "unigram_logprob_docs", "unigram_floor_docs"):
+            plan = plan_of(Q.QUERIES[name](spark, sf_dir))
+            assert "BroadcastHashJoin" not in plan, name
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_vocab_joins_broadcast_below_cap_at_runtime(spark, sf_dir):
+    """Below the cap AQE must recover the broadcast from the vocab side's
+    measured runtime size — the small-corpus fast path is not lost by
+    dropping the static hint."""
+    df = Q.QUERIES["tfidf_top_terms"](spark, sf_dir)
+    df.collect()
+    final = plan_of(df)  # AQE final plan after execution
+    assert "BroadcastHashJoin" in final
+
+
+def test_unigram_floor_bounds_vocab(spark):
+    """min_term_count must (a) drop sub-floor terms from the joined vocab,
+    (b) score their tokens with the default logprob, (c) keep the full
+    token count as the denominator."""
+    import math
+
+    from kafka_connect_jsonata_spark.functions import curation
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    # counts: a=4, b=2, c=1; total=7. floor=2 -> c drops, default_count=1
+    out = {
+        r["doc_id"]: r
+        for r in curation.unigram_logprob_score(docs, min_term_count=2).collect()
+    }
+    t = 7.0
+    exp1 = (3 * (math.log(t) - math.log(4)) + (math.log(t) - math.log(2))) / 4
+    exp2 = (
+        (math.log(t) - math.log(4))
+        + (math.log(t) - math.log(2))
+        + (math.log(t) - math.log(1))  # floored term c -> default count 1
+    ) / 3
+    assert out[1]["n_words"] == 4 and abs(out[1]["avg_neg_logp"] - exp1) < 1e-6
+    assert out[2]["n_words"] == 3 and abs(out[2]["avg_neg_logp"] - exp2) < 1e-6
+
+
 def test_lsh_join_is_equi_not_cross(spark, sf_dir):
     """The LSH candidate step must hash-join on (band, bucket) — the whole
     point is avoiding the quadratic cross join."""
