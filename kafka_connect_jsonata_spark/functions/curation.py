@@ -281,6 +281,14 @@ def assign_nearest_centroid(
         # switch to the closure-carried numpy kernel: same zero-shuffle
         # scan, centroids cross the wire once per task in the pickled
         # closure instead of per-plan as literals.
+        # Float caveat (round-4 advice): the GEMM expansion x²-2x·c+c²
+        # differs in the last ulp from the literal plan's Σ(x-c)² fold, so
+        # a near-exact tie can argmin to a different cluster and a rounded
+        # dist_sq can land on the other side of a 5e-5 boundary between
+        # the two paths. Real-valued corpora near the budget boundary that
+        # need bit-identical assignments should pin ONE path (raise or
+        # lower literal_budget); the parity test uses integer vectors
+        # where both formulations are exact.
         import numpy as np
 
         c = np.asarray(

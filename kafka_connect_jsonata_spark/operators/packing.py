@@ -82,8 +82,26 @@ def pack_token_budget(
     ).cast("int")
     bt = toks.withColumn("__b", bucket)
     totals = (
-        bt.groupBy("__b").agg(F.sum("n_tokens").alias("__t")).orderBy("__b").collect()
+        bt.groupBy("__b")
+        .agg(
+            F.sum("n_tokens").alias("__t"),
+            # id uniqueness is the contract's ordering key (duplicate ids
+            # would be RANGE-frame peers sharing one running sum). Equal
+            # ids always hash to the SAME bucket, so a per-bucket
+            # count vs distinct-count comparison detects every duplicate
+            # inside the aggregation this pass already runs — no extra job.
+            F.count("*").alias("__n"),
+            F.count_distinct("id").alias("__nd"),
+        )
+        .orderBy("__b")
+        .collect()
     )
+    dup_buckets = [r["__b"] for r in totals if r["__n"] != r["__nd"]]
+    if dup_buckets:
+        raise ValueError(
+            f"pack_token_budget requires unique {id_col} values (the packing "
+            f"order); duplicates found in bucket(s) {dup_buckets[:5]}"
+        )
     prefix: dict[int, int] = {}
     acc = 0
     for r in totals:
@@ -92,7 +110,14 @@ def pack_token_budget(
     pre_df = spark.createDataFrame(
         [(b, p) for b, p in prefix.items()], "__b int, __prefix long"
     )
-    w = Window.partitionBy("__b").orderBy("id")
+    # explicit ROWS frame: the default RANGE frame makes equal-id rows
+    # peers with a combined running sum (round-4 review) — uniqueness is
+    # checked above, but the frame should never depend on it
+    w = (
+        Window.partitionBy("__b")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     placed = (
         bt.join(F.broadcast(pre_df), "__b")
         .withColumn("__end", F.sum("n_tokens").over(w) + F.col("__prefix"))

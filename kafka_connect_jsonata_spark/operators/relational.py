@@ -172,55 +172,73 @@ def top_k_per_group(
     schema = df.schema
 
     def local_topk(batches):
-        import decimal
-
+        # Arrow-native partial top-k (round-4 advice). The previous
+        # mapInPandas formulation could not be NaN-correct: the pandas
+        # round-trip collapses float NaN and NULL into one NA marker (and
+        # the return conversion rewrites NaN as NULL), while Spark's
+        # window orders NULL first-under-asc but NaN as the LARGEST value.
+        # Arrow batches carry validity masks, so both directions are
+        # exact: placement key 0=null, 1=value, 2=NaN, sorted in the same
+        # direction as the column, reproduces Spark's total order, and
+        # `Table.take` re-emits the surviving rows bit-identically.
         import numpy as np
         import pandas as pd
+        import pyarrow as pa
 
-        def sort_keys(pool: "pd.DataFrame"):
-            # Per ordering column, emit (placement, value) key pairs that
-            # reproduce Spark's window NULL ordering (round-4 review):
-            # placement 0 for null else 1, sorted in the SAME direction as
-            # the column, lands nulls where Spark puts them — FIRST under
-            # asc, LAST under desc (value comparisons only happen within
-            # the non-null placement group, so no fill value is needed).
-            # Caveat: float NaN is indistinguishable from NULL after the
-            # Arrow transfer and is ordered as NULL here; Spark's window
-            # orders NaN as the largest value — a descending order over a
-            # column that MIXES NaN with data should use the window path.
-            # Decimal columns also get a float64 shadow value (object-dtype
-            # Python compares are ~50x slower; distinct money-scale
-            # decimals stay distinct in double, and ties fall to later
-            # tiebreaker columns regardless).
-            names, dirs = [], []
+        def key_frame(pool: "pa.Table"):
+            # (placement, value) key pairs per ordering column + group
+            # columns, as a positional-index pandas frame used ONLY for
+            # sorting; payload rows never leave Arrow. Decimal columns get
+            # a float64 shadow value (object-dtype compares are ~50x
+            # slower; distinct money-scale decimals stay distinct in
+            # double, and ties fall to later tiebreaker columns).
+            cols, names, dirs = {}, [], []
             for i, c in enumerate(by):
-                col = pool[c]
-                if col.dtype == object:
-                    is_dec = col.map(
-                        lambda v: isinstance(v, decimal.Decimal), na_action="ignore"
-                    )
-                    if bool(is_dec.fillna(True).all()):
-                        col = col.astype("float64")
-                place = np.where(col.isna().to_numpy(), 0, 1).astype("int8")
+                col = pool.column(c)
+                null_mask = col.is_null().to_numpy(zero_copy_only=False)
+                ser = col.to_pandas()
+                if pa.types.is_decimal(col.type):
+                    ser = ser.astype("float64")
+                if ser.dtype.kind == "f" and pa.types.is_floating(col.type):
+                    nan_mask = np.isnan(ser.to_numpy()) & ~null_mask
+                else:
+                    nan_mask = False
+                place = np.where(null_mask, 0, np.where(nan_mask, 2, 1)).astype("int8")
                 pk, vk = f"__p{i}", f"__v{i}"
-                pool = pool.assign(**{pk: place, vk: col})
+                cols[pk], cols[vk] = place, ser
                 names += [pk, vk]
                 dirs += [asc[i], asc[i]]
-            return pool, names, dirs
+            gkeys = []
+            for j, g in enumerate(gcols):
+                col = pool.column(g)
+                if pa.types.is_floating(col.type):
+                    # distinguish a NaN group from a NULL group (pandas
+                    # merges them; Spark does not)
+                    mk = f"__gm{j}"
+                    cols[mk] = col.is_null().to_numpy(zero_copy_only=False)
+                    gkeys.append(mk)
+                cols[g] = col.to_pandas()
+                gkeys.append(g)
+            return pd.DataFrame(cols), names, dirs, gkeys
 
-        best: "pd.DataFrame | None" = None
+        best: "pa.Table | None" = None
         for b in batches:
-            pool = b if best is None else pd.concat([best, b], ignore_index=True)
-            pool, names, dirs = sort_keys(pool)
-            best = (
-                pool.sort_values(by=names, ascending=dirs, kind="mergesort")
-                .groupby(gcols, sort=False, dropna=False)
-                .head(k)[list(b.columns)]
+            t = pa.Table.from_batches([b])
+            pool = t if best is None else pa.concat_tables([best, t])
+            pool = pool.combine_chunks()
+            kdf, names, dirs, gkeys = key_frame(pool)
+            keep = (
+                kdf.sort_values(by=names, ascending=dirs, kind="mergesort")
+                .groupby(gkeys, sort=False, dropna=False)
+                .head(k)
+                .index.to_numpy()
             )
+            keep.sort()
+            best = pool.take(pa.array(keep))
         if best is not None:
-            yield best
+            yield from best.to_batches()
 
-    survivors = df.mapInPandas(local_topk, schema)
+    survivors = df.mapInArrow(local_topk, schema)
     return survivors.withColumn(rank_col, F.row_number().over(w)).filter(
         F.col(rank_col) <= k
     )

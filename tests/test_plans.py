@@ -336,11 +336,11 @@ def test_stratified_sample_shuffles_by_stratum_only(spark, sf_dir):
 def test_topk_partial_runs_below_the_exchange(spark, sf_dir):
     """l_returnflag has 3 values: the window's exchange must see only the
     map-side survivor set (partitions x groups x k rows), i.e. the
-    MapInPandas partial top-k sits BELOW the exchange in the plan."""
+    MapInArrow partial top-k sits BELOW the exchange in the plan."""
     df = Q.QUERIES["topk_per_group"](spark, sf_dir)
     plan = plan_of(df)
-    assert "MapInPandas" in plan
-    ex, mp = plan.index("Exchange"), plan.index("MapInPandas")
+    assert "MapInArrow" in plan
+    ex, mp = plan.index("Exchange"), plan.index("MapInArrow")
     assert ex < mp  # printed top-down: partial feeds the exchange, not after it
 
 
@@ -363,6 +363,47 @@ def test_topk_partial_matches_window_plan(spark):
         a = sorted((r["g"], r["id"], r["v"], r["rn"]) for r in plain.collect())
         b = sorted((r["g"], r["id"], r["v"], r["rn"]) for r in part.collect())
         assert a == b, f"desc={desc}"
+
+
+def test_topk_partial_handles_nan_order_column(spark):
+    """Float NaN orders as the LARGEST value in Spark's window while NULL
+    orders first-under-asc — and the two are indistinguishable after the
+    Arrow transfer. The partial path must therefore never prune NA rows
+    map-side (round-4 advice); with NaN, NULL, and data mixed in a
+    descending float order, partial and window paths must agree exactly."""
+    df = (
+        spark.range(300)
+        .select(
+            (F.col("id") % 3).alias("g"),
+            F.col("id").cast("int").alias("id"),
+            F.when(F.col("id") % 11 == 0, F.lit(float("nan")))
+            .when(F.col("id") % 7 == 0, F.lit(None).cast("double"))
+            .otherwise((F.col("id") * 13 % 100).cast("double"))
+            .alias("v"),
+        )
+        .repartition(7)
+    )
+    from kafka_connect_jsonata_spark.operators.relational import top_k_per_group
+
+    for desc in (True, False):
+        order = [(F.col("v").desc() if desc else F.col("v").asc()), F.col("id").asc()]
+        plain = top_k_per_group(df, ["g"], order, 4)
+        part = top_k_per_group(df, ["g"], None, 4, order_spec=[("v", desc), ("id", False)])
+        key = lambda r: (r["g"], r["id"], str(r["v"]), r["rn"])  # noqa: E731
+        assert sorted(map(key, plain.collect())) == sorted(map(key, part.collect())), desc
+
+
+def test_pack_token_budget_rejects_duplicate_ids(spark):
+    """Duplicate ids break the packing order contract; the per-bucket
+    count-vs-distinct check (free — it rides the totals aggregation) must
+    raise instead of silently merging RANGE-frame peers."""
+    from kafka_connect_jsonata_spark.operators.packing import pack_token_budget
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "c"), (2, "d e f"), (3, "g")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="unique"):
+        pack_token_budget(df, budget=4)
 
 
 def test_pack_token_budget_never_global_windows(spark, sf_dir):
