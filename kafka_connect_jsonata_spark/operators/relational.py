@@ -292,15 +292,134 @@ def salted_join(
     row exactly once — at exactly one salt value).
 
     Cost: right side shuffles/stores n_salts copies. Use for
-    large-skewed x small-ish joins; for two large skewed sides, split hot
-    keys out and union (not implemented here). Inner/left joins only —
-    right/full would need match-tracking across salt replicas.
+    large-skewed x small-ish joins; for two large skewed sides or
+    right/full outer joins, use :func:`skew_split_join` (hot-key split +
+    union), which handles every join type. Inner/left/semi/anti here —
+    each left row carries exactly ONE salt, so its matches (or its
+    null-extension / semi/anti membership) are computed exactly once;
+    right/full would need match-tracking across the n_salts right
+    replicas.
     """
-    if how not in ("inner", "left", "left_outer", "leftouter"):
-        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    if how not in (
+        "inner", "left", "left_outer", "leftouter",
+        "semi", "left_semi", "leftsemi", "anti", "left_anti", "leftanti",
+    ):
+        raise ValueError(f"salted_join supports inner/left/semi/anti joins, got {how!r}")
     keys = list(on)
     salted_l = left.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
     salts = left.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("__salt"))
     salted_r = right.crossJoin(F.broadcast(salts))
     out = salted_l.join(salted_r, keys + ["__salt"], how)
     return out.drop("__salt")
+
+
+def skew_split_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    hot_keys: Sequence[Sequence] | None = None,
+    n_salts: int = 16,
+    sample_fraction: float = 0.02,
+    hot_multiple: float = 16.0,
+    max_hot_keys: int = 64,
+) -> DataFrame:
+    """C5 under skew, COMPLETE over join types (round-4 verdict item 8):
+    hot-key split + union. Result is identical to
+    ``left.join(right, on, how)`` for inner/left/right/full/semi/anti.
+
+    The key space is partitioned into HOT (driver-held literal list,
+    bounded by ``max_hot_keys``) and COLD; equi-joins only pair equal
+    keys, so the join distributes over that partition:
+    ``J(L, R) = J(L_hot, R_hot) UNION J(L_cold, R_cold)`` for every join
+    type. The cold join runs as a plain shuffle join (no hot key ever
+    lands in one task); the hot join runs salted — and because the hot
+    key list is a literal, the outer-join bookkeeping that plain salting
+    cannot do becomes cheap:
+
+    - inner/left/semi/anti: :func:`salted_join` directly (one salt per
+      left row — exact).
+    - right: salted INNER + the unmatched right rows recovered with a
+      left-anti against the DISTINCT left-side hot keys (<= max_hot_keys
+      rows, broadcast), null-extended to the join schema.
+    - full: salted LEFT (covers all left rows) + the same unmatched-right
+      recovery.
+
+    Two large skewed sides: both sides' hot rows route through the salted
+    join, which spreads each hot key over ``n_salts`` tasks; the
+    per-key output |L_k| x |R_k| is inherent to the join semantics, but no
+    single task owns it.
+
+    ``hot_keys`` — explicit list of key tuples, or None to detect: sample
+    ``sample_fraction`` of the left side, flag keys whose sampled count
+    exceeds ``hot_multiple`` x the mean sampled key count (capped at
+    ``max_hot_keys`` heaviest). Null keys are never hot (they can't match;
+    outer nulls ride the cold join).
+    """
+    keys = list(on)
+    valid = {
+        "inner", "left", "left_outer", "leftouter", "right", "right_outer",
+        "rightouter", "full", "full_outer", "fullouter", "outer",
+        "semi", "left_semi", "leftsemi", "anti", "left_anti", "leftanti",
+    }
+    if how not in valid:
+        raise ValueError(f"skew_split_join: unsupported join type {how!r}")
+    is_right = how in ("right", "right_outer", "rightouter")
+    is_full = how in ("full", "full_outer", "fullouter", "outer")
+    if hot_keys is None:
+        s = (
+            left.select(*keys)
+            .na.drop(subset=keys)
+            .sample(fraction=sample_fraction, seed=42)
+            .groupBy(*keys)
+            .agg(F.count("*").alias("__c"))
+        )
+        stats = s.agg(F.sum("__c").alias("t"), F.count("*").alias("d")).collect()[0]
+        if not stats["d"]:
+            return left.join(right, keys, how)
+        mean = stats["t"] / stats["d"]
+        hot_rows = (
+            s.filter(F.col("__c") > hot_multiple * mean)
+            .orderBy(F.col("__c").desc(), *keys)
+            .limit(max_hot_keys)
+            .collect()
+        )
+        hot_keys = [tuple(r[k] for k in keys) for r in hot_rows]
+    hot_keys = [tuple(t) for t in hot_keys]
+    if not hot_keys:
+        return left.join(right, keys, how)
+    if len(hot_keys) > max_hot_keys:
+        raise ValueError(f"hot key list exceeds max_hot_keys={max_hot_keys}")
+
+    def is_hot(df: DataFrame) -> Column:
+        conds = []
+        for t in hot_keys:
+            c = F.lit(True)
+            for k, v in zip(keys, t):
+                c = c & (df[k] == F.lit(v))
+            conds.append(c)
+        out = conds[0]
+        for c in conds[1:]:
+            out = out | c
+        # null keys compare to NULL -> treat as not-hot so they stay on
+        # the cold path (equi-join null semantics, incl. outer retention)
+        return F.coalesce(out, F.lit(False))
+
+    l_hot, l_cold = left.filter(is_hot(left)), left.filter(~is_hot(left))
+    r_hot, r_cold = right.filter(is_hot(right)), right.filter(~is_hot(right))
+    cold = l_cold.join(r_cold, keys, how)
+
+    if is_right or is_full:
+        hot = salted_join(l_hot, r_hot, keys, n_salts, "left" if is_full else "inner")
+        l_hot_keys = l_hot.select(*keys).distinct()  # <= max_hot_keys rows
+        r_unmatched = r_hot.join(F.broadcast(l_hot_keys), keys, "left_anti")
+        left_only = [c for c in left.columns if c not in keys]
+        null_ext = r_unmatched.select(
+            *keys,
+            *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_only],
+            *[c for c in right.columns if c not in keys],
+        )
+        hot = hot.unionByName(null_ext)
+    else:
+        hot = salted_join(l_hot, r_hot, keys, n_salts, how)
+    return cold.unionByName(hot)

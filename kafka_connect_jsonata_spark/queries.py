@@ -1203,6 +1203,41 @@ GROUP BY n_name
 """
 
 
+def skew_split_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 skew completeness (round-4 verdict item 8): RIGHT OUTER join
+    through the hot-key split — hot custkeys route through the salted
+    inner join + broadcast-anti unmatched recovery, cold keys through a
+    plain right join, unioned. The oracle is the PLAIN right join: the
+    split must be invisible in the result (customers without orders
+    null-extend exactly once)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment", "c_acctbal"
+    )
+    j = R.skew_split_join(
+        orders, cust, ["custkey"], how="right", hot_keys=[(1,), (2,), (5,), (7,)], n_salts=8
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_totalprice").alias("n_matched"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+    )
+
+
+SKEW_SPLIT_RIGHT_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_rows,
+       count(o_totalprice) AS n_matched,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def udtf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C27 UDTF hosting through the oracle gate: the set-returning JSONata
     transform ($split -> one row per token) over a bounded doc slice; the
@@ -2121,6 +2156,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize_stats": embedding_quantize_stats,
     "jsonata_string_ops": jsonata_string_ops,
     "tumbling_window_agg": tumbling_window_agg,
+    "skew_split_right_join": skew_split_right_join,
     # -- rows-only (driver-side eigh / iterative / rng payloads) --
     "multimodal_image_stats": multimodal_image_stats,
     "multimodal_audio_features": multimodal_audio_features,
@@ -2168,6 +2204,7 @@ ORACLES: dict[str, str] = {
     "bm25_search": BM25_SQL,
     "embedding_quantize_stats": EMBEDDING_QUANTIZE_SQL,
     "skew_salted_join": SKEW_SALTED_JOIN_SQL,
+    "skew_split_right_join": SKEW_SPLIT_RIGHT_SQL,
     "envelope_reroute": ENVELOPE_REROUTE_SQL,
     "jsonata_object_ops": JSONATA_OBJECT_OPS_SQL,
     "udtf_explode_tokens": UDTF_EXPLODE_SQL,

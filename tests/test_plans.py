@@ -221,6 +221,61 @@ def test_salted_join_matches_plain_join(spark):
     assert got_left.exceptAll(exp_left).count() == 0
 
 
+def test_skew_split_join_matches_plain_join_all_types(spark):
+    """Hot-key split + union must be invisible for EVERY join type —
+    inner/left/right/full/semi/anti — on a corpus with a hot key on both
+    sides (two-large-sides skew), keys private to each side, and null
+    keys (which must ride the cold path and null-extend normally)."""
+    from kafka_connect_jsonata_spark.operators.relational import skew_split_join
+
+    left = spark.range(5_000).select(
+        F.when(F.col("id") % 10 == 0, F.col("id") % 97)
+        .when(F.col("id") % 13 == 0, F.lit(None))
+        .otherwise(F.lit(0))
+        .alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.range(2_000).select(
+        F.when(F.col("id") % 5 == 0, F.col("id") % 139)
+        .when(F.col("id") % 17 == 0, F.lit(None))
+        .otherwise(F.lit(0))
+        .alias("k"),
+        (F.col("id") * 3).alias("rv"),
+    )
+    for how in ("inner", "left", "right", "full", "semi", "anti"):
+        got = skew_split_join(left, right, ["k"], how=how, hot_keys=[(0,)], n_salts=4)
+        exp = left.join(right, ["k"], how)
+        assert got.count() == exp.count(), how
+        assert got.exceptAll(exp).count() == 0, how
+        assert exp.exceptAll(got).count() == 0, how
+
+
+def test_skew_split_join_auto_detects_hot_key(spark):
+    """Sampled hot-key detection must find the dominant key and still
+    return the exact join result."""
+    from kafka_connect_jsonata_spark.operators.relational import skew_split_join
+
+    left = spark.range(50_000).select(
+        F.when(F.col("id") % 20 == 0, F.col("id")).otherwise(F.lit(7)).alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.range(500).select(F.col("id").alias("k"), F.col("id").alias("rv"))
+    got = skew_split_join(left, right, ["k"], how="full")
+    exp = left.join(right, ["k"], "full")
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
+
+
+def test_skew_split_right_join_plan_shape(spark, sf_dir):
+    """The gate query's plan must show the split: a union of the cold
+    right join and the salted hot path, with the unmatched-right recovery
+    as a broadcast anti join — and no cartesian anywhere."""
+    plan = plan_of(Q.QUERIES["skew_split_right_join"](spark, sf_dir))
+    assert "Union" in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan or "left_anti" in plan.lower()
+
+
 def test_exact_similarity_join_plan_shape(spark, sf_dir):
     """The prefix-filtered set-similarity join must never plan a cartesian
     product — candidates come from an equi-join on the gram hash."""
