@@ -69,6 +69,85 @@ def test_session_window(spark, event_stream):
     assert len(rows) > 0
 
 
+def _canon(df):
+    """Order-insensitive row canon (window structs stringified)."""
+    return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+def test_windowed_agg_stream_batch_parity(spark, event_stream, sf_dir):
+    """C19 parity gate (round-4 verdict item 4): the ACTUAL writeStream
+    micro-batch execution over file-stream input must produce row-exact
+    equality with the batch formulation the oracles check — complete
+    output mode so every window emits regardless of the final watermark."""
+    from kafka_connect_jsonata_spark.streaming.transform import ensure_event_time
+
+    def aggs():
+        return [F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("v")]
+
+    out = windowed_agg(event_stream, "ts", "1 hour", aggs(), keys=["event_type"])
+    run_to_memory(out, "t_win_parity", output_mode="complete")
+    got = spark.table("t_win_parity")
+    ev = ensure_event_time(load_table(spark, sf_dir, "events"), "ts")
+    exp = ev.groupBy(F.window("ts", "1 hour").alias("window"), "event_type").agg(*aggs())
+    g, e = _canon(got), _canon(exp)
+    assert g == e and len(g) > 0
+
+
+def test_sliding_window_stream_batch_parity(spark, event_stream, sf_dir):
+    """C19 sliding variant through the same gate."""
+    from kafka_connect_jsonata_spark.streaming.transform import ensure_event_time
+
+    out = windowed_agg(
+        event_stream, "ts", "1 hour", [F.count("*").alias("n")], slide="30 minutes"
+    )
+    run_to_memory(out, "t_slide_parity", output_mode="complete")
+    got = spark.table("t_slide_parity")
+    ev = ensure_event_time(load_table(spark, sf_dir, "events"), "ts")
+    exp = ev.groupBy(
+        F.window("ts", "1 hour", "30 minutes").alias("window")
+    ).agg(F.count("*").alias("n"))
+    g, e = _canon(got), _canon(exp)
+    assert g == e and len(g) > 0
+
+
+def test_session_window_stream_batch_parity(spark, event_stream, sf_dir):
+    """C20 parity gate: micro-batch session windows == batch session
+    windows, row-exact (session merge across batches is the risk)."""
+    from kafka_connect_jsonata_spark.streaming.transform import ensure_event_time
+
+    out = session_agg(
+        event_stream, "ts", "30 minutes", [F.count("*").alias("n")], keys=["user_id"]
+    )
+    run_to_memory(out, "t_sess_parity", output_mode="complete")
+    got = spark.table("t_sess_parity")
+    ev = ensure_event_time(load_table(spark, sf_dir, "events"), "ts")
+    exp = ev.groupBy(
+        F.session_window(F.col("ts"), "30 minutes").alias("session"), "user_id"
+    ).agg(F.count("*").alias("n"))
+    g, e = _canon(got), _canon(exp)
+    assert g == e and len(g) > 0
+
+
+def test_stream_static_join_stream_batch_parity(spark, event_stream, sf_dir):
+    """C23 parity gate: stream-static join rows == batch join rows,
+    value-exact (not just count)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    out = stream_static_join(event_stream, cust, ["user_id"]).select(
+        "user_id", "event_id", "c_mktsegment"
+    )
+    run_to_memory(out, "t_ssjoin_parity")
+    got = spark.table("t_ssjoin_parity")
+    exp = (
+        load_table(spark, sf_dir, "events")
+        .join(cust, ["user_id"])
+        .select("user_id", "event_id", "c_mktsegment")
+    )
+    g, e = _canon(got), _canon(exp)
+    assert g == e and len(g) > 0
+
+
 def test_stream_dedup(spark, event_stream, sf_dir):
     out = stream_dedup(event_stream, ["user_id"], ts_col="ts")
     run_to_memory(out, "t_dedup")
