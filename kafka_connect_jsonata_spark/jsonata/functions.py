@@ -587,6 +587,10 @@ def fn_format_number(ev, n=UNDEFINED, picture=UNDEFINED, options=UNDEFINED):
         value = value * 100
     if pmille_char in sub:
         value = value * 1000
+    # XPath decimal-digit-family: ANY decimal digit in the picture is a
+    # mandatory-digit character ('01%' == '00%' — jsonata docs format 0.14
+    # as "14%"); normalize 1-9 to 0 before parsing
+    sub = re.sub(r"[1-9]", "0", sub)
     m = re.match(r"^([^0#]*)([0#.,]*[0#])([^0#]*)$", sub)
     if not m:
         raise JsonataError("D3080", f"invalid picture string {picture!r}")

@@ -59,9 +59,10 @@ def main() -> int:
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        # multi-file tables (stress tier) are directories of part files
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
