@@ -302,15 +302,43 @@ except ImportError:
     _PILImage = None
 
 
-def decode_real_image(buf: bytes) -> np.ndarray:
-    """Decode a real image format (PNG/JPEG) via Pillow. STUB in this
-    environment: Pillow is not installed, so this raises — the Spark-side
-    plumbing above (schema, mapInPandas batching, payload pruning) is
-    identical for the real codec; only this function changes."""
+def decode_real_image(buf: bytes, mode: str | None = None) -> np.ndarray:
+    """Decode a real image format (PNG/JPEG/...) via Pillow into the same
+    (frames=1, h, w[, c]) uint8 layout the RAW1 toy codec uses, so every
+    downstream operator (stats, resize, frame fan-out) is codec-agnostic.
+
+    ``mode`` optionally converts (e.g. "RGB" to normalize palette/CMYK
+    inputs, "L" for grayscale). Import-guarded: in environments without
+    Pillow (this container) it raises ``NotImplementedError`` — the
+    Spark-side plumbing (schema, mapInPandas batching, payload pruning) is
+    identical for the real codec; only this function changes. Where Pillow
+    IS installed, `tests/test_multimodal.py` runs a real PNG round-trip
+    through the full `image_stats` pipeline (skipped, not failed, here)."""
     if _PILImage is None:
         raise NotImplementedError(
             "real image decode requires Pillow, which is not installed; "
             "use the RAW1 toy codec (decode_raw1) for plumbing tests"
         )
-    img = _PILImage.open(__import__("io").BytesIO(buf))  # pragma: no cover
-    return np.asarray(img)[None, ...]  # pragma: no cover
+    import io
+
+    img = _PILImage.open(io.BytesIO(buf))
+    if mode is not None and img.mode != mode:
+        img = img.convert(mode)
+    return np.asarray(img)[None, ...]
+
+
+def encode_real_image(arr: np.ndarray, format: str = "PNG") -> bytes:
+    """Inverse of :func:`decode_real_image`: (1, h, w[, c]) uint8 array ->
+    encoded image bytes. Same Pillow guard."""
+    if _PILImage is None:
+        raise NotImplementedError("real image encode requires Pillow")
+    import io
+
+    frame = np.asarray(arr)
+    if frame.ndim == 4:
+        frame = frame[0]
+    if frame.ndim == 3 and frame.shape[-1] == 1:
+        frame = frame[..., 0]
+    out = io.BytesIO()
+    _PILImage.fromarray(frame.astype(np.uint8)).save(out, format=format)
+    return out.getvalue()

@@ -223,6 +223,14 @@ def heavy_hitter_terms(
     non-positive ones — the standard mergeable-summaries MG reduction,
     same N/(capacity+1) bound, with Python work per DISTINCT term per
     batch instead of per token.
+
+    EAGERNESS CONTRACT (round-4 review): unlike the other operators in
+    this module, calling this function RUNS two Spark jobs immediately
+    (the candidate re-count and the guard's token-count scan — both
+    required to decide whether the MG guarantee held) and, when the guard
+    passes, returns the k-row result as a LOCAL relation rather than a
+    lazy plan. Callers composing lazy pipelines should treat the result
+    as materialized driver-side state (it is at most k rows).
     """
     words = df.select(F.explode(tokens(F.col(text_col))).alias("term"))
 

@@ -161,3 +161,54 @@ def test_decode_dispatch_raw1_vs_real():
         got = M.decode_image_payload(buf.getvalue())
         assert got.shape == (1, 3, 4, 3)
         assert (got[0] == arr[0]).all()
+
+
+def test_real_image_pipeline_with_pillow(spark):
+    """Full real-codec path (round-4 verdict item 7): encode actual PNGs,
+    run them through the SAME image_stats mapInPandas pipeline the RAW1
+    gate exercises, and check exact pixel statistics. Skips (not fails)
+    where Pillow is absent — this container — and runs for real in any
+    environment with codecs installed (requirements-optional.txt)."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    from kafka_connect_jsonata_spark.functions import multimodal as M
+
+    arrs = {
+        1: np.arange(3 * 4 * 3, dtype=np.uint8).reshape(3, 4, 3),
+        2: np.full((2, 2), 9, dtype=np.uint8),  # grayscale
+    }
+    rows = [(mid, M.encode_real_image(a[None, ...])) for mid, a in arrs.items()]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in M.image_stats(df).collect()}
+    for mid, a in arrs.items():
+        r = got[mid]
+        h, w = a.shape[:2]
+        c = a.shape[2] if a.ndim == 3 else 1
+        assert (r["width"], r["height"], r["channels"]) == (w, h, c)
+        assert r["px_sum"] == int(a.sum(dtype=np.int64))
+        assert r["px_mean"] == pytest.approx(float(a.mean()))
+
+
+def test_real_image_decode_mode_and_encode_roundtrip():
+    """decode_real_image(mode=...) conversion + encode_real_image inverse;
+    Pillow-gated, skipped here."""
+    pytest.importorskip("PIL")
+    from kafka_connect_jsonata_spark.functions import multimodal as M
+
+    rgb = np.zeros((2, 2, 3), dtype=np.uint8)
+    rgb[..., 0] = 200  # red
+    buf = M.encode_real_image(rgb[None, ...])
+    gray = M.decode_real_image(buf, mode="L")
+    assert gray.shape == (1, 2, 2)
+    # ITU-R 601 luma of pure red ~ 0.299 * 200
+    assert abs(int(gray[0, 0, 0]) - round(0.299 * 200)) <= 1
+    back = M.decode_real_image(M.encode_real_image(gray), mode="L")
+    assert (back == gray).all()
+
+
+def test_encode_real_image_guard_raises_without_pillow():
+    from kafka_connect_jsonata_spark.functions import multimodal as M
+
+    if M._PILImage is not None:
+        pytest.skip("Pillow installed: guard not reachable")
+    with pytest.raises(NotImplementedError):
+        M.encode_real_image(np.zeros((1, 2, 2), dtype=np.uint8))
