@@ -82,6 +82,10 @@ HEADLINE = [
     "pca_project_fixed",
     "mixture_sample_docs",
     "pack_token_budget_docs",
+    # round 5 additions
+    "unigram_floor_docs",
+    "skew_split_right_join",
+    "interval_join_parts",
 ]
 
 

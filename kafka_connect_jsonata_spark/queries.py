@@ -400,6 +400,23 @@ FROM part JOIN supplier
 """
 
 
+def interval_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 at scale: the SAME point-in-interval semantics as
+    range_join_parts, executed as the bucketized equi-join
+    (`interval_join`) instead of a BroadcastNestedLoopJoin — the plan that
+    still works when neither side broadcasts. Same SQL oracle: the
+    rewrite must be invisible in the result."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_acctbal",
+        (F.col("s_acctbal") / 5).alias("lo"),
+        (F.col("s_acctbal") / 5 + 50).alias("hi"),
+    )
+    out = R.interval_join(part, supp, "p_retailprice", "lo", "hi", bucket_width=50.0)
+    return out.select("p_partkey", "s_suppkey", "p_retailprice", "s_acctbal")
+
+
 def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8 as-of join: latest order date at-or-before each event, per user."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
@@ -2157,6 +2174,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jsonata_string_ops": jsonata_string_ops,
     "tumbling_window_agg": tumbling_window_agg,
     "skew_split_right_join": skew_split_right_join,
+    "interval_join_parts": interval_join_parts,
     # -- rows-only (driver-side eigh / iterative / rng payloads) --
     "multimodal_image_stats": multimodal_image_stats,
     "multimodal_audio_features": multimodal_audio_features,
@@ -2205,6 +2223,7 @@ ORACLES: dict[str, str] = {
     "embedding_quantize_stats": EMBEDDING_QUANTIZE_SQL,
     "skew_salted_join": SKEW_SALTED_JOIN_SQL,
     "skew_split_right_join": SKEW_SPLIT_RIGHT_SQL,
+    "interval_join_parts": RANGE_JOIN_SQL,
     "envelope_reroute": ENVELOPE_REROUTE_SQL,
     "jsonata_object_ops": JSONATA_OBJECT_OPS_SQL,
     "udtf_explode_tokens": UDTF_EXPLODE_SQL,

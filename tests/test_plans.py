@@ -495,3 +495,45 @@ def test_transform_safe_evaluates_exactly_once(spark, sf_dir):
         plan = plan_of(df)
         assert plan.count("ArrowEvalPython") == 1
         assert "BatchEvalPython" not in plan
+
+
+def test_interval_join_is_equi_not_bnlj(spark, sf_dir):
+    """The bucketized range join must plan as a hash equi-join on the
+    bucket id — no BroadcastNestedLoopJoin, no CartesianProduct — while
+    returning exactly the theta join's rows."""
+    df = Q.QUERIES["interval_join_parts"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    theta = Q.QUERIES["range_join_parts"](spark, sf_dir)
+    a = sorted(map(str, df.collect()))
+    b = sorted(map(str, theta.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_interval_join_edge_semantics(spark):
+    """Boundary inclusivity, negative values, bucket-edge intervals, and
+    inverted intervals (which must produce nothing, not wrong buckets)."""
+    from kafka_connect_jsonata_spark.operators.relational import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, -10.0), (2, 0.0), (3, 5.0), (4, 10.0), (5, 99.5)], "pid int, p double"
+    )
+    ivs = spark.createDataFrame(
+        [(10, -12.0, -9.0), (20, 0.0, 10.0), (30, 10.0, 10.0), (40, 50.0, 40.0),
+         (50, 99.0, 100.0)],
+        "iid int, lo double, hi double",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(pts, ivs, "p", "lo", "hi", bucket_width=7.0).collect()
+    }
+    # lo <= p < hi; iid=30 zero-width and iid=40 inverted match nothing
+    assert got == {(1, 10), (2, 20), (3, 20), (5, 50)}
+    got_incl = {
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            pts, ivs, "p", "lo", "hi", bucket_width=7.0, hi_inclusive=True
+        ).collect()
+    }
+    assert got_incl == {(1, 10), (2, 20), (3, 20), (4, 20), (4, 30), (5, 50)}
