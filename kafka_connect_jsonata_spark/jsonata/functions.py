@@ -1132,7 +1132,9 @@ def _format_component(dt: datetime, comp: str) -> str:
         pad = len(digits) if digits else 0
         return str(v).zfill(pad) + _ordinal_suffix(v)
     if mods and set(mods) <= set("0123456789#"):
-        return str(v).zfill(len(mods))
+        # '#' is the OPTIONAL-digit marker: '[D#1]' pads to width 1, not 2
+        # (docs: '[D#1]/[M#1]/[Y0001]' -> '7/11/2017')
+        return str(v).zfill(sum(1 for c in mods if c != "#"))
     if mods == "":
         return str(v)
     raise JsonataError("D3132", f"unsupported date picture component [{comp}]")

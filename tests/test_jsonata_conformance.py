@@ -69,6 +69,11 @@ GROUPS["string"] = [
     ("$replace('John Smith and John Jones', 'John', 'Mr', 1)", None,
      "Mr Smith and John Jones"),
     ("$replace('abracadabra', /a.*?a/, '*')", None, "*c*bra"),
+    ("$replace('abc', /b/, function($m){ $uppercase($m.match) })", None, "aBc"),
+    ("$contains('ABC', /abc/i)", None, True),
+    ("$split('aXbXc', /x/i)", None, ["a", "b", "c"]),
+    ("$count($match('no', /x/))", None, 0),
+    ("$substringBefore('abc', '')", None, ""),
     ("$base64encode('myuser:mypass')", None, "bXl1c2VyOm15cGFzcw=="),
     ("$base64decode('bXl1c2VyOm15cGFzcw==')", None, "myuser:mypass"),
     ("$encodeUrlComponent('?x=test')", None, "%3Fx%3Dtest"),
@@ -259,6 +264,18 @@ GROUPS["dates"] = [
     ("$toMillis($fromMillis(123456789))", None, 123456789),
     ("$fromMillis($toMillis('2017-01-02T03:04:05.678Z'))", None,
      "2017-01-02T03:04:05.678Z"),
+    # docs examples: timezone arg, names, ordinals, optional-digit marker
+    ("$fromMillis(1510067557121, '[M01]/[D01]/[Y0001] [H01]:[m01]:[s01] [z]')",
+     None, "11/07/2017 15:12:37 GMT+00:00"),
+    ("$fromMillis(1510067557121, '[H01]:[m01]:[s01] [z]', '-0500')",
+     None, "10:12:37 GMT-05:00"),
+    ("$fromMillis(1510067557121, '[FNn]')", None, "Tuesday"),
+    ("$fromMillis(1510067557121, '[F]')", None, "2"),  # ISO day number
+    ("$fromMillis(1510067557121, '[D1o] [MNn] [Y]')", None, "7th November 2017"),
+    ("$fromMillis(1510067557121, '[D#1]/[M#1]/[Y0001]')", None, "7/11/2017"),
+    ("$fromMillis(1510067557121, '[f001]')", None, "121"),
+    ("$fromMillis(0, '[h]:[m01] [P]')", None, "12:00 am"),
+    ("$toMillis('13:45', '[H01]:[m01]')", None, 49500000),
 ]
 
 GROUPS["paths"] = [
