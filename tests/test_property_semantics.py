@@ -233,3 +233,91 @@ def test_batched_misra_gries_candidate_superset(stream, capacity, batch):
         if freq > n / (capacity + 1):
             assert t in counters, (t, freq, n, capacity)
     assert len(counters) <= capacity
+
+
+# ------------------------------------------------- relational operator fuzz
+# Seeded-random brute-force parity for the operators whose plans were
+# re-shaped in round 5 (merge as-of, bucketized interval join, hot-key
+# split). One Spark session run per test, many random rows per run — the
+# brute-force reference is plain Python over the collected inputs.
+
+
+def test_asof_join_random_brute_force_parity(spark):
+    import random
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from kafka_connect_jsonata_spark.operators.relational import asof_join
+
+    rng = random.Random(20250814)
+    lrows = [
+        (rng.choice(["a", "b", "c", None]), rng.randint(0, 50), i)
+        for i in range(300)
+    ]
+    rrows = [
+        (rng.choice(["a", "b", "c", "d", None]), rng.randint(0, 50))
+        for _ in range(200)
+    ]
+    left = spark.createDataFrame(lrows, "k string, lts long, lid int")
+    right = spark.createDataFrame(rrows, "k string, rts long")
+    got = {
+        r["lid"]: r["asof_rts"]
+        for r in asof_join(left, right, "k", "k", "lts", "rts").collect()
+    }
+    for k, lts, lid in lrows:
+        cands = [rts for rk, rts in rrows if rk is not None and rk == k and rts <= lts]
+        assert got[lid] == (max(cands) if cands else None), (k, lts, lid)
+
+
+def test_interval_join_random_brute_force_parity(spark):
+    import random
+
+    from kafka_connect_jsonata_spark.operators.relational import interval_join
+
+    rng = random.Random(7)
+    pts = [(i, round(rng.uniform(-100, 100), 2)) for i in range(250)]
+    ivs = []
+    for j in range(150):
+        lo = round(rng.uniform(-110, 100), 2)
+        ivs.append((j, lo, round(lo + rng.uniform(-5, 30), 2)))  # some inverted
+    pdf = spark.createDataFrame(pts, "pid int, p double")
+    idf = spark.createDataFrame(ivs, "iid int, lo double, hi double")
+    for width in (1.0, 7.3, 50.0):
+        got = {
+            (r["pid"], r["iid"])
+            for r in interval_join(pdf, idf, "p", "lo", "hi", bucket_width=width).collect()
+        }
+        exp = {
+            (pid, iid)
+            for pid, p in pts
+            for iid, lo, hi in ivs
+            if lo <= p < hi
+        }
+        assert got == exp, width
+
+
+def test_skew_split_join_multi_key_parity(spark):
+    """Composite join keys through the hot-key split: hot tuples must
+    match on BOTH columns, and every join type stays exact."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_jsonata_spark.operators.relational import skew_split_join
+
+    left = spark.range(4000).select(
+        (F.col("id") % 3).alias("k1"),
+        F.when(F.col("id") % 7 == 0, F.col("id") % 5).otherwise(F.lit(0)).alias("k2"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.range(900).select(
+        (F.col("id") % 4).alias("k1"),
+        (F.col("id") % 5).alias("k2"),
+        (F.col("id") * 2).alias("rv"),
+    )
+    for how in ("inner", "left", "right", "full"):
+        got = skew_split_join(
+            left, right, ["k1", "k2"], how=how, hot_keys=[(0, 0), (1, 0)], n_salts=4
+        )
+        exp = left.join(right, ["k1", "k2"], how)
+        assert got.count() == exp.count(), how
+        assert got.exceptAll(exp).count() == 0, how
+        assert exp.exceptAll(got).count() == 0, how
