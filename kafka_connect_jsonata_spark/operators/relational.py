@@ -127,9 +127,15 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     value_agg: str | None = None,
+    direction: str = "backward",
+    tolerance: Column | float | int | None = None,
 ) -> DataFrame:
     """C8 as-of join: for each left row, the greatest ``right_ts`` <= left_ts
-    within the same key, exposed as ``asof_<right_ts>``.
+    within the same key (``direction="backward"``, the default) or the
+    smallest ``right_ts`` >= left_ts (``"forward"``), exposed as
+    ``asof_<right_ts>``. ``tolerance`` (same units as the ts columns)
+    nulls out matches farther than the bound — the pandas ``merge_asof``
+    contract, distributed.
 
     Plan: the classic distributed MERGE formulation — union both sides
     tagged (right=0, left=1), then one window
@@ -152,6 +158,8 @@ def asof_join(
     for ordering (the returned as-of value keeps the right column's
     original type).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join direction must be backward/forward, got {direction!r}")
     l_ts_type = left.schema[left_ts].dataType
     r_ts = F.col(right_ts)
     if right.schema[right_ts].dataType != l_ts_type:
@@ -173,13 +181,27 @@ def asof_join(
         F.col(right_ts).alias("__asof_v"),
     )
     merged = lhs.unionByName(rhs, allowMissingColumns=True)
+    # backward: scan ts ascending, the last right row seen is the greatest
+    # <= match. forward: scan ts DESCENDING, the last right row seen is the
+    # smallest >= match. Tag asc in both cases puts a tied right row before
+    # the left row — inclusive bounds.
+    ts_order = F.col("__asof_ts").asc() if direction == "backward" else F.col("__asof_ts").desc()
     w = (
         Window.partitionBy("__asof_k")
-        .orderBy(F.col("__asof_ts").asc(), F.col("__asof_tag").asc())
+        .orderBy(ts_order, F.col("__asof_tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    out_col = F.last("__asof_v", ignorenulls=True).over(w)
+    if tolerance is not None:
+        tol = tolerance if isinstance(tolerance, Column) else F.lit(tolerance)
+        in_range = (
+            F.col("__asof_ts") - out_col.cast(l_ts_type) <= tol
+            if direction == "backward"
+            else out_col.cast(l_ts_type) - F.col("__asof_ts") <= tol
+        )
+        out_col = F.when(in_range, out_col)
     return (
-        merged.withColumn(f"asof_{right_ts}", F.last("__asof_v", ignorenulls=True).over(w))
+        merged.withColumn(f"asof_{right_ts}", out_col)
         .filter(F.col("__asof_tag") == 1)
         .select(*left.columns, f"asof_{right_ts}")
     )
@@ -436,24 +458,31 @@ def skew_split_join(
     is_right = how in ("right", "right_outer", "rightouter")
     is_full = how in ("full", "full_outer", "fullouter", "outer")
     if hot_keys is None:
-        s = (
-            left.select(*keys)
-            .na.drop(subset=keys)
-            .sample(fraction=sample_fraction, seed=42)
-            .groupBy(*keys)
-            .agg(F.count("*").alias("__c"))
-        )
-        stats = s.agg(F.sum("__c").alias("t"), F.count("*").alias("d")).collect()[0]
-        if not stats["d"]:
-            return left.join(right, keys, how)
-        mean = stats["t"] / stats["d"]
-        hot_rows = (
-            s.filter(F.col("__c") > hot_multiple * mean)
-            .orderBy(F.col("__c").desc(), *keys)
-            .limit(max_hot_keys)
-            .collect()
-        )
-        hot_keys = [tuple(r[k] for k in keys) for r in hot_rows]
+        # sample BOTH sides — a key can be hot on either (or both: the
+        # two-large-sides case); hot-by-right keys routed through the
+        # split spread their |L_k| x |R_k| output over n_salts tasks too
+        found: dict[tuple, None] = {}
+        for side in (left, right):
+            s = (
+                side.select(*keys)
+                .na.drop(subset=keys)
+                .sample(fraction=sample_fraction, seed=42)
+                .groupBy(*keys)
+                .agg(F.count("*").alias("__c"))
+            )
+            stats = s.agg(F.sum("__c").alias("t"), F.count("*").alias("d")).collect()[0]
+            if not stats["d"]:
+                continue
+            mean = stats["t"] / stats["d"]
+            hot_rows = (
+                s.filter(F.col("__c") > hot_multiple * mean)
+                .orderBy(F.col("__c").desc(), *keys)
+                .limit(max_hot_keys)
+                .collect()
+            )
+            for r in hot_rows:
+                found.setdefault(tuple(r[k] for k in keys))
+        hot_keys = list(found)[:max_hot_keys]
     hot_keys = [tuple(t) for t in hot_keys]
     if not hot_keys:
         return left.join(right, keys, how)

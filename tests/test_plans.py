@@ -537,3 +537,49 @@ def test_interval_join_edge_semantics(spark):
         ).collect()
     }
     assert got_incl == {(1, 10), (2, 20), (3, 20), (4, 20), (4, 30), (5, 50)}
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    """direction='forward' picks the smallest right_ts >= left_ts
+    (inclusive); tolerance nulls matches beyond the bound in BOTH
+    directions; the plan stays join-free."""
+    from kafka_connect_jsonata_spark.operators.relational import asof_join
+
+    lv = spark.createDataFrame(
+        [("a", 10, 1), ("a", 5, 2), ("a", 30, 3), ("b", 1, 4)],
+        "k string, lts long, lid int",
+    )
+    rv = spark.createDataFrame(
+        [("a", 5), ("a", 12), ("a", 20), ("b", 0)], "k string, rts long"
+    )
+    fwd = {r["lid"]: r["asof_rts"]
+           for r in asof_join(lv, rv, "k", "k", "lts", "rts", direction="forward").collect()}
+    assert fwd == {1: 12, 2: 5, 3: None, 4: None}
+    back_tol = {r["lid"]: r["asof_rts"]
+                for r in asof_join(lv, rv, "k", "k", "lts", "rts", tolerance=3).collect()}
+    # backward matches: 1->5 (gap 5 > 3 -> null), 2->5 (gap 0), 3->20 (gap 10 -> null), 4->0 (gap 1)
+    assert back_tol == {1: None, 2: 5, 3: None, 4: 0}
+    fwd_tol = {r["lid"]: r["asof_rts"]
+               for r in asof_join(lv, rv, "k", "k", "lts", "rts",
+                                  direction="forward", tolerance=2).collect()}
+    assert fwd_tol == {1: 12, 2: 5, 3: None, 4: None}
+    plan = plan_of(asof_join(lv, rv, "k", "k", "lts", "rts", direction="forward"))
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan, node
+
+
+def test_skew_split_join_detects_right_side_hot_key(spark):
+    """Auto-detection must find a key that is hot only on the RIGHT side
+    (two-large-sides coverage) and keep the join exact."""
+    from kafka_connect_jsonata_spark.operators.relational import skew_split_join
+
+    left = spark.range(3000).select((F.col("id") % 500).alias("k"), F.col("id").alias("lv"))
+    right = spark.range(30000).select(
+        F.when(F.col("id") % 10 == 0, F.col("id") % 400).otherwise(F.lit(13)).alias("k"),
+        F.col("id").alias("rv"),
+    )
+    got = skew_split_join(left, right, ["k"], how="inner")
+    exp = left.join(right, ["k"])
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
