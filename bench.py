@@ -86,6 +86,7 @@ HEADLINE = [
     "unigram_floor_docs",
     "skew_split_right_join",
     "interval_join_parts",
+    "asof_forward_events_orders",
 ]
 
 

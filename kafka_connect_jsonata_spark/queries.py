@@ -435,6 +435,28 @@ FROM events
 """
 
 
+def asof_forward_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 forward as-of: earliest order date at-or-after each event, per
+    user — the direction='forward' scan of the same merge-window plan."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders")
+    out = R.asof_join(
+        ev, orders, "user_id", "o_custkey", "ts", "o_orderdate", direction="forward"
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("asof_o_orderdate", "yyyy-MM-dd").alias("asof_date"),
+    )
+
+
+ASOF_FORWARD_SQL = """
+SELECT event_id, user_id,
+       strftime((SELECT min(o_orderdate) FROM orders
+             WHERE o_custkey = user_id AND o_orderdate >= ts), '%Y-%m-%d') AS asof_date
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # C14/C15: set ops, distinct, dedup
 # ---------------------------------------------------------------------------
@@ -2175,6 +2197,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tumbling_window_agg": tumbling_window_agg,
     "skew_split_right_join": skew_split_right_join,
     "interval_join_parts": interval_join_parts,
+    "asof_forward_events_orders": asof_forward_events_orders,
     # -- rows-only (driver-side eigh / iterative / rng payloads) --
     "multimodal_image_stats": multimodal_image_stats,
     "multimodal_audio_features": multimodal_audio_features,
@@ -2224,6 +2247,7 @@ ORACLES: dict[str, str] = {
     "skew_salted_join": SKEW_SALTED_JOIN_SQL,
     "skew_split_right_join": SKEW_SPLIT_RIGHT_SQL,
     "interval_join_parts": RANGE_JOIN_SQL,
+    "asof_forward_events_orders": ASOF_FORWARD_SQL,
     "envelope_reroute": ENVELOPE_REROUTE_SQL,
     "jsonata_object_ops": JSONATA_OBJECT_OPS_SQL,
     "udtf_explode_tokens": UDTF_EXPLODE_SQL,
