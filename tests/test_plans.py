@@ -583,3 +583,24 @@ def test_skew_split_join_detects_right_side_hot_key(spark):
     exp = left.join(right, ["k"])
     assert got.count() == exp.count()
     assert got.exceptAll(exp).count() == 0
+
+
+def test_interval_join_with_extra_equi_keys(spark):
+    """extra_keys composes the bucket id with equi-join columns: matches
+    must satisfy BOTH the key equality and the range."""
+    from kafka_connect_jsonata_spark.operators.relational import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 5.0), (3, "a", 25.0)], "pid int, g string, p double"
+    )
+    ivs = spark.createDataFrame(
+        [(10, "a", 0.0, 10.0), (20, "b", 0.0, 10.0), (30, "a", 20.0, 30.0)],
+        "iid int, g string, lo double, hi double",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            pts, ivs, "p", "lo", "hi", bucket_width=8.0, extra_keys=["g"]
+        ).collect()
+    }
+    assert got == {(1, 10), (2, 20), (3, 30)}
