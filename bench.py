@@ -87,6 +87,7 @@ HEADLINE = [
     "skew_split_right_join",
     "interval_join_parts",
     "asof_forward_events_orders",
+    "shuffle_positions_docs",
 ]
 
 

@@ -127,3 +127,56 @@ def stratified_sample(
         .filter(F.col("__sample_rn") <= n_per_group)
         .drop("__sample_rn")
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int | str = 42,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Epoch-reproducible global permutation: every row gets
+    ``shuffle_pos`` = its rank under ``md5(seed ":" id)`` ordering (id as
+    the tiebreak, so the order is total) — the standard "shuffle the
+    corpus once per epoch, identically on any cluster" step of a training
+    pipeline. Changing ``seed`` gives an independent permutation;
+    re-running with the same seed reproduces it exactly, independent of
+    partitioning, cluster size, or engine.
+
+    Scale shape: the naive ``row_number() OVER (ORDER BY hash)`` is a
+    GLOBAL window — the whole corpus funnels through one task. This is the
+    same two-phase distributed prefix rank as ``pack_token_budget``:
+    bucket rows by the leading hash bits (uniform by construction — no
+    skew possible), one tiny aggregation computes per-bucket counts whose
+    running sum (driver-side, n_buckets rows) gives each bucket's global
+    offset, then a per-bucket window ranks within buckets. One keyed
+    shuffle of the corpus; driver/broadcast state is O(n_buckets).
+    """
+    spark = df.sparkSession
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    nb = n_buckets or spark.sparkContext.defaultParallelism
+    hdf = df.withColumn("__h", h)
+    # md5 hex is uniform: the first 4 hex digits scale to [0, nb) evenly
+    bucket = F.least(
+        F.lit(nb - 1),
+        (F.conv(F.substring("__h", 1, 4), 16, 10).cast("long") * nb / 65536).cast("int"),
+    )
+    bt = hdf.withColumn("__b", bucket)
+    counts = bt.groupBy("__b").agg(F.count("*").alias("__n")).orderBy("__b").collect()
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["__b"]] = acc
+        acc += int(r["__n"])
+    off_df = spark.createDataFrame(
+        [(b, o) for b, o in offsets.items()], "__b int, __off long"
+    )
+    w = (
+        Window.partitionBy("__b")
+        .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bt.join(F.broadcast(off_df), "__b")
+        .withColumn("shuffle_pos", F.count("*").over(w) - 1 + F.col("__off"))
+        .drop("__b", "__h", "__off")
+    )

@@ -968,6 +968,25 @@ WHERE rn <= 5
 """
 
 
+def shuffle_positions_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C28 epoch shuffle: every doc's global position under the seed-7
+    content-hash permutation — two-phase distributed prefix rank, never a
+    single-task global window. The oracle IS the naive global window: the
+    distributed rank must reproduce it exactly."""
+    from kafka_connect_jsonata_spark.operators.sampling import deterministic_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(docs, "doc_id", seed=7).select("doc_id", "shuffle_pos")
+
+
+SHUFFLE_POSITIONS_SQL = """
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+            AS BIGINT) AS shuffle_pos
+FROM documents
+"""
+
+
 def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C28 data-mixture step: per-source keep rates (src0 100%, src1 50%,
     src2 25%, everything else 10%) via the md5-position predicate — one
@@ -2198,6 +2217,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_split_right_join": skew_split_right_join,
     "interval_join_parts": interval_join_parts,
     "asof_forward_events_orders": asof_forward_events_orders,
+    "shuffle_positions_docs": shuffle_positions_docs,
     # -- rows-only (driver-side eigh / iterative / rng payloads) --
     "multimodal_image_stats": multimodal_image_stats,
     "multimodal_audio_features": multimodal_audio_features,
@@ -2248,6 +2268,7 @@ ORACLES: dict[str, str] = {
     "skew_split_right_join": SKEW_SPLIT_RIGHT_SQL,
     "interval_join_parts": RANGE_JOIN_SQL,
     "asof_forward_events_orders": ASOF_FORWARD_SQL,
+    "shuffle_positions_docs": SHUFFLE_POSITIONS_SQL,
     "envelope_reroute": ENVELOPE_REROUTE_SQL,
     "jsonata_object_ops": JSONATA_OBJECT_OPS_SQL,
     "udtf_explode_tokens": UDTF_EXPLODE_SQL,

@@ -604,3 +604,30 @@ def test_interval_join_with_extra_equi_keys(spark):
         ).collect()
     }
     assert got == {(1, 10), (2, 20), (3, 30)}
+
+
+def test_deterministic_shuffle_never_global_windows(spark, sf_dir):
+    """The epoch-shuffle rank must run its window hash-partitioned by the
+    bucket column — a SinglePartition window funnels the corpus through
+    one task. (The one-row bucket-count collect is bounded driver state.)"""
+    df = Q.QUERIES["shuffle_positions_docs"](spark, sf_dir)
+    plan = plan_of(df)
+    window_lines = [ln for ln in plan.split("\n") if "Window" in ln]
+    assert window_lines and all("__b" in ln for ln in window_lines)
+    assert "hashpartitioning(__b" in plan
+
+
+def test_deterministic_shuffle_is_permutation_and_reproducible(spark):
+    from kafka_connect_jsonata_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    a = deterministic_shuffle(df, "doc_id", seed=1, n_buckets=7)
+    rows = {r["doc_id"]: r["shuffle_pos"] for r in a.collect()}
+    assert sorted(rows.values()) == list(range(1000))  # exact permutation
+    # same seed reproduces regardless of bucketing; different seed differs
+    b = {r["doc_id"]: r["shuffle_pos"]
+         for r in deterministic_shuffle(df, "doc_id", seed=1, n_buckets=31).collect()}
+    assert b == rows
+    c = {r["doc_id"]: r["shuffle_pos"]
+         for r in deterministic_shuffle(df, "doc_id", seed=2, n_buckets=7).collect()}
+    assert c != rows and sorted(c.values()) == list(range(1000))
