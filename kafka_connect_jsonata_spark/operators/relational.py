@@ -442,10 +442,12 @@ def skew_split_join(
     single task owns it.
 
     ``hot_keys`` — explicit list of key tuples, or None to detect: sample
-    ``sample_fraction`` of the left side, flag keys whose sampled count
-    exceeds ``hot_multiple`` x the mean sampled key count (capped at
-    ``max_hot_keys`` heaviest). Null keys are never hot (they can't match;
-    outer nulls ride the cold join).
+    ``sample_fraction`` of BOTH sides, flag keys whose sampled count
+    exceeds ``hot_multiple`` x that side's mean sampled key count (capped
+    at ``max_hot_keys`` heaviest). Null keys are never hot (they can't
+    match; outer nulls ride the cold join). EAGERNESS: auto-detection runs
+    two small sample-aggregation jobs at call time (pass ``hot_keys``
+    explicitly for a fully lazy plan).
     """
     keys = list(on)
     valid = {

@@ -82,6 +82,8 @@ GROUPS["string"] = [
      "https://e.com/?t=He%20said"),
     ("$string(1/3)", None, "0.3333333333333333"),
     ("$string(10e100)", None, "1e+101"),
+    ("$string(1e-7)", None, "1e-7"),
+    ("$split('a b c', ' ', 0)", None, []),
 ]
 
 GROUPS["numeric"] = [
@@ -128,6 +130,11 @@ GROUPS["numeric"] = [
     ("10.5 + 0.5", None, 11),
     ("5 % 2", None, 1),
     ("-5 % 2", None, -1),
+    ("$round(-1.5)", None, -2),
+    ("$formatNumber(1234.5678, '#,##0.00')", None, "1,234.57"),
+    ("$formatBase(-100, 2)", None, "-1100100"),
+    ("$parseInteger('one hundred and twenty-three', 'w')", None, 123),
+    ("-a", {"a": 5}, -5),
 ]
 
 GROUPS["boolean"] = [
@@ -196,6 +203,9 @@ GROUPS["array"] = [
     ("[1,2,3][-1]", None, 3),
     ("[1,2,3][3]", None, UNDEFINED),
     ("[1,2,3][1.5]", None, 2),  # index truncates toward floor
+    ("$append([], [])", None, UNDEFINED),  # empty result sequence
+    ("$zip([1], [])", None, []),
+    ("$distinct([{'a':1},{'a':2},{'a':1}])", None, [{"a": 1}, {"a": 2}]),
 ]
 
 GROUPS["object"] = [
@@ -223,6 +233,9 @@ GROUPS["object"] = [
     ("{'a': 1}.a", None, 1),
     ("{'a': {'b': 2}}.a.b", None, 2),
     ("{'x': 1, 'y': 2}.*", None, [1, 2]),
+    ("$keys({})", None, UNDEFINED),  # empty sequence, not []
+    ("$merge([])", None, {}),
+    ("$lookup({'a': null}, 'a')", None, None),  # null value, not missing
 ]
 
 GROUPS["hof"] = [
@@ -251,6 +264,10 @@ GROUPS["hof"] = [
     ("[1,2,3] ~> $filter(function($v){$v != 2}) ~> $map(function($v){$v*10})",
      None, [10, 30]),
     ("('hello' ~> $substringAfter('h') ~> $uppercase)", None, "ELLO"),
+    ("$filter([1], function($v){ false })", None, UNDEFINED),
+    ("$reduce([], function($a,$b){ $a })", None, UNDEFINED),
+    ("$map({'a':1}, function($v){ $v.a })", None, 1),  # object as singleton
+    ("$map([1,2,3], $string)", None, ["1", "2", "3"]),
 ]
 
 GROUPS["dates"] = [
@@ -276,6 +293,7 @@ GROUPS["dates"] = [
     ("$fromMillis(1510067557121, '[f001]')", None, "121"),
     ("$fromMillis(0, '[h]:[m01] [P]')", None, "12:00 am"),
     ("$toMillis('13:45', '[H01]:[m01]')", None, 49500000),
+    ("$toMillis('2009-02-13T23:31:30.123Z')", None, 1234567890123),
 ]
 
 GROUPS["paths"] = [
@@ -331,11 +349,20 @@ GROUPS["operators"] = [
     ("'x' in 'x'", None, True),
     # variable holding a path result then indexed
     ("($r := a; $r[1])", {"a": [7, 8, 9]}, 8),
+    ("'x' & nope", {}, "x"),  # undefined stringifies to '' in concat
+    ("$[0]", [1, 2, 3], 1),  # top-level array input
+    ("a[b = $$.t].b", {"t": 2, "a": [{"b": 1}, {"b": 2}]}, 2),
+    ("*", {"a": [1, 2], "b": 3}, [1, 2, 3]),  # wildcard flattens arrays
+    ("a[active].v", {"a": [{"active": True, "v": 1}, {"active": False, "v": 2}]}, 1),
     # function chaining binds tighter than ?:
     ("true ? [1,2] ~> $count : 0", None, 2),
 ]
 
 GROUPS["errors"] = [
+    "$sqrt(-1)",
+    "1/0",
+    "$sort([1,'a'])",
+    "$uppercase(5)",
     "1 +",
     "[1,2",
     "{'a': }",
