@@ -1,3 +1,8 @@
-from kafka_connect_jsonata_spark.functions import dedup, similarity, text
+from kafka_connect_jsonata_spark.functions import (
+    dedup,
+    filtering,
+    similarity,
+    text,
+)
 
-__all__ = ["dedup", "similarity", "text"]
+__all__ = ["dedup", "filtering", "similarity", "text"]

@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
 
 from kafka_connect_jsonata_spark.functions.similarity import cosine
 from kafka_connect_jsonata_spark.functions.text import fingerprint, tokens
@@ -755,4 +756,138 @@ def embedding_dup_pairs_lsh(
         pairs.select("id_a", "id_b", F.round(sim, 4).alias("cosine_sim"), sim.alias("__raw"))
         .filter(F.col("__raw") >= threshold)
         .drop("__raw")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-substring removal (suffix-array dedup, window-marking form)
+# ---------------------------------------------------------------------------
+
+def duplicate_span_removal(
+    df: DataFrame,
+    window: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide EXACT duplicated-substring removal at character
+    granularity — the "Deduplicating Training Data Makes Language Models
+    Better" (Lee et al. 2021) operator, re-expressed relationally instead
+    of with a monolithic suffix array.
+
+    Semantics: every character covered by a length-``window`` substring
+    that occurs >= 2 times anywhere in the corpus is removed, EXCEPT the
+    globally first occurrence of each such substring (ordered by (doc, pos)
+    — one copy of every piece of content survives, exactly the
+    all-but-one-cut of the suffix-array method at window granularity).
+    Marked positions are merged into maximal spans (overlap or adjacency)
+    and cut; the survivors are concatenated in order.
+
+    A substring of length >= window that is duplicated is covered by
+    duplicated length-``window`` windows, so marking windows is equivalent
+    to marking all duplicated substrings of length >= window.
+
+    Returns (id, text_clean, n_spans, chars_removed) — one row per input
+    doc, untouched docs pass through with n_spans = 0.
+
+    Scale shape (the whole point vs a suffix array, which needs the corpus
+    on one machine or a bespoke distributed SA build):
+    - window start positions explode to (id, pos, xxhash64(gram)) — ~20
+      bytes per character position. The count-duplicates shuffle on the
+      hash is the inherent O(total_chars) cost of exact substring dedup;
+      gram STRINGS never enter this shuffle (50x smaller rows).
+    - only candidate positions (hash count >= 2 — the duplicated sliver)
+      rejoin the docs table by id to re-extract their gram and verify on
+      the true string, making the operator exact under hash collisions;
+      the expensive per-gram window runs on candidates only.
+    - span merge + text reassembly are one keyed shuffle by doc id; the
+      reassembly fold (aggregate over sorted spans) is pure JVM Column
+      code, no Python.
+    """
+    L = int(window)
+    if L < 2:
+        raise ValueError("window must be >= 2")
+    _id, _t = F.col(id_col), F.col(text_col)
+    n_win = F.greatest(F.length(_t) - F.lit(L - 1), F.lit(0))
+    starts = F.when(n_win >= 1, F.sequence(F.lit(1), n_win)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    # (id, pos, hash) — the only columns that enter the big count shuffle
+    pos_h = (
+        df.select(_id.alias("__id"), _t.alias("__t"), F.explode(starts).alias("pos"))
+        .select(
+            "__id",
+            "pos",
+            F.xxhash64(F.col("__t").substr(F.col("pos"), F.lit(L))).alias("h"),
+        )
+    )
+    cand_h = pos_h.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1)
+    cand = pos_h.join(cand_h.select("h"), "h")
+
+    # exact verify: re-extract the gram for candidates only, then rank the
+    # true-string occurrence order
+    texts = df.select(_id.alias("__id"), _t.alias("__t"))
+    grams = cand.join(texts, "__id").select(
+        "__id", "pos", F.col("__t").substr(F.col("pos"), F.lit(L)).alias("g")
+    )
+    wg = Window.partitionBy("g")
+    occ = grams.select(
+        "__id",
+        "pos",
+        F.count(F.lit(1)).over(wg).alias("n_occ"),
+        F.row_number()
+        .over(wg.orderBy(F.col("__id").asc(), F.col("pos").asc()))
+        .alias("rn"),
+    )
+    marked = occ.filter((F.col("n_occ") > 1) & (F.col("rn") > 1)).select("__id", "pos")
+
+    # merge marked windows into maximal spans (overlapping or adjacent)
+    wd = Window.partitionBy("__id").orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(wd).isNull() | (F.col("pos") > F.lag("pos").over(wd) + L),
+        1,
+    ).otherwise(0)
+    islands = marked.select(
+        "__id",
+        "pos",
+        F.sum(brk).over(wd.rowsBetween(Window.unboundedPreceding, 0)).alias("isl"),
+    )
+    spans = islands.groupBy("__id", "isl").agg(
+        F.min("pos").alias("s"), (F.max("pos") + F.lit(L - 1)).alias("e")
+    )
+    per_doc = spans.groupBy("__id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("spans")
+    )
+
+    out = df.join(per_doc, df[id_col] == per_doc["__id"], "left")
+    sp = F.coalesce(
+        F.col("spans"), F.array().cast("array<struct<s:int,e:int>>")
+    )
+    acc0 = F.struct(F.lit(0).alias("last"), F.lit("").alias("acc"))
+    folded = F.aggregate(
+        sp,
+        acc0,
+        lambda a, x: F.struct(
+            x.getField("e").alias("last"),
+            F.concat(
+                a.getField("acc"),
+                _t.substr(
+                    a.getField("last") + 1,
+                    x.getField("s") - a.getField("last") - 1,
+                ),
+            ).alias("acc"),
+        ),
+    )
+    clean = F.concat(
+        folded.getField("acc"),
+        _t.substr(folded.getField("last") + 1, F.length(_t)),
+    )
+    removed = F.aggregate(
+        sp, F.lit(0), lambda a, x: a + x.getField("e") - x.getField("s") + 1
+    )
+    return out.select(
+        _id,
+        clean.alias("text_clean"),
+        F.size(sp).cast("long").alias("n_spans"),
+        removed.cast("long").alias("chars_removed"),
     )

@@ -28,6 +28,7 @@ from pyspark.sql.window import Window
 from kafka_connect_jsonata_spark.functions import (
     curation,
     dedup,
+    filtering,
     multimodal,
     similarity,
     text,
@@ -2122,6 +2123,102 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# C43: Bloom-filter semi-join
+# ---------------------------------------------------------------------------
+
+def bloom_semi_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C43 Bloom semi-join gate: lineitems of URGENT orders through a
+    fixed-size Bloom prefilter + exact verify join
+    (functions/filtering.py). The Bloom stage may only pass a superset, so
+    the result is row-equal to the plain IN-subquery semi-join the oracle
+    runs — what the gate checks is exactness THROUGH the prefilter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    joined = filtering.bloom_semi_join(
+        li, urgent, "l_orderkey", "o_orderkey", num_bits=1 << 20
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+BLOOM_SEMI_SQL = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# C44: exact duplicated-substring removal (suffix-array dedup semantics)
+# ---------------------------------------------------------------------------
+
+def dup_span_removal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C44 gate: corpus-wide exact duplicated-substring removal (Lee et al.
+    2021 semantics at 40-char window granularity) — all-but-first
+    occurrences of duplicated windows merged into maximal spans and cut
+    (functions/dedup.py:duplicate_span_removal). Output aggregated per doc
+    is the full cleaned text, so the hash pins every surviving character."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicate_span_removal(docs, window=40)
+
+
+DUP_SPAN_SQL = r"""
+WITH g AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, substr(text, CAST(i AS INT), 40) AS gram
+  FROM documents, UNNEST(range(1, CAST(greatest(length(text) - 38, 1) AS BIGINT))) t(i)
+),
+occ AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY gram) AS c
+  FROM g),
+m AS (SELECT doc_id, pos FROM occ WHERE c > 1 AND rn > 1),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 40
+              THEN 1 ELSE 0 END AS brk
+  FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl),
+spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) + 39 AS e
+  FROM isl2 GROUP BY doc_id, island),
+kept AS (
+  SELECT doc_id, s, e,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS ks,
+         s - coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) - 1 AS klen
+  FROM spans),
+agg AS (
+  SELECT k.doc_id,
+         string_agg(substr(d.text, CAST(k.ks AS INT), CAST(k.klen AS INT)),
+                    '' ORDER BY k.s) AS head,
+         max(k.e) AS last_e,
+         count(*) AS n_spans,
+         sum(k.e - k.s + 1) AS removed
+  FROM kept k JOIN documents d USING (doc_id) GROUP BY k.doc_id)
+SELECT d.doc_id,
+       CASE WHEN a.doc_id IS NULL THEN d.text
+            ELSE coalesce(a.head, '') || substr(d.text, CAST(a.last_e + 1 AS INT))
+       END AS text_clean,
+       CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(a.removed, 0) AS BIGINT) AS chars_removed
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2218,6 +2315,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_join_parts": interval_join_parts,
     "asof_forward_events_orders": asof_forward_events_orders,
     "shuffle_positions_docs": shuffle_positions_docs,
+    "bloom_semi_join_lineitem": bloom_semi_join_lineitem,
+    "dup_span_removal_docs": dup_span_removal_docs,
     # -- rows-only (driver-side eigh / iterative / rng payloads) --
     "multimodal_image_stats": multimodal_image_stats,
     "multimodal_audio_features": multimodal_audio_features,
@@ -2269,6 +2368,8 @@ ORACLES: dict[str, str] = {
     "interval_join_parts": RANGE_JOIN_SQL,
     "asof_forward_events_orders": ASOF_FORWARD_SQL,
     "shuffle_positions_docs": SHUFFLE_POSITIONS_SQL,
+    "bloom_semi_join_lineitem": BLOOM_SEMI_SQL,
+    "dup_span_removal_docs": DUP_SPAN_SQL,
     "envelope_reroute": ENVELOPE_REROUTE_SQL,
     "jsonata_object_ops": JSONATA_OBJECT_OPS_SQL,
     "udtf_explode_tokens": UDTF_EXPLODE_SQL,
