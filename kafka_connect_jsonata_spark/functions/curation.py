@@ -716,3 +716,91 @@ def _centroid_df(spark: SparkSession, cents: list[list[float]], vec_col: str) ->
     return spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)], schema
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-rules quality filter (Rae et al. 2021, "Scaling Language Models")
+# ---------------------------------------------------------------------------
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_avg_word_len: float = 3.0,
+    max_avg_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    stopwords: tuple[str, ...] = None,
+) -> DataFrame:
+    """The Gopher rule-based document quality filter: the published
+    heuristic battery (word-count bounds, mean word length bounds,
+    symbol-to-word ratio, bullet-/ellipsis-line fractions, alphabetic-word
+    fraction, stopword floor) as one pure-Column projection — per-doc
+    signals plus the conjunctive ``keep`` verdict.
+
+    Scale shape: zero shuffle — every signal is a JVM codegen expression
+    over the doc's own text (token/line arrays never leave the row), so
+    the filter runs at scan speed and pushes down behind any downstream
+    operator. Ratios divide exact int64 counts, so any engine reproduces
+    the doubles bit-for-bit (the oracle recomputes them in SQL).
+    """
+    from kafka_connect_jsonata_spark.functions.text import STOPWORDS_EN
+
+    if stopwords is None:
+        stopwords = STOPWORDS_EN
+    _t = F.col(text_col)
+    w = tokens(_t)
+    nw = F.size(w)
+    nwd = nw.cast("double")
+    sum_len = F.aggregate(F.transform(w, F.length), F.lit(0), lambda a, x: a + x)
+    n_hash = F.length(_t) - F.length(F.replace(_t, F.lit("#"), F.lit("")))
+    n_ell = (F.length(_t) - F.length(F.replace(_t, F.lit("..."), F.lit("")))) / 3
+    lines = F.split(_t, "\n")
+    nl = F.size(lines).cast("double")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda x: x.startswith("- ") | x.startswith("* ") | x.startswith("•"),
+        )
+    )
+    n_ell_end = F.size(F.filter(lines, lambda x: x.endswith("...")))
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]")))
+    stops = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stops, F.lower(x))))
+
+    empty = nw == 0
+    avg_len = F.when(empty, F.lit(0.0)).otherwise(sum_len.cast("double") / nwd)
+    sym_ratio = F.when(empty, F.lit(0.0)).otherwise(
+        (n_hash + n_ell).cast("double") / nwd
+    )
+    bullet_frac = n_bullet.cast("double") / nl
+    ell_frac = n_ell_end.cast("double") / nl
+    alpha_frac = F.when(empty, F.lit(0.0)).otherwise(n_alpha.cast("double") / nwd)
+
+    keep = (
+        (nw >= min_words)
+        & (nw <= max_words)
+        & (avg_len >= min_avg_word_len)
+        & (avg_len <= max_avg_word_len)
+        & (sym_ratio <= max_symbol_ratio)
+        & (bullet_frac <= max_bullet_frac)
+        & (ell_frac <= max_ellipsis_frac)
+        & (alpha_frac >= min_alpha_frac)
+        & (n_stop >= min_stop_hits)
+    )
+    return df.select(
+        F.col(id_col),
+        nw.alias("n_words"),
+        F.round(avg_len, 6).alias("avg_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        F.round(ell_frac, 6).alias("ellipsis_frac"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        n_stop.alias("stop_hits"),
+        keep.alias("keep"),
+    )

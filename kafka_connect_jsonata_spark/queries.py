@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kafka_connect_jsonata_spark.functions import (
+    classifier,
     curation,
     dedup,
     filtering,
@@ -2219,6 +2220,118 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# C45: hashed-feature quality classifier
+# ---------------------------------------------------------------------------
+
+def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C45 gate: model-based quality filter — logistic margin over hashed
+    bag-of-words features (functions/classifier.py) with the deterministic
+    seeded weight vector. Weights are integer-quantized so the margin sum
+    is order-free int64 arithmetic; the oracle recomputes the identical
+    md5-bucket + LCG-weight formula in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return classifier.score_documents(docs)
+
+
+QUALITY_CLASSIFIER_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents),
+b AS (
+  SELECT doc_id,
+         (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 256
+       + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) AS j
+  FROM toks),
+m AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum((j * 1103515245 + 12345) % 100001 - 50000) AS mi
+  FROM b GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(m.n_tokens, 0) AS INT) AS n_tokens,
+       CAST(coalesce(m.mi, 0) AS DOUBLE) / 100000 AS margin,
+       coalesce(m.mi, 0) > 0 AS keep
+FROM documents d LEFT JOIN m USING (doc_id)
+"""
+
+
+def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C45 training half (rows-only: iterative optimization, no SQL
+    analog): 3 full-batch GD iterations on a text-derived label, returning
+    the nonzero learned weights. The distributed trajectory is pinned
+    against a local numpy reference in tests/test_classifier.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    label = F.col("text").contains("the")
+    w = classifier.train_logreg(docs, label, iters=3)
+    nz = [(int(j), float(w[j])) for j in np.nonzero(w)[0]]
+    return spark.createDataFrame(nz or [(0, 0.0)], "bucket int, weight double")
+
+
+# ---------------------------------------------------------------------------
+# C46: Gopher-rules quality filter
+# ---------------------------------------------------------------------------
+
+def gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C46 gate: the Gopher heuristic quality battery (word-count bounds,
+    mean word length, symbol ratio, bullet/ellipsis line fractions,
+    alphabetic fraction, stopword floor) as one zero-shuffle projection
+    (functions/curation.py:gopher_quality). All ratios divide exact int
+    counts, so values hash-match the SQL recomputation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.gopher_quality(docs)
+
+
+GOPHER_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS w,
+         string_split(text, chr(10)) AS lines
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         len(w) AS nw,
+         CASE WHEN len(w) = 0 THEN 0
+              ELSE list_reduce(list_transform(w, x -> length(x)),
+                               (a, b) -> a + b) END AS sum_len,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell,
+         len(lines) AS nl,
+         len(list_filter(lines, x -> starts_with(x, '- ')
+                                  OR starts_with(x, '* ')
+                                  OR starts_with(x, '•'))) AS n_bullet,
+         len(list_filter(lines, x -> x LIKE '%...')) AS n_ell_end,
+         len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+         len(list_filter(w, x -> list_contains(
+             ['the','and','of','to','a','in','is','that','for','it'],
+             lower(x)))) AS n_stop
+  FROM t)
+SELECT doc_id,
+       CAST(nw AS INT) AS n_words,
+       round(CASE WHEN nw = 0 THEN 0.0 ELSE CAST(sum_len AS DOUBLE) / nw END, 6)
+         AS avg_word_len,
+       round(CASE WHEN nw = 0 THEN 0.0 ELSE (n_hash + n_ell) / nw END, 6)
+         AS symbol_ratio,
+       round(CAST(n_bullet AS DOUBLE) / nl, 6) AS bullet_frac,
+       round(CAST(n_ell_end AS DOUBLE) / nl, 6) AS ellipsis_frac,
+       round(CASE WHEN nw = 0 THEN 0.0 ELSE CAST(n_alpha AS DOUBLE) / nw END, 6)
+         AS alpha_frac,
+       CAST(n_stop AS INT) AS stop_hits,
+       (nw >= 50 AND nw <= 100000
+        AND (CASE WHEN nw = 0 THEN 0.0 ELSE CAST(sum_len AS DOUBLE) / nw END)
+             BETWEEN 3.0 AND 10.0
+        AND (CASE WHEN nw = 0 THEN 0.0 ELSE (n_hash + n_ell) / nw END) <= 0.1
+        AND CAST(n_bullet AS DOUBLE) / nl <= 0.9
+        AND CAST(n_ell_end AS DOUBLE) / nl <= 0.3
+        AND (CASE WHEN nw = 0 THEN 0.0 ELSE CAST(n_alpha AS DOUBLE) / nw END) >= 0.8
+        AND n_stop >= 2) AS keep
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2317,7 +2430,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shuffle_positions_docs": shuffle_positions_docs,
     "bloom_semi_join_lineitem": bloom_semi_join_lineitem,
     "dup_span_removal_docs": dup_span_removal_docs,
+    "quality_classifier_docs": quality_classifier_docs,
+    "gopher_quality_docs": gopher_quality_docs,
     # -- rows-only (driver-side eigh / iterative / rng payloads) --
+    "quality_classifier_train": quality_classifier_train,
     "multimodal_image_stats": multimodal_image_stats,
     "multimodal_audio_features": multimodal_audio_features,
     "pca_project_embeddings": pca_project_embeddings,
@@ -2370,6 +2486,8 @@ ORACLES: dict[str, str] = {
     "shuffle_positions_docs": SHUFFLE_POSITIONS_SQL,
     "bloom_semi_join_lineitem": BLOOM_SEMI_SQL,
     "dup_span_removal_docs": DUP_SPAN_SQL,
+    "quality_classifier_docs": QUALITY_CLASSIFIER_SQL,
+    "gopher_quality_docs": GOPHER_SQL,
     "envelope_reroute": ENVELOPE_REROUTE_SQL,
     "jsonata_object_ops": JSONATA_OBJECT_OPS_SQL,
     "udtf_explode_tokens": UDTF_EXPLODE_SQL,

@@ -261,3 +261,37 @@ def test_kmeans_lloyd_matches_numpy_reference_exactly(spark):
     for i in range(len(x)):
         assert got[i][0] == int(want_assign[i]), i
         assert got[i][1] == pytest.approx(float(want_dist[i]), abs=1e-4), i
+
+
+def test_gopher_quality_signals_and_keep(spark):
+    from kafka_connect_jsonata_spark.functions.curation import gopher_quality
+
+    good = "the quick brown fox jumps over the lazy dog and it " * 6  # 66 words
+    rows = [
+        (1, good),
+        (2, "short doc"),  # fails min_words
+        (3, "- one\n- two\n- three"),  # all bullet lines
+        (4, "trailing...\nalso trailing...\nzz"),  # ellipsis-ended lines
+        (5, "#### " + good),  # symbols, diluted below threshold by length
+        (6, ""),  # empty
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in gopher_quality(df).collect()}
+
+    assert got[1]["keep"] is True
+    assert got[1]["n_words"] == 66
+    assert got[2]["keep"] is False and got[2]["n_words"] == 2
+    assert got[3]["bullet_frac"] == 1.0 and got[3]["keep"] is False
+    assert got[4]["ellipsis_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert got[5]["symbol_ratio"] > 0
+    assert got[6]["n_words"] == 0 and got[6]["keep"] is False
+
+
+def test_gopher_quality_stopword_floor(spark):
+    from kafka_connect_jsonata_spark.functions.curation import gopher_quality
+
+    # 60 words, none of them stopwords -> stop_hits 0 -> rejected
+    no_stops = "alpha beta gamma delta epsilon zeta " * 10
+    df = spark.createDataFrame([(1, no_stops)], ["doc_id", "text"])
+    row = gopher_quality(df).collect()[0]
+    assert row["stop_hits"] == 0 and row["keep"] is False
