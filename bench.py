@@ -88,6 +88,10 @@ HEADLINE = [
     "interval_join_parts",
     "asof_forward_events_orders",
     "shuffle_positions_docs",
+    "bloom_semi_join_lineitem",
+    "dup_span_removal_docs",
+    "quality_classifier_docs",
+    "gopher_quality_docs",
 ]
 
 
