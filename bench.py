@@ -92,6 +92,9 @@ HEADLINE = [
     "dup_span_removal_docs",
     "quality_classifier_docs",
     "gopher_quality_docs",
+    "quantile_filter_docs",
+    "temperature_mix_docs",
+    "curation_pipeline_docs",
 ]
 
 

@@ -804,3 +804,60 @@ def gopher_quality(
         n_stop.alias("stop_hits"),
         keep.alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-group quantile filtering (keep the top-q slice of each source)
+# ---------------------------------------------------------------------------
+
+def quantile_filter(
+    df: DataFrame,
+    score_col: str,
+    q: float,
+    group_col: str = None,
+    tiebreak_col: str = None,
+    exact: bool = True,
+    rel_err: float = 0.01,
+) -> DataFrame:
+    """Keep the rows whose score sits in the top ``(1-q)`` slice of their
+    group — the "train on the best X% per source" curation step (quality
+    classifiers and perplexity filters are applied this way, per-domain,
+    so one easy domain cannot crowd out the others).
+
+    ``exact=True``: rank-based — keep rows with ``percent_rank >= q`` over
+    (group, score asc, tiebreak asc). Deterministic given a total order
+    (pass ``tiebreak_col`` when scores tie); one keyed shuffle per group
+    window, SQL-reproducible (the oracle runs the identical window).
+
+    ``exact=False``: threshold-based — one ``approx_percentile`` pass
+    computes the per-group quantile value (t-digest, bounded state, no
+    full sort), then a map-side filter keeps ``score >= threshold``. The
+    100 TB path: two linear scans, no per-group total order; boundary rows
+    within ``rel_err`` of the cut may differ from the exact slice, which
+    is why it is the non-gated variant.
+    """
+    if not 0.0 <= q < 1.0:
+        raise ValueError("q must be in [0, 1)")
+    order = [F.col(score_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    if exact:
+        w = (
+            Window.partitionBy(group_col).orderBy(*order)
+            if group_col is not None
+            else Window.partitionBy().orderBy(*order)
+        )
+        ranked = df.withColumn("__pr", F.percent_rank().over(w))
+        return ranked.filter(F.col("__pr") >= q).drop("__pr")
+    agg = F.expr(
+        f"approx_percentile({score_col}, {q}, {max(int(1.0 / rel_err), 100)})"
+    ).alias("__thr")
+    if group_col is not None:
+        thr = df.groupBy(group_col).agg(agg)
+        return df.join(F.broadcast(thr), group_col).filter(
+            F.col(score_col) >= F.col("__thr")
+        ).drop("__thr")
+    thr = df.agg(agg)
+    return df.join(F.broadcast(thr)).filter(
+        F.col(score_col) >= F.col("__thr")
+    ).drop("__thr")

@@ -180,3 +180,59 @@ def deterministic_shuffle(
         .withColumn("shuffle_pos", F.count("*").over(w) - 1 + F.col("__off"))
         .drop("__b", "__h", "__off")
     )
+
+
+def temperature_mix_rates(
+    df: DataFrame,
+    group_col: str,
+    target_total: float,
+    alpha: float = 0.5,
+) -> dict[str, float]:
+    """Per-group keep rates for temperature-flattened corpus mixing:
+    p_g ∝ n_g^alpha (alpha < 1 upweights small sources — the multilingual
+    / multi-domain resampling rule), scaled so the expected kept total is
+    ``target_total`` and clamped at 1.
+
+    Driver state is one row per group (sources are bounded by
+    construction, like the k-means centroid pull). Float discipline for
+    oracle parity: the weight sum folds left-to-right over groups sorted
+    by name (the same explicit-fold rule every float oracle in this repo
+    follows), and alpha=0.5 uses sqrt (IEEE-exact everywhere) rather than
+    pow.
+    """
+    counts = {
+        r[0]: int(r[1])
+        for r in df.groupBy(group_col).agg(F.count(F.lit(1))).collect()
+    }
+    if not counts:
+        raise ValueError("no groups to mix")
+    names = sorted(counts)
+    if alpha == 0.5:
+        import math
+
+        weights = {g: math.sqrt(float(counts[g])) for g in names}
+    else:
+        weights = {g: float(counts[g]) ** alpha for g in names}
+    s = 0.0
+    for g in names:  # deterministic left-to-right fold
+        s += weights[g]
+    return {
+        g: min(1.0, weights[g] / s * float(target_total) / counts[g])
+        for g in names
+    }
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    target_total: float,
+    alpha: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-resampled corpus: ``mixture_sample`` driven by
+    ``temperature_mix_rates`` instead of hand-picked rates — one bounded
+    count aggregation, then the same zero-shuffle deterministic
+    md5-position filter."""
+    rates = temperature_mix_rates(df, group_col, target_total, alpha)
+    return mixture_sample(df, id_col, group_col, rates, salt)

@@ -2332,6 +2332,139 @@ FROM s
 
 
 # ---------------------------------------------------------------------------
+# C47: per-group quantile filter / C48: temperature-resampled mixing
+# ---------------------------------------------------------------------------
+
+def quantile_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C47 gate: keep the top 25% of docs per source by length (the
+    per-domain "train on the best X%" selection,
+    functions/curation.py:quantile_filter exact tier). percent_rank is an
+    exact int ratio, so the kept set is engine-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = curation.quantile_filter(
+        docs, score_col="n_chars", q=0.75, group_col="source", tiebreak_col="doc_id"
+    )
+    return out.select("doc_id", "source", "n_chars")
+
+
+QUANTILE_FILTER_SQL = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         percent_rank() OVER (PARTITION BY source
+                              ORDER BY n_chars ASC, doc_id ASC) AS pr
+  FROM documents) t
+WHERE pr >= 0.75
+"""
+
+
+def temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C48 gate: temperature-flattened mixture sampling — per-group keep
+    rates p_g ∝ sqrt(n_g) scaled to an expected total of 250 docs, applied
+    through the deterministic md5-position filter
+    (operators/sampling.py:temperature_mix_sample). The oracle recomputes
+    the rates in SQL with the identical left-to-right weight fold and the
+    identical hex-threshold predicate, so kept counts match exactly."""
+    from kafka_connect_jsonata_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = sampling.temperature_mix_rates(docs, "lang", target_total=250, alpha=0.5)
+    sampled = sampling.mixture_sample(docs, "doc_id", "lang", rates, salt="mix")
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept = sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+    rate_df = spark.createDataFrame(
+        [(g, float(r)) for g, r in sorted(rates.items())], "lang string, rate double"
+    )
+    return (
+        totals.join(kept, "lang", "left")
+        .join(rate_df, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            F.round("rate", 9).alias("rate"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
+TEMPERATURE_MIX_SQL = """
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+s AS (SELECT list_reduce(list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang),
+                         (a, b) -> a + b) AS sw FROM c),
+r AS (SELECT lang, n,
+             least(1.0, sqrt(CAST(n AS DOUBLE)) / s.sw * 250.0 / n) AS rate
+      FROM c CROSS JOIN s),
+k AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+      FROM documents d JOIN r USING (lang)
+      WHERE CASE WHEN r.rate >= 1.0 THEN TRUE
+                 ELSE md5(CAST(d.doc_id AS VARCHAR) || 'mix')
+                      < lpad(lower(to_hex(CAST(trunc(r.rate * 4294967296.0) AS BIGINT))),
+                             8, '0') || repeat('0', 24) END
+      GROUP BY d.lang)
+SELECT r.lang, r.n AS n_docs, round(r.rate, 9) AS rate,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM r LEFT JOIN k USING (lang)
+"""
+
+
+# ---------------------------------------------------------------------------
+# C49: end-to-end curation pipeline (operators composed, still exact)
+# ---------------------------------------------------------------------------
+
+def curation_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C49 gate: the whole curation chain composed lazily into ONE Spark
+    plan — Gopher rule filter -> classifier margin filter -> exact
+    keep-first dedup -> deterministic 50% hash sample -> per-lang rollup —
+    and still value-exact against the same chain in SQL. Margin sums stay
+    integer (the classifier's quantized weights), so no float ordering
+    leaks into the hash."""
+    from kafka_connect_jsonata_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = curation.gopher_quality(docs).select("doc_id", F.col("keep").alias("g_keep"))
+    s = classifier.score_documents(docs).select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("margin") * 100000).cast("long").alias("mi"),
+    )
+    base = (
+        docs.join(g, "doc_id")
+        .join(s, "doc_id")
+        .filter(F.col("g_keep") & (F.col("mi") > 0))
+    )
+    w = Window.partitionBy("text").orderBy("doc_id")
+    ded = base.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    samp = hash_sample(ded, "doc_id", 0.5, salt="pipe")
+    return samp.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.sum("mi").alias("sum_margin_int"),
+    )
+
+
+CURATION_PIPELINE_SQL = f"""
+WITH g AS ({GOPHER_SQL}),
+q AS ({QUALITY_CLASSIFIER_SQL}),
+base AS (
+  SELECT d.doc_id, d.text, d.lang, q.n_tokens,
+         CAST(round(q.margin * 100000) AS BIGINT) AS mi
+  FROM documents d JOIN g USING (doc_id) JOIN q USING (doc_id)
+  WHERE g.keep AND q.margin > 0),
+ded AS (
+  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM base),
+samp AS (
+  SELECT * FROM ded
+  WHERE rn = 1
+    AND md5(CAST(doc_id AS VARCHAR) || 'pipe') < '80000000' || repeat('0', 24))
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(sum(mi) AS BIGINT) AS sum_margin_int
+FROM samp GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2432,6 +2565,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_span_removal_docs": dup_span_removal_docs,
     "quality_classifier_docs": quality_classifier_docs,
     "gopher_quality_docs": gopher_quality_docs,
+    "quantile_filter_docs": quantile_filter_docs,
+    "temperature_mix_docs": temperature_mix_docs,
+    "curation_pipeline_docs": curation_pipeline_docs,
     # -- rows-only (driver-side eigh / iterative / rng payloads) --
     "quality_classifier_train": quality_classifier_train,
     "multimodal_image_stats": multimodal_image_stats,
@@ -2488,6 +2624,9 @@ ORACLES: dict[str, str] = {
     "dup_span_removal_docs": DUP_SPAN_SQL,
     "quality_classifier_docs": QUALITY_CLASSIFIER_SQL,
     "gopher_quality_docs": GOPHER_SQL,
+    "quantile_filter_docs": QUANTILE_FILTER_SQL,
+    "temperature_mix_docs": TEMPERATURE_MIX_SQL,
+    "curation_pipeline_docs": CURATION_PIPELINE_SQL,
     "envelope_reroute": ENVELOPE_REROUTE_SQL,
     "jsonata_object_ops": JSONATA_OBJECT_OPS_SQL,
     "udtf_explode_tokens": UDTF_EXPLODE_SQL,

@@ -1,0 +1,89 @@
+"""Per-group quantile filtering and temperature-resampled mixing
+(SURVEY §2C C47/C48)."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from kafka_connect_jsonata_spark.functions import curation
+from kafka_connect_jsonata_spark.operators import sampling
+
+
+def _docs(spark):
+    rows = []
+    for i in range(100):
+        src = "big" if i < 80 else "small"
+        rows.append((i, src, i))  # score == doc_id, strictly ordered
+    return spark.createDataFrame(rows, ["doc_id", "source", "score"])
+
+
+def test_quantile_filter_exact_keeps_top_slice_per_group(spark):
+    df = _docs(spark)
+    out = curation.quantile_filter(
+        df, score_col="score", q=0.75, group_col="source", tiebreak_col="doc_id"
+    )
+    got = {r["source"]: sorted(r["ids"]) for r in
+           out.groupBy("source").agg(F.collect_list("doc_id").alias("ids")).collect()}
+    # big: 80 rows, percent_rank >= .75 -> ranks 60..79 -> ids 60..79 (21 rows:
+    # percent_rank = (rn-1)/79 >= .75 -> rn >= 60.25 -> rn in 61..80 -> 20 rows)
+    assert got["big"] == list(range(60, 80))
+    assert got["small"] == list(range(95, 100))
+
+
+def test_quantile_filter_exact_vs_approx_agree_away_from_boundary(spark):
+    df = _docs(spark)
+    exact = curation.quantile_filter(
+        df, "score", 0.5, group_col="source", tiebreak_col="doc_id"
+    )
+    approx = curation.quantile_filter(
+        df, "score", 0.5, group_col="source", exact=False, rel_err=0.001
+    )
+    e = {r["doc_id"] for r in exact.collect()}
+    a = {r["doc_id"] for r in approx.collect()}
+    # boundary may differ by construction; interiors must agree
+    assert len(e.symmetric_difference(a)) <= 4
+
+
+def test_quantile_filter_global_no_group(spark):
+    df = _docs(spark)
+    out = curation.quantile_filter(df, "score", 0.9, tiebreak_col="doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == list(range(90, 100))
+
+
+def test_quantile_filter_validates_q(spark):
+    df = _docs(spark)
+    with pytest.raises(ValueError):
+        curation.quantile_filter(df, "score", 1.0)
+
+
+def test_temperature_rates_flatten_toward_small_groups(spark):
+    df = _docs(spark)
+    rates = sampling.temperature_mix_rates(df, "source", target_total=50, alpha=0.5)
+    s = math.sqrt(80.0) + math.sqrt(20.0)
+    assert rates["big"] == pytest.approx(math.sqrt(80.0) / s * 50.0 / 80, abs=0)
+    assert rates["small"] == pytest.approx(math.sqrt(20.0) / s * 50.0 / 20, abs=0)
+    # alpha<1 keeps a larger fraction of the small source
+    assert rates["small"] > rates["big"]
+
+
+def test_temperature_rates_clamp_at_one(spark):
+    df = _docs(spark)
+    rates = sampling.temperature_mix_rates(df, "source", target_total=10_000)
+    assert rates == {"big": 1.0, "small": 1.0}
+
+
+def test_temperature_mix_sample_is_mixture_sample_with_those_rates(spark):
+    df = _docs(spark)
+    got = sampling.temperature_mix_sample(df, "doc_id", "source", target_total=50)
+    rates = sampling.temperature_mix_rates(df, "source", target_total=50)
+    want = sampling.mixture_sample(df, "doc_id", "source", rates)
+    assert {r["doc_id"] for r in got.collect()} == {r["doc_id"] for r in want.collect()}
+
+
+def test_temperature_rates_empty_raises(spark):
+    df = _docs(spark).filter(F.lit(False))
+    with pytest.raises(ValueError):
+        sampling.temperature_mix_rates(df, "source", target_total=10)
