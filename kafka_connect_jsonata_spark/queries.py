@@ -2465,6 +2465,23 @@ FROM samp GROUP BY lang
 
 
 # ---------------------------------------------------------------------------
+# C50: BPE tokenizer (rows-only: iterative merge recursion has no SQL analog)
+# ---------------------------------------------------------------------------
+
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C50 gate (rows-only): train 100 BPE merges from the corpus word
+    histogram (frequency floor 2 bounds driver state), then encode every
+    document with the closure-shipped merge table
+    (functions/bpe.py). Semantics pinned by tests/test_bpe.py including
+    the published worked example; deterministic across partitionings."""
+    from kafka_connect_jsonata_spark.functions import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(docs, num_merges=100, min_count=2)
+    return bpe.encode_documents(docs, merges).select("doc_id", "n_bpe_tokens")
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2570,6 +2587,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_pipeline_docs": curation_pipeline_docs,
     # -- rows-only (driver-side eigh / iterative / rng payloads) --
     "quality_classifier_train": quality_classifier_train,
+    "bpe_encode_docs": bpe_encode_docs,
     "multimodal_image_stats": multimodal_image_stats,
     "multimodal_audio_features": multimodal_audio_features,
     "pca_project_embeddings": pca_project_embeddings,
