@@ -2498,6 +2498,13 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # past the window in favor of first-party driver rows for the newest
 # operators (mixture/pack/picture/interpreter) plus the de-vacuated
 # dedup_exact_docs and the new unigram_floor_docs.
+# Round-5 second rotation: the seven C43-C49 additions (bloom semi-join,
+# duplicated-substring removal, hashed classifier, Gopher filter,
+# quantile filter, temperature mixing, composed pipeline) get in-window
+# rows; demoted to the builder sweep: seven siblings whose family stays
+# represented (lang_id_counts, cosine_topk_bruteforce,
+# stratified_sample_docs, jsonata_datetime_array_ops, simhash_docs,
+# unigram_floor_docs, pca_project_fixed).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- 1-31: relational / text / similarity / jsonata representatives --
     "q1_pricing_summary": q1_pricing_summary,
@@ -2511,13 +2518,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_events_orders": asof_join_events_orders,
     "dedup_exact_docs": dedup_exact_docs,
     "text_doc_stats": text_doc_stats,
-    "lang_id_counts": lang_id_counts,
-    "cosine_topk_bruteforce": cosine_topk_bruteforce,
+    "bloom_semi_join_lineitem": bloom_semi_join_lineitem,
+    "dup_span_removal_docs": dup_span_removal_docs,
     "ann_lsh_topk": ann_lsh_topk,
     "ngram_jaccard_dups": ngram_jaccard_dups,
     "dedup_group_ids": dedup_group_ids,
     "hash_sample_docs": hash_sample_docs,
-    "stratified_sample_docs": stratified_sample_docs,
+    "temperature_mix_docs": temperature_mix_docs,
     "mixture_sample_docs": mixture_sample_docs,
     "pack_token_budget_docs": pack_token_budget_docs,
     "safe_transform_dlq": safe_transform_dlq,
@@ -2527,7 +2534,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jsonata_object_ops": jsonata_object_ops,
     "udtf_explode_tokens": udtf_explode_tokens,
     "jsonata_flagship": jsonata_flagship,
-    "jsonata_datetime_array_ops": jsonata_datetime_array_ops,
+    "quality_classifier_docs": quality_classifier_docs,
     "jsonata_picture_format": jsonata_picture_format,
     "jsonata_interpreter": jsonata_interpreter,
     # -- streaming / sketch / multimodal / curation gates --
@@ -2536,7 +2543,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percentile_summary": percentile_summary,
     "approx_distinct_stats": approx_distinct_stats,
     "minhash_lsh_dups": minhash_lsh_dups,
-    "simhash_docs": simhash_docs,
+    "gopher_quality_docs": gopher_quality_docs,
     "embedding_dup_pairs": embedding_dup_pairs_q,
     "multimodal_byte_stats": multimodal_byte_stats,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -2548,10 +2555,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_covariance_stats": embedding_covariance_stats,
     "chunk_dedup_docs": chunk_dedup_docs,
     "unigram_logprob_docs": unigram_logprob_docs,
-    "unigram_floor_docs": unigram_floor_docs,
+    "curation_pipeline_docs": curation_pipeline_docs,
     "heavy_hitter_terms": heavy_hitter_terms,
-    "pca_project_fixed": pca_project_fixed,
+    "quantile_filter_docs": quantile_filter_docs,
     # -- past the gate window: oracle-registered siblings (builder sweep) --
+    "pca_project_fixed": pca_project_fixed,
+    "lang_id_counts": lang_id_counts,
+    "cosine_topk_bruteforce": cosine_topk_bruteforce,
+    "stratified_sample_docs": stratified_sample_docs,
+    "jsonata_datetime_array_ops": jsonata_datetime_array_ops,
+    "simhash_docs": simhash_docs,
+    "unigram_floor_docs": unigram_floor_docs,
     "q3_shipping_priority": q3_shipping_priority,
     "window_running_total": window_running_total,
     "cube_orders": cube_orders,
@@ -2578,13 +2592,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_join_parts": interval_join_parts,
     "asof_forward_events_orders": asof_forward_events_orders,
     "shuffle_positions_docs": shuffle_positions_docs,
-    "bloom_semi_join_lineitem": bloom_semi_join_lineitem,
-    "dup_span_removal_docs": dup_span_removal_docs,
-    "quality_classifier_docs": quality_classifier_docs,
-    "gopher_quality_docs": gopher_quality_docs,
-    "quantile_filter_docs": quantile_filter_docs,
-    "temperature_mix_docs": temperature_mix_docs,
-    "curation_pipeline_docs": curation_pipeline_docs,
     # -- rows-only (driver-side eigh / iterative / rng payloads) --
     "quality_classifier_train": quality_classifier_train,
     "bpe_encode_docs": bpe_encode_docs,

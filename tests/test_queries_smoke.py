@@ -28,6 +28,11 @@ ROWS_ONLY = {
     # embedding_covariance_stats)
     "pca_project_embeddings",
     "kmeans_clusters",
+    # iterative GD / BPE merge recursion: no SQL analog; numpy-reference
+    # parity and the published worked example pinned in
+    # tests/test_classifier.py and tests/test_bpe.py
+    "quality_classifier_train",
+    "bpe_encode_docs",
 }
 
 
