@@ -95,6 +95,9 @@ HEADLINE = [
     "quantile_filter_docs",
     "temperature_mix_docs",
     "curation_pipeline_docs",
+    "normalize_docs",
+    "compression_ratio_docs",
+    "bpe_encode_docs",
 ]
 
 

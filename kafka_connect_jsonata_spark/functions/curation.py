@@ -18,6 +18,7 @@ ingestion and tokenization. Design rules, same as the rest of
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -861,3 +862,50 @@ def quantile_filter(
     return df.join(F.broadcast(thr)).filter(
         F.col(score_col) >= F.col("__thr")
     ).drop("__thr")
+
+
+# ---------------------------------------------------------------------------
+# compression-ratio quality signal
+# ---------------------------------------------------------------------------
+
+def compression_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document deflate compression ratio (compressed/raw bytes) — the
+    cheap redundancy signal quality pipelines use alongside the rule
+    battery: boilerplate and template spam compress far below prose, rows
+    of random symbols barely compress at all (filter both tails).
+
+    Scale shape: stateless Arrow-batched row map, zero shuffle. The signal
+    is deterministic for a fixed zlib level but NOT SQL-expressible, so
+    its catalog gate is rows-only; value behavior (repetitive < prose <
+    high-entropy, exact parity with local zlib) is pinned in
+    tests/test_curation.py.
+
+    Returns (id, n_bytes, compression_ratio). Empty/null text -> ratio 1.0.
+    """
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    lvl = int(level)
+
+    @pandas_udf("double")
+    def ratio(s: pd.Series) -> pd.Series:
+        out = []
+        for t in s:
+            if not t:
+                out.append(1.0)
+                continue
+            raw = t.encode("utf-8")
+            out.append(len(zlib.compress(raw, lvl)) / len(raw))
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col),
+        F.octet_length(F.col(text_col)).alias("n_bytes"),
+        ratio(F.col(text_col)).alias("compression_ratio"),
+    )

@@ -7,6 +7,7 @@ is a split+explode, term stats are hash aggregations with map-side combine.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -266,4 +267,54 @@ def heavy_hitter_terms(
         .agg(F.count("*").alias("freq"))
         .orderBy(F.col("freq").desc(), F.col("term").asc())
         .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unicode text normalization (ingestion cleanup)
+# ---------------------------------------------------------------------------
+
+def normalize_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ingestion-time text cleanup: strip C0/C1 control characters (keeping
+    newline and tab), collapse horizontal-whitespace runs to one space,
+    trim, then Unicode-NFC normalize — the canonicalization pass that runs
+    before any hashing/dedup so that byte-level variants of the same text
+    (decomposed accents, stray control bytes, ragged spacing) collide
+    instead of slipping past exact dedup.
+
+    Scale shape: the regex chain is JVM codegen; only the NFC step is
+    Python (pandas ``str.normalize`` — vectorized ICU-equivalent table
+    lookup, Arrow-batched, zero shuffle). Both steps are pure row maps.
+    NFC is an engine-portable contract (the Unicode standard fixes it), so
+    the operator is oracle-checkable against DuckDB's ``nfc_normalize``.
+
+    Returns (id, text_norm, changed).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col(text_col), "[\\x00-\\x08\\x0B-\\x1F\\x7F-\\x9F]", ""
+            ),
+            "[ \\t]+",
+            " ",
+        )
+    )
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.str.normalize("NFC")
+
+    out = df.select(
+        F.col(id_col), F.col(text_col).alias("__orig"), cleaned.alias("__c")
+    ).select(F.col(id_col), "__orig", nfc(F.col("__c")).alias("text_norm"))
+    return out.select(
+        id_col,
+        "text_norm",
+        (F.col("text_norm") != F.col("__orig")).alias("changed"),
     )

@@ -2482,6 +2482,41 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# C51: Unicode text normalization
+# ---------------------------------------------------------------------------
+
+def normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C51 gate: control-char strip + whitespace collapse + trim (JVM
+    regex) + Unicode NFC (Arrow-batched pandas str.normalize) —
+    functions/text.py:normalize_text. NFC is fixed by the Unicode
+    standard, so DuckDB's nfc_normalize is an exact oracle; non-ASCII
+    behavior is pinned in tests/test_text_normalize.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.normalize_text(docs)
+
+
+NORMALIZE_SQL = r"""
+SELECT doc_id,
+       nfc_normalize(trim(regexp_replace(regexp_replace(text,
+           '[\x00-\x08\x0B-\x1F\x7F-\x9F]', '', 'g'),
+           '[ \t]+', ' ', 'g'))) AS text_norm,
+       nfc_normalize(trim(regexp_replace(regexp_replace(text,
+           '[\x00-\x08\x0B-\x1F\x7F-\x9F]', '', 'g'),
+           '[ \t]+', ' ', 'g'))) <> text AS changed
+FROM documents
+"""
+
+
+def compression_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C52 gate (rows-only: zlib has no SQL analog): per-doc deflate
+    compression ratio, the redundancy quality signal
+    (functions/curation.py:compression_ratio). Value behavior pinned in
+    tests/test_curation.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.compression_ratio(docs)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2592,9 +2627,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_join_parts": interval_join_parts,
     "asof_forward_events_orders": asof_forward_events_orders,
     "shuffle_positions_docs": shuffle_positions_docs,
+    "normalize_docs": normalize_docs,
     # -- rows-only (driver-side eigh / iterative / rng payloads) --
     "quality_classifier_train": quality_classifier_train,
     "bpe_encode_docs": bpe_encode_docs,
+    "compression_ratio_docs": compression_ratio_docs,
     "multimodal_image_stats": multimodal_image_stats,
     "multimodal_audio_features": multimodal_audio_features,
     "pca_project_embeddings": pca_project_embeddings,
@@ -2645,6 +2682,7 @@ ORACLES: dict[str, str] = {
     "interval_join_parts": RANGE_JOIN_SQL,
     "asof_forward_events_orders": ASOF_FORWARD_SQL,
     "shuffle_positions_docs": SHUFFLE_POSITIONS_SQL,
+    "normalize_docs": NORMALIZE_SQL,
     "bloom_semi_join_lineitem": BLOOM_SEMI_SQL,
     "dup_span_removal_docs": DUP_SPAN_SQL,
     "quality_classifier_docs": QUALITY_CLASSIFIER_SQL,

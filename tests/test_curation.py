@@ -295,3 +295,28 @@ def test_gopher_quality_stopword_floor(spark):
     df = spark.createDataFrame([(1, no_stops)], ["doc_id", "text"])
     row = gopher_quality(df).collect()[0]
     assert row["stop_hits"] == 0 and row["keep"] is False
+
+
+def test_compression_ratio_signal(spark):
+    import zlib
+
+    from kafka_connect_jsonata_spark.functions.curation import compression_ratio
+
+    rows = [
+        (1, "abc " * 200),                      # highly repetitive
+        (2, "the quick brown fox jumps over the lazy dog. " * 10),
+        (3, "kq9!zX2#mP8$vL5@wN7%"),            # high entropy, short
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in compression_ratio(df).collect()}
+    # exact parity with local zlib at the same level
+    for did, text in rows:
+        if text:
+            raw = text.encode()
+            want = len(zlib.compress(raw, 6)) / len(raw)
+            assert got[did]["compression_ratio"] == pytest.approx(want, abs=0)
+            assert got[did]["n_bytes"] == len(raw)
+    assert got[4]["compression_ratio"] == 1.0
+    # repetitive < prose < high-entropy
+    assert got[1]["compression_ratio"] < got[2]["compression_ratio"] < got[3]["compression_ratio"]

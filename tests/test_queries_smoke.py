@@ -33,6 +33,9 @@ ROWS_ONLY = {
     # tests/test_classifier.py and tests/test_bpe.py
     "quality_classifier_train",
     "bpe_encode_docs",
+    # zlib deflate has no SQL analog; parity with local zlib pinned in
+    # tests/test_curation.py
+    "compression_ratio_docs",
 }
 
 
