@@ -98,6 +98,7 @@ HEADLINE = [
     "normalize_docs",
     "compression_ratio_docs",
     "bpe_encode_docs",
+    "bigram_logprob_docs",
 ]
 
 

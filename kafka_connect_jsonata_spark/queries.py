@@ -2507,6 +2507,43 @@ FROM documents
 """
 
 
+def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C53 gate: mean -log p(w2|w1) under the corpus's own add-0.1-smoothed
+    bigram model (functions/curation.py:bigram_logprob_score) — the
+    conditional upgrade of the unigram perplexity proxy; word-order
+    anomalies score high even with a normal unigram mix."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.bigram_logprob_score(docs)
+
+
+BIGRAM_LOGPROB_SQL = r"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents),
+pairs AS (
+  SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+  FROM words, UNNEST(range(1, CAST(greatest(len(w), 1) AS BIGINT))) t(i)),
+c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM pairs GROUP BY w1),
+c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM pairs GROUP BY w1, w2),
+v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+      FROM (SELECT unnest(w) AS tok FROM words)),
+sc AS (
+  SELECT p.doc_id, count(*) AS n_bigrams,
+         round(avg(-ln((c12.c12 + 0.1)
+                       / (CAST(c1.c1 AS DOUBLE) + 0.1 * CAST(v.v AS DOUBLE)))),
+               6) AS avg_neg_logp2
+  FROM pairs p JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+  GROUP BY p.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       sc.avg_neg_logp2
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+
 def compression_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C52 gate (rows-only: zlib has no SQL analog): per-doc deflate
     compression ratio, the redundancy quality signal
@@ -2628,6 +2665,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_forward_events_orders": asof_forward_events_orders,
     "shuffle_positions_docs": shuffle_positions_docs,
     "normalize_docs": normalize_docs,
+    "bigram_logprob_docs": bigram_logprob_docs,
     # -- rows-only (driver-side eigh / iterative / rng payloads) --
     "quality_classifier_train": quality_classifier_train,
     "bpe_encode_docs": bpe_encode_docs,
@@ -2683,6 +2721,7 @@ ORACLES: dict[str, str] = {
     "asof_forward_events_orders": ASOF_FORWARD_SQL,
     "shuffle_positions_docs": SHUFFLE_POSITIONS_SQL,
     "normalize_docs": NORMALIZE_SQL,
+    "bigram_logprob_docs": BIGRAM_LOGPROB_SQL,
     "bloom_semi_join_lineitem": BLOOM_SEMI_SQL,
     "dup_span_removal_docs": DUP_SPAN_SQL,
     "quality_classifier_docs": QUALITY_CLASSIFIER_SQL,

@@ -320,3 +320,49 @@ def test_compression_ratio_signal(spark):
     assert got[4]["compression_ratio"] == 1.0
     # repetitive < prose < high-entropy
     assert got[1]["compression_ratio"] < got[2]["compression_ratio"] < got[3]["compression_ratio"]
+
+
+def test_bigram_logprob_matches_reference(spark):
+    import math
+    from collections import Counter
+
+    from kafka_connect_jsonata_spark.functions.curation import bigram_logprob_score
+
+    rows = [(1, "a b a b c"), (2, "c c c"), (3, "x"), (4, "a b")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in bigram_logprob_score(df).collect()}
+
+    pairs, toks = [], []
+    per_doc = {}
+    for did, text in rows:
+        ws = text.split()
+        toks.extend(ws)
+        ps = list(zip(ws, ws[1:]))
+        per_doc[did] = ps
+        pairs.extend(ps)
+    c12, c1 = Counter(pairs), Counter(p[0] for p in pairs)
+    v = len(set(toks))
+    for did, ps in per_doc.items():
+        if not ps:
+            assert got[did]["n_bigrams"] == 0 and got[did]["avg_neg_logp2"] is None
+            continue
+        want = sum(
+            -math.log((c12[p] + 0.1) / (c1[p[0]] + 0.1 * v)) for p in ps
+        ) / len(ps)
+        assert got[did]["n_bigrams"] == len(ps)
+        assert got[did]["avg_neg_logp2"] == pytest.approx(want, abs=1e-6)
+
+
+def test_bigram_logprob_floor_maps_rare_to_unk(spark):
+    from kafka_connect_jsonata_spark.functions.curation import bigram_logprob_score
+
+    # 'rare' appears once -> floored to <unk>; 'a'/'b' survive
+    rows = [(1, "a b a b"), (2, "a rare b"), (3, "a b")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bigram_logprob_score(df, min_term_count=2)
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    # doc 2 has pairs (a,<unk>), (<unk>,b): each occurs once in the corpus,
+    # so its score must exceed doc 3's common (a,b) pair score
+    assert got[2]["avg_neg_logp2"] > got[3]["avg_neg_logp2"]
+    with pytest.raises(ValueError):
+        bigram_logprob_score(df, min_term_count=0)
