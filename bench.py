@@ -99,6 +99,8 @@ HEADLINE = [
     "compression_ratio_docs",
     "bpe_encode_docs",
     "bigram_logprob_docs",
+    "chunk_overlap_docs",
+    "q6_forecast_revenue",
 ]
 
 

@@ -318,3 +318,51 @@ def normalize_text(
         "text_norm",
         (F.col("text_norm") != F.col("__orig")).alias("changed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# overlapping chunking (retrieval / context-window preparation)
+# ---------------------------------------------------------------------------
+
+def chunk_with_overlap(
+    df: DataFrame,
+    chunk_words: int,
+    stride_words: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into word windows of ``chunk_words`` advancing by
+    ``stride_words`` (< chunk_words -> overlapping) — the
+    retrieval/embedding prep step (RAG corpora, long-doc training
+    examples keep context across boundaries via the overlap).
+
+    Emits (id, chunk_id, n_chunk_words, chunk_text); the final window is
+    the remainder (never empty, never duplicated: windows start at every
+    stride offset < word count). Deterministic, pure Column expression —
+    explode is the only row-multiplying step, no shuffle at all.
+    """
+    if chunk_words < 1 or stride_words < 1:
+        raise ValueError("chunk_words and stride_words must be >= 1")
+    w = tokens(F.col(text_col))
+    n = F.size(w)
+    n_chunks = F.when(n > 0, F.floor((n - 1) / stride_words) + 1).otherwise(F.lit(0))
+    idx = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), (n_chunks - 1).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("cid"),
+            F.array_join(
+                F.slice(w, i * stride_words + 1, chunk_words), " "
+            ).alias("chunk"),
+            F.least(n - i * stride_words, F.lit(chunk_words)).alias("nw"),
+        ),
+    )
+    ex = df.select(F.col(id_col), F.explode(chunks).alias("__c"))
+    return ex.select(
+        id_col,
+        F.col("__c.cid").alias("chunk_id"),
+        F.col("__c.nw").cast("int").alias("n_chunk_words"),
+        F.col("__c.chunk").alias("chunk_text"),
+    )

@@ -2554,6 +2554,63 @@ def compression_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# C54: overlapping chunking / q6
+# ---------------------------------------------------------------------------
+
+def chunk_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C54 gate: overlapping word-window chunking (20-word chunks, stride
+    10 — 50% overlap), the retrieval/embedding prep step
+    (functions/text.py:chunk_with_overlap). Pure Column explode, zero
+    shuffle; every chunk's full text enters the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_with_overlap(docs, chunk_words=20, stride_words=10)
+
+
+CHUNK_OVERLAP_SQL = r"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents)
+SELECT doc_id, CAST(i AS INT) AS chunk_id,
+       CAST(least(len(w) - i * 10, 20) AS INT) AS n_chunk_words,
+       array_to_string(w[CAST(i * 10 + 1 AS BIGINT):CAST(i * 10 + 20 AS BIGINT)], ' ')
+         AS chunk_text
+FROM words, UNNEST(range(0,
+    CAST(CASE WHEN len(w) = 0 THEN 0
+              ELSE floor((len(w) - 1) / 10) + 1 END AS BIGINT))) t(i)
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + conjunctive filter + single aggregate —
+    the predicate-pushdown showcase (every filter reaches the parquet
+    scan; decimal-exact revenue sum)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount", 4))
+        .cast("double")
+        .alias("revenue")
+    )
+    return out
+
+
+Q6_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2666,6 +2723,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shuffle_positions_docs": shuffle_positions_docs,
     "normalize_docs": normalize_docs,
     "bigram_logprob_docs": bigram_logprob_docs,
+    "chunk_overlap_docs": chunk_overlap_docs,
+    "q6_forecast_revenue": q6_forecast_revenue,
     # -- rows-only (driver-side eigh / iterative / rng payloads) --
     "quality_classifier_train": quality_classifier_train,
     "bpe_encode_docs": bpe_encode_docs,
@@ -2722,6 +2781,8 @@ ORACLES: dict[str, str] = {
     "shuffle_positions_docs": SHUFFLE_POSITIONS_SQL,
     "normalize_docs": NORMALIZE_SQL,
     "bigram_logprob_docs": BIGRAM_LOGPROB_SQL,
+    "chunk_overlap_docs": CHUNK_OVERLAP_SQL,
+    "q6_forecast_revenue": Q6_SQL,
     "bloom_semi_join_lineitem": BLOOM_SEMI_SQL,
     "dup_span_removal_docs": DUP_SPAN_SQL,
     "quality_classifier_docs": QUALITY_CLASSIFIER_SQL,

@@ -58,3 +58,29 @@ def test_normalization_enables_exact_dedup_collision(spark):
     rows = [(1, DECOMPOSED_CAFE), (2, PRECOMPOSED_CAFE)]
     got = _run(spark, rows)
     assert got[1]["text_norm"] == got[2]["text_norm"] == PRECOMPOSED_CAFE
+
+
+def test_chunk_with_overlap_semantics(spark):
+    import pytest as _pytest
+
+    from kafka_connect_jsonata_spark.functions.text import chunk_with_overlap
+
+    rows = [(1, "w0 w1 w2 w3 w4 w5 w6"), (2, "a b"), (3, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_with_overlap(df, chunk_words=4, stride_words=2)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["n_chunk_words"], r["chunk_text"])
+        )
+    assert sorted(got[1]) == [
+        (0, 4, "w0 w1 w2 w3"),
+        (1, 4, "w2 w3 w4 w5"),
+        (2, 3, "w4 w5 w6"),
+        (3, 1, "w6"),
+    ]
+    assert sorted(got[2]) == [(0, 2, "a b")]
+    assert 3 not in got  # empty doc emits nothing
+    # every word is covered by at least one chunk and boundaries overlap
+    with _pytest.raises(ValueError):
+        chunk_with_overlap(df, 0, 1)
