@@ -101,6 +101,7 @@ HEADLINE = [
     "bigram_logprob_docs",
     "chunk_overlap_docs",
     "q6_forecast_revenue",
+    "dup_ngram_coverage_docs",
 ]
 
 

@@ -984,3 +984,75 @@ def bigram_logprob_score(
             "avg_neg_logp2",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# within-document duplicate n-gram coverage (Gopher repetition battery)
+# ---------------------------------------------------------------------------
+
+def dup_ngram_coverage(
+    df: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fraction of word positions covered by a word n-gram that repeats
+    WITHIN the same document — the "duplicate n-gram fraction" half of the
+    Gopher repetition rules (the top-term ratio half lives in
+    ``repetition_stats``). Looping boilerplate ("buy now buy now buy now")
+    scores near 1; prose scores near 0.
+
+    Exact and engine-portable: positions and counts are integers, the
+    single division happens last. Scale shape: one (doc, gram-hash) count
+    shuffle keyed by doc (grams never leave their doc — this is per-doc
+    state, so skew is bounded by document length), one covered-position
+    dedup per doc; everything else is map-side Column code.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    w = tokens(F.col(text_col))
+    nw = F.size(w)
+    idx = F.when(nw >= n, F.sequence(F.lit(1), nw - n + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        nw.alias("__nw"),
+        F.explode(idx).alias("__p"),
+        w.alias("__w"),
+    ).select(
+        "__id",
+        "__nw",
+        "__p",
+        F.array_join(F.slice(F.col("__w"), F.col("__p"), n), " ").alias("__g"),
+    )
+    # __g is the true gram string so the count matches the SQL oracle
+    # exactly (no hash-collision caveat); a corpus with pathological gram
+    # lengths could hash here and verify like duplicate_span_removal does.
+    wg = Window.partitionBy("__id", "__g")
+    covered = (
+        grams.withColumn("__c", F.count(F.lit(1)).over(wg))
+        .filter(F.col("__c") > 1)
+        .select(
+            "__id",
+            "__nw",
+            F.explode(F.sequence(F.col("__p"), F.col("__p") + F.lit(n - 1))).alias(
+                "__pos"
+            ),
+        )
+        .groupBy("__id", "__nw")
+        .agg(F.count_distinct("__pos").alias("__cov"))
+    )
+    base = df.select(F.col(id_col), F.size(w).alias("n_words"))
+    out = base.join(
+        covered.withColumnRenamed("__id", id_col).drop("__nw"), id_col, "left"
+    )
+    cov = F.coalesce(F.col("__cov"), F.lit(0))
+    return out.select(
+        id_col,
+        "n_words",
+        cov.cast("long").alias("n_covered"),
+        F.when(F.col("n_words") > 0, cov.cast("double") / F.col("n_words"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_ngram_frac"),
+    )

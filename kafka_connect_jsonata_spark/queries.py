@@ -2582,6 +2582,43 @@ FROM words, UNNEST(range(0,
 """
 
 
+def dup_ngram_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C55 gate: within-doc duplicate bigram coverage — the second half of
+    the Gopher repetition battery
+    (functions/curation.py:dup_ngram_coverage). Integer positions and
+    counts, one final division."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.dup_ngram_coverage(docs, n=2)
+
+
+DUP_NGRAM_SQL = r"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents),
+g AS (
+  SELECT doc_id, CAST(i AS INT) AS p,
+         array_to_string(w[CAST(i AS BIGINT):CAST(i + 1 AS BIGINT)], ' ') AS gram
+  FROM words, UNNEST(range(1, CAST(greatest(len(w) - 0, 1) AS BIGINT))) t(i)),
+dup AS (
+  SELECT doc_id, p FROM (
+    SELECT doc_id, p, count(*) OVER (PARTITION BY doc_id, gram) AS c FROM g) x
+  WHERE c > 1),
+cov AS (
+  SELECT doc_id, CAST(count(DISTINCT pos) AS BIGINT) AS n_covered
+  FROM dup, UNNEST([p, p + 1]) u(pos)
+  GROUP BY doc_id)
+SELECT w.doc_id,
+       CAST(len(w.w) AS INT) AS n_words,
+       CAST(coalesce(c.n_covered, 0) AS BIGINT) AS n_covered,
+       CASE WHEN len(w.w) > 0
+            THEN CAST(coalesce(c.n_covered, 0) AS DOUBLE) / len(w.w)
+            ELSE 0.0 END AS dup_ngram_frac
+FROM words w LEFT JOIN cov c USING (doc_id)
+"""
+
+
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure scan + conjunctive filter + single aggregate —
     the predicate-pushdown showcase (every filter reaches the parquet
@@ -2725,6 +2762,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_logprob_docs": bigram_logprob_docs,
     "chunk_overlap_docs": chunk_overlap_docs,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "dup_ngram_coverage_docs": dup_ngram_coverage_docs,
     # -- rows-only (driver-side eigh / iterative / rng payloads) --
     "quality_classifier_train": quality_classifier_train,
     "bpe_encode_docs": bpe_encode_docs,
@@ -2783,6 +2821,7 @@ ORACLES: dict[str, str] = {
     "bigram_logprob_docs": BIGRAM_LOGPROB_SQL,
     "chunk_overlap_docs": CHUNK_OVERLAP_SQL,
     "q6_forecast_revenue": Q6_SQL,
+    "dup_ngram_coverage_docs": DUP_NGRAM_SQL,
     "bloom_semi_join_lineitem": BLOOM_SEMI_SQL,
     "dup_span_removal_docs": DUP_SPAN_SQL,
     "quality_classifier_docs": QUALITY_CLASSIFIER_SQL,
