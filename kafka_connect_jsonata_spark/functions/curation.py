@@ -1017,36 +1017,42 @@ def dup_ngram_coverage(
     )
     grams = df.select(
         F.col(id_col).alias("__id"),
-        nw.alias("__nw"),
         F.explode(idx).alias("__p"),
         w.alias("__w"),
     ).select(
         "__id",
-        "__nw",
         "__p",
         F.array_join(F.slice(F.col("__w"), F.col("__p"), n), " ").alias("__g"),
     )
     # __g is the true gram string so the count matches the SQL oracle
     # exactly (no hash-collision caveat); a corpus with pathological gram
     # lengths could hash here and verify like duplicate_span_removal does.
-    wg = Window.partitionBy("__id", "__g")
+    # One hash-agg shuffle (map-side combined), NOT a window — a window
+    # over (id, gram) sort-orders every gram row; the groupBy collects the
+    # tiny per-gram position lists directly (measured 5.1 s -> sub-second
+    # at sf0.1).
     covered = (
-        grams.withColumn("__c", F.count(F.lit(1)).over(wg))
-        .filter(F.col("__c") > 1)
+        grams.groupBy("__id", "__g")
+        .agg(F.collect_list("__p").alias("__ps"))
+        .filter(F.size("__ps") > 1)
         .select(
             "__id",
-            "__nw",
-            F.explode(F.sequence(F.col("__p"), F.col("__p") + F.lit(n - 1))).alias(
-                "__pos"
-            ),
+            F.explode(
+                F.array_distinct(
+                    F.flatten(
+                        F.transform(
+                            F.col("__ps"),
+                            lambda p: F.sequence(p, p + F.lit(n - 1)),
+                        )
+                    )
+                )
+            ).alias("__pos"),
         )
-        .groupBy("__id", "__nw")
+        .groupBy("__id")
         .agg(F.count_distinct("__pos").alias("__cov"))
     )
     base = df.select(F.col(id_col), F.size(w).alias("n_words"))
-    out = base.join(
-        covered.withColumnRenamed("__id", id_col).drop("__nw"), id_col, "left"
-    )
+    out = base.join(covered.withColumnRenamed("__id", id_col), id_col, "left")
     cov = F.coalesce(F.col("__cov"), F.lit(0))
     return out.select(
         id_col,
