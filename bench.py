@@ -102,6 +102,7 @@ HEADLINE = [
     "chunk_overlap_docs",
     "q6_forecast_revenue",
     "dup_ngram_coverage_docs",
+    "weighted_sample_docs",
 ]
 
 

@@ -236,3 +236,44 @@ def temperature_mix_sample(
     md5-position filter."""
     rates = temperature_mix_rates(df, group_col, target_total, alpha)
     return mixture_sample(df, id_col, group_col, rates, salt)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: keep ``k`` rows
+    where each row's inclusion probability is proportional to its weight —
+    the Efraimidis-Spirakis A-ES scheme (priority = u^(1/w), keep the top
+    k), in the same content-hash discipline as the rest of this module:
+    u comes from the row's md5 position, so the sample is a pure function
+    of content + salt (reproducible on any cluster, any partitioning;
+    change ``salt`` for an independent draw).
+
+    Computed in log space (priority key = -ln(u)/w, keep the k SMALLEST)
+    for numeric stability. Rows with weight <= 0 or null are excluded.
+
+    Scale shape: priorities are map-side Column arithmetic; the top-k is a
+    distributed ``TakeOrderedAndProject`` (per-partition heads + one final
+    merge of k rows), never a global sort.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = F.col(weight_col).cast("double")
+    # u in (0, 1]: scaled 8-hex-digit md5 prefix, +1 so u > 0
+    u = (
+        F.conv(F.substring(hash_position(F.col(id_col), salt), 1, 8), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / float(_HEX_SPACE)
+    key = -F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("__wkey", key)
+        .orderBy(F.col("__wkey").asc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__wkey")
+    )

@@ -2647,6 +2647,39 @@ WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
 """
 
 
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C56 gate: deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES, priority -ln(u)/w from the md5 position,
+    operators/sampling.py:weighted_sample) — 100 docs weighted by length.
+    The oracle rebuilds u by per-hex-digit strpos arithmetic and ranks
+    with the identical log-space key."""
+    from kafka_connect_jsonata_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", k=100).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def _weighted_sample_sql() -> str:
+    hexv = "+".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"""
+WITH h AS (SELECT doc_id, source, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+k AS (SELECT doc_id, source, n_chars,
+             -ln(({hexv} + 1.0) / 4294967296.0) / CAST(n_chars AS DOUBLE) AS wkey
+      FROM h WHERE n_chars > 0)
+SELECT doc_id, source, n_chars FROM k
+ORDER BY wkey ASC, doc_id ASC LIMIT 100
+"""
+
+
+WEIGHTED_SAMPLE_SQL = _weighted_sample_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2763,6 +2796,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_overlap_docs": chunk_overlap_docs,
     "q6_forecast_revenue": q6_forecast_revenue,
     "dup_ngram_coverage_docs": dup_ngram_coverage_docs,
+    "weighted_sample_docs": weighted_sample_docs,
     # -- rows-only (driver-side eigh / iterative / rng payloads) --
     "quality_classifier_train": quality_classifier_train,
     "bpe_encode_docs": bpe_encode_docs,
@@ -2822,6 +2856,7 @@ ORACLES: dict[str, str] = {
     "chunk_overlap_docs": CHUNK_OVERLAP_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "dup_ngram_coverage_docs": DUP_NGRAM_SQL,
+    "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
     "bloom_semi_join_lineitem": BLOOM_SEMI_SQL,
     "dup_span_removal_docs": DUP_SPAN_SQL,
     "quality_classifier_docs": QUALITY_CLASSIFIER_SQL,

@@ -87,3 +87,54 @@ def test_temperature_rates_empty_raises(spark):
     df = _docs(spark).filter(F.lit(False))
     with pytest.raises(ValueError):
         sampling.temperature_mix_rates(df, "source", target_total=10)
+
+
+def test_weighted_sample_deterministic_and_plan(spark):
+    df = _docs(spark).withColumn("wt", (F.col("doc_id") % 10 + 1).cast("double"))
+    a = sorted(r["doc_id"] for r in sampling.weighted_sample(df, "doc_id", "wt", 10).collect())
+    b = sorted(r["doc_id"] for r in sampling.weighted_sample(df, "doc_id", "wt", 10).collect())
+    assert a == b and len(a) == 10
+    # independent draw under a different salt
+    c = sorted(r["doc_id"] for r in sampling.weighted_sample(df, "doc_id", "wt", 10, salt="x").collect())
+    assert a != c
+    # distributed top-k, not a global sort: TakeOrderedAndProject in the plan
+    plan = sampling.weighted_sample(df, "doc_id", "wt", 10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_matches_local_reference(spark):
+    import hashlib
+    import math
+
+    df = _docs(spark).withColumn("wt", (F.col("doc_id") % 7 + 1).cast("double"))
+    got = [r["doc_id"] for r in sampling.weighted_sample(df, "doc_id", "wt", 15).collect()]
+
+    def key(did, wt):
+        h = hashlib.md5(str(did).encode()).hexdigest()
+        u = (int(h[:8], 16) + 1.0) / 16 ** 8
+        return -math.log(u) / wt
+    rows = [(i, i % 7 + 1) for i in range(100)]
+    want = [d for d, _ in sorted(rows, key=lambda r: (key(*r), r[0]))[:15]]
+    assert sorted(got) == sorted(want)
+
+
+def test_weighted_sample_excludes_nonpositive_and_validates(spark):
+    df = _docs(spark).withColumn(
+        "wt", F.when(F.col("doc_id") < 50, F.lit(0.0)).otherwise(F.lit(1.0))
+    )
+    got = [r["doc_id"] for r in sampling.weighted_sample(df, "doc_id", "wt", 100).collect()]
+    assert len(got) == 50 and min(got) >= 50
+    with pytest.raises(ValueError):
+        sampling.weighted_sample(df, "doc_id", "wt", 0)
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    # weight 10 vs weight 1: across many salts the heavy half dominates
+    df = _docs(spark).withColumn(
+        "wt", F.when(F.col("doc_id") < 50, F.lit(10.0)).otherwise(F.lit(1.0))
+    )
+    heavy = 0
+    for s in ("a", "b", "c", "d"):
+        got = [r["doc_id"] for r in sampling.weighted_sample(df, "doc_id", "wt", 20, salt=s).collect()]
+        heavy += sum(1 for d in got if d < 50)
+    assert heavy / 80 > 0.7  # E[fraction] ~ 10/11
