@@ -1136,6 +1136,10 @@ def _format_component(dt: datetime, comp: str) -> str:
         # (docs: '[D#1]/[M#1]/[Y0001]' -> '7/11/2017')
         return str(v).zfill(sum(1 for c in mods if c != "#"))
     if mods == "":
+        if spec == "F":
+            # XPath/XSLT default presentation for F is 'n' (lowercase name),
+            # not a number — [F] -> 'tuesday' (conformance fix, round 5)
+            return _DAYS[v - 1].lower()
         return str(v)
     raise JsonataError("D3132", f"unsupported date picture component [{comp}]")
 

@@ -287,7 +287,10 @@ GROUPS["dates"] = [
     ("$fromMillis(1510067557121, '[H01]:[m01]:[s01] [z]', '-0500')",
      None, "10:12:37 GMT-05:00"),
     ("$fromMillis(1510067557121, '[FNn]')", None, "Tuesday"),
-    ("$fromMillis(1510067557121, '[F]')", None, "2"),  # ISO day number
+    # [F] defaults to the lowercase weekday NAME (XPath presentation 'n');
+    # the numeric form needs an explicit digit modifier
+    ("$fromMillis(1510067557121, '[F]')", None, "tuesday"),
+    ("$fromMillis(1510067557121, '[F1]')", None, "2"),  # ISO day number
     ("$fromMillis(1510067557121, '[D1o] [MNn] [Y]')", None, "7th November 2017"),
     ("$fromMillis(1510067557121, '[D#1]/[M#1]/[Y0001]')", None, "7/11/2017"),
     ("$fromMillis(1510067557121, '[f001]')", None, "121"),
@@ -356,6 +359,107 @@ GROUPS["operators"] = [
     ("a[active].v", {"a": [{"active": True, "v": 1}, {"active": False, "v": 2}]}, 1),
     # function chaining binds tighter than ?:
     ("true ? [1,2] ~> $count : 0", None, 2),
+]
+
+GROUPS["advanced"] = [
+    # function composition / partial application
+    ("($f := $uppercase; 'abc' ~> $f)", None, "ABC"),
+    ("'hello' ~> $substringBefore('l') ~> $uppercase()", None, "HE"),
+    ("($s := $string(?); $s(5))", None, "5"),
+    ("($first := $substring(?, 0, 1); $first('hello'))", None, "h"),
+    ("5 ~> function($x){$x*2}", None, 10),
+    # higher-order functions
+    ("$map([1,2,3], function($v, $i) { $v * $i })", None, [0, 2, 6]),
+    ("$filter([1,2,3,4], function($v) { $v % 2 = 0 })", None, [2, 4]),
+    ("$reduce([1..5], function($a, $b) { $a + $b })", None, 15),
+    ("$reduce([1,2,3], function($a,$b){$a*$b}, 10)", None, 60),
+    ("$single([1,2,3], function($v) { $v = 2 })", None, 2),
+    ("$zip([1,2,3],[4,5,6])", None, [[1, 4], [2, 5], [3, 6]]),
+    ("$zip([1,2],[3,4],[5])", None, [[1, 3, 5]]),
+    ("$sort([3,1,2])", None, [1, 2, 3]),
+    ("$sort(['b','a'], function($l,$r){$l>$r})", None, ["a", "b"]),
+    ("$each({'a':1,'b':2}, function($v,$k){$k & '=' & $v})", None, ["a=1", "b=2"]),
+    ("$sift({'a':1,'b':10}, function($v){$v>5})", None, {"b": 10}),
+    ("$merge([{'a':1},{'b':2},{'a':3}])", None, {"a": 3, "b": 2}),
+    ("$distinct([1,2,2,3,1])", None, [1, 2, 3]),
+    ("$append([1,2],[3])", None, [1, 2, 3]),
+    ("$reverse([1,2,3])", None, [3, 2, 1]),
+    # object transform operator
+    ("{'a':1,'b':2} ~> |$|{'c': a+b}|", None, {"a": 1, "b": 2, "c": 3}),
+    ("{'a':1,'b':2} ~> |$|{}, ['b']|", None, {"a": 1}),
+    # regex captures
+    ("$replace('2023-01-15', /(\\d+)-(\\d+)-(\\d+)/, '$3/$2/$1')", None,
+     "15/01/2023"),
+    ("$match('ab12cd34', /\\d+/)[1].match", None, "34"),
+    ("$match('ababbabbcc', /a(b+)/)[1].groups[0]", None, "bb"),
+    # $type
+    ("$type(1)", None, "number"),
+    ("$type('a')", None, "string"),
+    ("$type(null)", None, "null"),
+    ("$type([1])", None, "array"),
+    ("$type({})", None, "object"),
+    ("$type($type)", None, "function"),
+    ("$type(true)", None, "boolean"),
+    # numeric formatting
+    ("$formatBase(255, 16)", None, "ff"),
+    ("$formatBase(-10, 2)", None, "-1010"),
+    ("$formatNumber(1234.5678, '#,##0.00')", None, "1,234.57"),
+    ("$formatNumber(0.5, '0%')", None, "50%"),
+    ("$formatInteger(2023, 'w')", None, "two thousand and twenty-three"),
+    ("$formatInteger(12, 'W')", None, "TWELVE"),
+    ("$parseInteger('twelve', 'w')", None, 12),
+    ("$number('-0.05e2')", None, -5.0),
+    ("$round(2.5)", None, 2),   # banker's rounding per spec
+    ("$round(3.5)", None, 4),
+    ("$round(-2.5)", None, -2),
+    ("$sqrt(2)*$sqrt(2) ~> $round(10)", None, 2),
+    # paths / wildcards on structures
+    ("Account.Order.Product[price > 30].name",
+     {"Account": {"Order": [{"Product": [
+         {"name": "a", "price": 20}, {"name": "b", "price": 40}]}]}},
+     "b"),
+    ("*.x", {"a": {"x": 1}, "b": {"x": 2}}, [1, 2]),
+    ("**.y", {"a": {"b": {"y": 3}}, "y": 1}, [1, 3]),
+    # misc semantics
+    ("($x := [1,2,3]; $x[-1])", None, 3),
+    ("[1,2,3,4][[0..1]]", None, [1, 2]),
+    ("[1,2,3][0.5]", None, 1),  # non-integer index floors (jsonata-js)
+    ("$keys({'a':1,'b':2})", None, ["a", "b"]),
+    ("$lookup({'a':1}, 'a')", None, 1),
+    ("$spread({'a':1,'b':2})", None, [{"a": 1}, {"b": 2}]),
+    ("$exists(nothing)", {"a": 1}, False),
+    ("$boolean([])", None, False),
+    ("$boolean([0])", None, False),
+    ("$boolean([0,1])", None, True),
+    ("$boolean({'a':0})", None, True),
+    ("[1,2,3].$string($)", None, ["1", "2", "3"]),
+    ("$average([2,4,6])", None, 4),
+    ("$abs(-3.5)", None, 3.5),
+    ("$ceil(-1.2)", None, -1),
+    ("$floor(-1.2)", None, -2),
+    ("$power(4, 0.5)", None, 2),
+    ("(1;2;3)", None, 3),
+    ("$count(nothing)", None, 0),
+    # number-to-string canonical forms
+    ("$string(1/3)", None, "0.3333333333333333"),
+    ("$string(1e100)", None, "1e+100"),
+    ("$string(0.0000001)", None, "1e-7"),
+]
+
+GROUPS["dates2"] = [
+    ("$fromMillis(1510067557121, '[Y0001]-[M01]-[D01]')", None, "2017-11-07"),
+    ("$toMillis('2017-11-07T15:12:37.121Z')", None, 1510067557121),
+    ("$fromMillis(0, '[Y]')", None, "1970"),
+    ("$toMillis('1970-01-01T00:00:00.000Z')", None, 0),
+    ("$fromMillis(1510067557121, '[H01]:[m01]:[s01]')", None, "15:12:37"),
+    # default presentation for F is 'n' (lowercase name) per XPath — fixed
+    # round 5 after the corpus port surfaced numeric output here
+    ("$fromMillis(1510067557121, '[F]')", None, "tuesday"),
+    ("$fromMillis(1510067557121, '[FNn]')", None, "Tuesday"),
+    ("$fromMillis(1510067557121, '[FN]')", None, "TUESDAY"),
+    ("$fromMillis(1510067557121, '[F1]')", None, "2"),
+    ("$fromMillis(1510067557121, '[P]')", None, "pm"),
+    ("$fromMillis(1510067557121, '[PN]')", None, "PM"),
 ]
 
 GROUPS["errors"] = [
