@@ -79,7 +79,35 @@ class Compiler:
             return self._field(ctx, node["value"])
         if t == "path_op":
             lhs = self._c(node["lhs"], ctx, env)
-            return self._c(node["rhs"], lhs, env)
+            rhs_node = node["rhs"]
+            if rhs_node["type"] == "object" and isinstance(lhs.dtype, T.ArrayType):
+                # dotted object constructor maps PER ELEMENT (jsonata docs:
+                # Phone.{type: number} -> one object per phone) — compile
+                # the constructor against the element context inside a
+                # transform(). Mirrors the round-5 interpreter fix; the
+                # un-dotted group-by suffix is a distinct "group" node.
+                elem_t = lhs.dtype.elementType
+                dts_box: list = []
+
+                def build(x):
+                    fields = []
+                    dts = []
+                    for kexpr, vexpr in rhs_node["pairs"]:
+                        if kexpr["type"] not in ("string", "name"):
+                            raise NotCompilable("computed object keys")
+                        val = self._c(vexpr, Typed(x, elem_t), env)
+                        fields.append(val.col.alias(kexpr["value"]))
+                        dts.append(
+                            T.StructField(
+                                kexpr["value"], val.dtype or T.StringType()
+                            )
+                        )
+                    dts_box.append(T.StructType(dts))
+                    return F.struct(*fields)
+
+                col = F.transform(lhs.col, build)
+                return Typed(col, T.ArrayType(dts_box[0]))
+            return self._c(rhs_node, lhs, env)
         if t == "filter":
             return self._filter(node, ctx, env)
         if t == "binary":

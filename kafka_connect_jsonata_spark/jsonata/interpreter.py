@@ -337,10 +337,12 @@ class Jsonata:
     def _step(self, step, items, env, last_step):
         """Evaluate one path step over item triples. Returns (items, keep)."""
         stype = step["type"]
-        if stype == "object":
-            # `seq.{...}` — group-by over the whole sequence at this point
-            grouped = self._group(step["pairs"], JSeq(v for v, _p, _b in items), env)
-            return ([(grouped, (), ())], False)
+        # NB: a dotted object constructor (`seq.{...}`) is NOT group-by —
+        # it maps per item (jsonata docs: Phone.{type: number} -> one
+        # object per phone). It flows through the generic branch below,
+        # where _eval_object over each single-item context builds one
+        # object per item WITH the tuple binds (@$v/#$i) in scope. The
+        # group-by form is the un-dotted suffix `seq{...}` ("group" node).
         if stype == "parent":
             out = []
             for _v, parents, binds in items:

@@ -462,6 +462,29 @@ GROUPS["dates2"] = [
     ("$fromMillis(1510067557121, '[PN]')", None, "PM"),
 ]
 
+# dotted object constructor maps per item; un-dotted suffix is group-by
+# (jsonata docs "Object constructors": Phone.{type: number} -> one object
+# per phone). Fixed round 5 — the interpreter previously grouped both forms.
+GROUPS["object_step"] = [
+    ("Phone.{type: number}",
+     {"Phone": [{"type": "home", "number": "1"},
+                {"type": "office", "number": "2"}]},
+     [{"home": "1"}, {"office": "2"}]),
+    ("Phone{type: number}",
+     {"Phone": [{"type": "home", "number": "1"},
+                {"type": "office", "number": "2"},
+                {"type": "office", "number": "3"}]},
+     {"home": "1", "office": ["2", "3"]}),
+    ("[1,2,3].{'v': $}", None, [{"v": 1}, {"v": 2}, {"v": 3}]),
+    ("book.authors@$a.{'a': $a}", {"book": {"authors": ["x", "y"]}},
+     [{"a": "x"}, {"a": "y"}]),
+    ("lines.{'k': qty}", {"lines": [{"qty": 1}, {"qty": 2}]},
+     [{"k": 1}, {"k": 2}]),
+    ("lines{'k': qty}", {"lines": [{"qty": 1}, {"qty": 2}]}, {"k": [1, 2]}),
+    ("{'k': v}", {"v": 1}, {"k": 1}),
+    ("$.{'k': v}", {"v": 1}, {"k": 1}),
+]
+
 GROUPS["errors"] = [
     "$sqrt(-1)",
     "1/0",

@@ -63,7 +63,10 @@ CASES = [
     ("items^(price)", {"items": [{"price": 3}, {"price": 1}, {"price": 2}]},
      [{"price": 1}, {"price": 2}, {"price": 3}]),
     ("items^(>price).price", {"items": [{"price": 3}, {"price": 1}, {"price": 2}]}, [3, 2, 1]),
-    ("lines.{'k': qty}", {"lines": [{"qty": 1}, {"qty": 2}]}, {"k": [1, 2]}),
+    # dotted object constructor maps PER ITEM (docs: Phone.{type: number});
+    # the un-dotted suffix `lines{...}` is the group-by form
+    ("lines.{'k': qty}", {"lines": [{"qty": 1}, {"qty": 2}]}, [{"k": 1}, {"k": 2}]),
+    ("lines{'k': qty}", {"lines": [{"qty": 1}, {"qty": 2}]}, {"k": [1, 2]}),
     ("(a; b)", {"a": 1, "b": 2}, 2),
     ("($x := 5; $x * 2)", None, 10),
     ("x ? 'y' : 'n'", {"x": True}, "y"),
