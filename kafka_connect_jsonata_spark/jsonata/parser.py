@@ -217,6 +217,20 @@ class Parser:
             else:
                 break
         self.advance(")")
+        # optional signature after the param list — function($x)<n:n>{...}
+        # (the jsonata-js placement) — parsed and skipped like the in-list
+        # form; arity/type enforcement stays dynamic
+        if self._is_op("<"):
+            depth = 0
+            while True:
+                if self._is_op("<"):
+                    depth += 1
+                elif self._is_op(">"):
+                    depth -= 1
+                    if depth == 0:
+                        self.advance(prefix=True)
+                        break
+                self.advance(prefix=True)
         self.advance("{", prefix=True)
         body = self.expression(0)
         self.advance("}")

@@ -485,6 +485,39 @@ GROUPS["object_step"] = [
     ("$.{'k': v}", {"v": 1}, {"k": 1}),
 ]
 
+GROUPS["scoping"] = [
+    ("$eval('[1,2,3]')", None, [1, 2, 3]),
+    ("$eval('a + 1', {'a': 2})", None, 3),
+    ("($x := 5; ($x := 3; $x) + $x)", None, 8),
+    ("($f := function($n){ $n <= 1 ? 1 : $n * $f($n-1) }; $f(5))", None, 120),
+    ("($fib := function($n){ $n < 2 ? $n : $fib($n-1) + $fib($n-2) }; $fib(10))",
+     None, 55),
+    ("($y := function($f){ function($x){ $f($f, $x) } };"
+     " $fact := $y(function($self, $n){ $n <= 1 ? 1 : $n * $self($self, $n-1) });"
+     " $fact(4))", None, 24),
+    ("[1,2,3]#$i.($i * 10)", None, [0, 10, 20]),
+    ("$assert(true, 'bad')", None, UNDEFINED),
+    ("{'a': undefinedthing}", None, {}),
+    ("[undefinedthing]", None, []),
+    ("undefinedthing ? 1 : 2", None, 2),
+    ("$not(undefinedthing)", None, UNDEFINED),
+    ("nothing = nothing", None, False),  # undefined operand -> false
+    ("'x' in ['x','y']", None, True),
+    ("3 in 3", None, True),
+    ("[1,2,3] ~> $count", None, 3),
+    ("$$.a", {"a": 7}, 7),
+    ("a.($$.b)", {"a": {"z": 1}, "b": 9}, 9),
+    ("$sum([])", None, 0),
+    ("$max([])", None, UNDEFINED),
+    ("null = null", None, True),
+    # function signatures (jsonata-js placement, after the param list)
+    ("($inc := function($x)<n:n>{ $x + 1 }; $inc(2))", None, 3),
+    ("($twice := function($f, $x)<fn:n>{ $f($f($x)) };"
+     " $twice(function($n){$n*2}, 3))", None, 12),
+    ("(function($a, $b)<nn?:n>{ $a + ($b ? $b : 10) })(5)", None, 15),
+    ("($s := function($arr)<a<n>:n>{ $sum($arr) }; $s([1,2,3]))", None, 6),
+]
+
 GROUPS["errors"] = [
     "$sqrt(-1)",
     "1/0",
@@ -500,6 +533,8 @@ GROUPS["errors"] = [
     "'a' < 1",
     "$formatBase(10, 40)",
     "a.b[",
+    "$error('boom')",
+    "$assert(false, 'bad')",
 ]
 
 
