@@ -516,6 +516,24 @@ GROUPS["scoping"] = [
      " $twice(function($n){$n*2}, 3))", None, 12),
     ("(function($a, $b)<nn?:n>{ $a + ($b ? $b : 10) })(5)", None, 15),
     ("($s := function($arr)<a<n>:n>{ $sum($arr) }; $s([1,2,3]))", None, 6),
+    # order-by: multi-key, mixed direction, bare sequences
+    ("items^(price, name)",
+     {"items": [{"price": 2, "name": "b"}, {"price": 2, "name": "a"},
+                {"price": 1, "name": "c"}]},
+     [{"price": 1, "name": "c"}, {"price": 2, "name": "a"},
+      {"price": 2, "name": "b"}]),
+    ("items^(>price, <name)",
+     {"items": [{"price": 2, "name": "b"}, {"price": 2, "name": "a"},
+                {"price": 1, "name": "c"}]},
+     [{"price": 2, "name": "a"}, {"price": 2, "name": "b"},
+      {"price": 1, "name": "c"}]),
+    ("[3,1,2]^($)", None, [1, 2, 3]),
+    # literal (non-regex) replacement: '$' has no special meaning
+    ("$replace('hello', 'l', '$$')", None, "he$$$$o"),
+    ("$number('0x1F')", None, 31),  # hex string accepted (jsonata 1.7+)
+    ("$match('ababab', /ab/, 2)[1].index", None, 2),
+    ("$lookup([{'a':1},{'a':2}], 'a')", None, [1, 2]),
+    ("$keys([{'a':1},{'b':2}])", None, ["a", "b"]),
 ]
 
 GROUPS["errors"] = [
@@ -535,6 +553,9 @@ GROUPS["errors"] = [
     "a.b[",
     "$error('boom')",
     "$assert(false, 'bad')",
+    "10 % 0",
+    "1/0",
+    "$sort([1,'a'])",
 ]
 
 
