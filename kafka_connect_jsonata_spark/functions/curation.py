@@ -850,8 +850,8 @@ def quantile_filter(
         )
         ranked = df.withColumn("__pr", F.percent_rank().over(w))
         return ranked.filter(F.col("__pr") >= q).drop("__pr")
-    agg = F.expr(
-        f"approx_percentile({score_col}, {q}, {max(int(1.0 / rel_err), 100)})"
+    agg = F.percentile_approx(
+        F.col(score_col), q, max(int(1.0 / rel_err), 100)
     ).alias("__thr")
     if group_col is not None:
         thr = df.groupBy(group_col).agg(agg)

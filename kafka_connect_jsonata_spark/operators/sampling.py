@@ -203,6 +203,7 @@ def temperature_mix_rates(
     counts = {
         r[0]: int(r[1])
         for r in df.groupBy(group_col).agg(F.count(F.lit(1))).collect()
+        if r[0] is not None  # null groups fall to mixture_sample's default
     }
     if not counts:
         raise ValueError("no groups to mix")
@@ -263,6 +264,10 @@ def weighted_sample(
     if k < 1:
         raise ValueError("k must be >= 1")
     w = F.col(weight_col).cast("double")
+    # NaN compares greater-than-anything in Spark, so `w > 0` alone would
+    # ADMIT NaN weights (with a NaN key that sorts last) — exclude them
+    # explicitly along with nulls and non-positives
+    w = F.when(~F.isnan(w), w)
     # u in (0, 1]: scaled 8-hex-digit md5 prefix, +1 so u > 0
     u = (
         F.conv(F.substring(hash_position(F.col(id_col), salt), 1, 8), 16, 10)

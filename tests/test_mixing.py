@@ -138,3 +138,20 @@ def test_weighted_sample_favors_heavy_rows(spark):
         got = [r["doc_id"] for r in sampling.weighted_sample(df, "doc_id", "wt", 20, salt=s).collect()]
         heavy += sum(1 for d in got if d < 50)
     assert heavy / 80 > 0.7  # E[fraction] ~ 10/11
+
+
+def test_weighted_sample_excludes_nan_weights(spark):
+    df = _docs(spark).withColumn(
+        "wt",
+        F.when(F.col("doc_id") < 50, F.lit(float("nan"))).otherwise(F.lit(1.0)),
+    )
+    got = [r["doc_id"] for r in sampling.weighted_sample(df, "doc_id", "wt", 100).collect()]
+    assert len(got) == 50 and min(got) >= 50  # NaN-weighted rows never sampled
+
+
+def test_temperature_rates_skip_null_groups(spark):
+    df = _docs(spark).withColumn(
+        "source", F.when(F.col("doc_id") < 10, F.lit(None)).otherwise(F.col("source"))
+    )
+    rates = sampling.temperature_mix_rates(df, "source", target_total=10_000)
+    assert None not in rates and set(rates) == {"big", "small"}
