@@ -534,6 +534,24 @@ GROUPS["scoping"] = [
     ("$match('ababab', /ab/, 2)[1].index", None, 2),
     ("$lookup([{'a':1},{'a':2}], 'a')", None, [1, 2]),
     ("$keys([{'a':1},{'b':2}])", None, ["a", "b"]),
+    # HOF extended arities (value, index, array) and misc
+    ("$map([10,20], function($v, $i, $a) { $a[0] + $i })", None, [10, 11]),
+    ("$filter([5,6,7], function($v, $i) { $i != 1 })", None, [5, 7]),
+    ("$filter([5,6,7], function($v, $i, $a) { $v = $max($a) })", None, 7),
+    ("$reduce([1], function($a,$b){$a+$b})", None, 1),
+    ("$reduce([], function($a,$b){$a+$b}, 5)", None, 5),
+    ("$map('a', $uppercase)", None, "A"),
+    ("$sift({'a':1,'b':2}, function($v,$k){ $k='a' })", None, {"a": 1}),
+    ("$each({'a':1}, function($v,$k,$o){ $count($keys($o)) })", None, 1),
+    ("[1,2,3] ~> $map(function($x){$x+1}) ~> $sum", None, 9),
+    ("$string(2, true)", None, "2"),
+    ("$formatNumber(12345.6, '##,#00.0')", None, "12,345.6"),
+    ("**.price", {"a": [{"price": 1}, {"b": {"price": 2}}]}, [1, 2]),
+    ("*.*", {"a": {"x": 1}, "b": {"y": 2}}, [1, 2]),
+    ("$sort([{'k':2,'t':'a'},{'k':1,'t':'b'},{'k':2,'t':'c'}],"
+     " function($l,$r){$l.k>$r.k}).t", None, ["b", "a", "c"]),  # stable sort
+    ("$substringAfter('abc', 'c')", None, ""),
+    ("$substringAfter('abc', 'x')", None, "abc"),
 ]
 
 GROUPS["errors"] = [
@@ -556,6 +574,8 @@ GROUPS["errors"] = [
     "10 % 0",
     "1/0",
     "$sort([1,'a'])",
+    "$single([1,2], function($v){ $v > 5 })",
+    "1 < 2 < 3",
 ]
 
 
