@@ -131,6 +131,12 @@ def bloom_maybe_member(key_col, bitmap: bytes, num_bits: int, num_hashes: int):
             ok &= (bm[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
         return pd.Series(ok)
 
+    # nondeterministic marker = "evaluate exactly once": Catalyst's filter
+    # pushdown otherwise CLONES the deterministic udf to both sides of the
+    # verify join, doubling the Python stage (the engine-wide rule — see
+    # SCALE.md's envelope_reroute note; plan-pinned in tests/test_plans.py)
+    member = member.asNondeterministic()
+
     k = F.col(key_col) if isinstance(key_col, str) else key_col
     return member(F.xxhash64(k), F.xxhash64(k, F.lit(0x9E37)))
 

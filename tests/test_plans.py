@@ -631,3 +631,55 @@ def test_deterministic_shuffle_is_permutation_and_reproducible(spark):
     c = {r["doc_id"]: r["shuffle_pos"]
          for r in deterministic_shuffle(df, "doc_id", seed=2, n_buckets=7).collect()}
     assert c != rows and sorted(c.values()) == list(range(1000))
+
+
+def test_round5_zero_shuffle_operators_have_no_exchange(spark, sf_dir):
+    """C45 scoring, C46 Gopher, C51 normalization, C52 compression, and
+    C54 chunking are contractually zero-shuffle — pin the absence of any
+    Exchange in their physical plans."""
+    from kafka_connect_jsonata_spark.functions import classifier, curation
+    from kafka_connect_jsonata_spark.functions import text as TXT
+    from kafka_connect_jsonata_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for name, df in {
+        "classifier": classifier.score_documents(docs),
+        "gopher": curation.gopher_quality(docs),
+        "normalize": TXT.normalize_text(docs),
+        "compression": curation.compression_ratio(docs),
+        "chunk_overlap": TXT.chunk_with_overlap(docs, 20, 10),
+    }.items():
+        plan = plan_of(df)
+        assert "Exchange" not in plan, f"{name} plan gained a shuffle:\n{plan}"
+
+
+def test_bloom_probe_is_mapside_before_verify_join(spark, sf_dir):
+    """C43: the Bloom prefilter must evaluate below (before) the verify
+    join's exchange — the probe's ArrowEvalPython appears under the join,
+    and exactly once (no pushdown duplication)."""
+    import pyspark.sql.functions as F
+
+    from kafka_connect_jsonata_spark.functions import filtering
+    from kafka_connect_jsonata_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    out = filtering.bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    plan = plan_of(out)
+    assert plan.count("ArrowEvalPython") == 1
+    assert "LeftSemi" in plan
+
+
+def test_quantile_filter_approx_tier_broadcasts_thresholds(spark, sf_dir):
+    """C47 scale tier: the per-group threshold table must broadcast (it is
+    bounded by the number of groups), leaving the corpus side unshuffled."""
+    from kafka_connect_jsonata_spark.functions import curation
+    from kafka_connect_jsonata_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = curation.quantile_filter(
+        docs, "n_chars", 0.5, group_col="source", exact=False
+    )
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
