@@ -85,7 +85,10 @@ def _margin_int_udf(w_int: np.ndarray):
                 out[i] = w[np.asarray(arr, dtype=np.int64)].sum()
         return pd.Series(out)
 
-    return margin
+    # evaluate-once pin: a downstream filter on the margin (the pipeline's
+    # `mi > 0`) otherwise pushes a CLONE of this udf below the exchange and
+    # scores every document twice (engine-wide rule, cf. bloom probe)
+    return margin.asNondeterministic()
 
 
 def score_documents(

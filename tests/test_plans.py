@@ -683,3 +683,13 @@ def test_quantile_filter_approx_tier_broadcasts_thresholds(spark, sf_dir):
     )
     plan = plan_of(out)
     assert "BroadcastHashJoin" in plan
+
+
+def test_pipeline_scores_each_document_exactly_once(spark, sf_dir):
+    """C49: the composed pipeline filters on the classifier margin; the
+    margin udf must not be cloned below the exchange by that filter."""
+    import kafka_connect_jsonata_spark.queries as Q
+
+    df = Q.QUERIES["curation_pipeline_docs"](spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") == 1
