@@ -107,6 +107,38 @@ class Compiler:
 
                 col = F.transform(lhs.col, build)
                 return Typed(col, T.ArrayType(dts_box[0]))
+            if rhs_node["type"] == "array" and isinstance(lhs.dtype, T.ArrayType):
+                # `seq.[...]` maps the constructor per element too
+                # ([1..2].[$] -> [[1],[2]]; round-5 dual-tier sweep fix)
+                elem_t = lhs.dtype.elementType
+                et_box: list = []
+
+                def build_arr(x):
+                    items = [
+                        self._c(e, Typed(x, elem_t), env)
+                        for e in rhs_node["expressions"]
+                    ]
+                    et_box.append(
+                        items[0].dtype if items else T.StringType()
+                    )
+                    return F.array(*[i.col for i in items])
+
+                col = F.transform(lhs.col, build_arr)
+                return Typed(col, T.ArrayType(T.ArrayType(et_box[0] or T.StringType())))
+            if rhs_node["type"] == "call" and isinstance(lhs.dtype, T.ArrayType):
+                # a function-call step maps per element like every other
+                # dotted step ([1,2,3].$string($) -> ['1','2','3']; the
+                # whole-array form is the ARGUMENT position, $string(arr))
+                elem_t = lhs.dtype.elementType
+                dt_box: list = []
+
+                def build_call(x):
+                    res = self._c(rhs_node, Typed(x, elem_t), env)
+                    dt_box.append(res.dtype)
+                    return res.col
+
+                col = F.transform(lhs.col, build_call)
+                return Typed(col, T.ArrayType(dt_box[0] or T.StringType()))
             return self._c(rhs_node, lhs, env)
         if t == "filter":
             return self._filter(node, ctx, env)
@@ -152,13 +184,34 @@ class Compiler:
                 dts.append(T.StructField(key, val.dtype or T.StringType()))
             return Typed(F.struct(*fields), T.StructType(dts))
         if t == "array":
+            # range elements SPLICE into the constructor ([1..3, 5] ->
+            # [1,2,3,5]); explicit nested arrays do not (round-5 dual-tier
+            # sweep fix — F.array over a range made [[1,2,3]])
             items = [self._c(e, ctx, env) for e in node["expressions"]]
+            if any(e["type"] == "range" for e in node["expressions"]):
+                parts = []
+                et = None
+                for e, it in zip(node["expressions"], items):
+                    if e["type"] == "range":
+                        parts.append(it.col)
+                        et = et or it.dtype.elementType
+                    else:
+                        parts.append(F.array(it.col))
+                        et = et or it.dtype
+                return Typed(F.concat(*parts), T.ArrayType(et or T.StringType()))
             et = items[0].dtype if items else T.StringType()
             return Typed(F.array(*[i.col for i in items]), T.ArrayType(et or T.StringType()))
         if t == "range":
             lhs = self._c(node["lhs"], ctx, env)
             rhs = self._c(node["rhs"], ctx, env)
-            return Typed(F.sequence(lhs.col, rhs.col), T.ArrayType(T.LongType()))
+            # JSONata: a descending range is EMPTY ([5..1] -> []), while
+            # Spark's sequence() counts down (round-5 dual-tier sweep fix)
+            return Typed(
+                F.when(lhs.col <= rhs.col, F.sequence(lhs.col, rhs.col)).otherwise(
+                    F.array().cast("array<long>")
+                ),
+                T.ArrayType(T.LongType()),
+            )
         if t == "sort":
             return self._sort(node, ctx, env)
         if t == "call":
@@ -215,6 +268,16 @@ class Compiler:
         if isinstance(dt, T.StringType):
             return v.col.isNotNull() & (F.length(v.col) > 0)
         if isinstance(dt, T.ArrayType):
+            # JSONata: an array is truthy iff SOME member is truthy
+            # ([0] and [] are both false) — recurse on the element type
+            # (round-5 dual-tier sweep fix; was size > 0)
+            return v.col.isNotNull() & F.exists(
+                v.col, lambda x: self._truthy(Typed(x, dt.elementType))
+            )
+        if isinstance(dt, T.StructType):
+            # objects are truthy iff non-empty; field count is static
+            return v.col.isNotNull() & F.lit(len(dt.fields) > 0)
+        if isinstance(dt, T.MapType):
             return v.col.isNotNull() & (F.size(v.col) > 0)
         return v.col.isNotNull()
 
@@ -227,9 +290,23 @@ class Compiler:
         pred = node["predicate"]
         if not isinstance(dt, T.ArrayType):
             raise NotCompilable("predicate over non-array")
-        if pred["type"] == "number" and isinstance(pred["value"], int):
+        # constant numeric index — incl. negative (unary minus) and
+        # non-integer (floors, jsonata-js rule); round-5 dual-tier sweep
+        # fix: [-1]/[1.5] previously fell into the truthiness branch and
+        # returned the WHOLE array
+        idx = None
+        if pred["type"] == "number":
             idx = pred["value"]
-            # element_at is 1-based; negative counts from the end (same rule)
+        elif (
+            pred["type"] == "unary"
+            and pred.get("value") == "-"
+            and pred["expression"]["type"] == "number"
+        ):
+            idx = -pred["expression"]["value"]
+        if idx is not None:
+            import math as _math
+
+            idx = int(_math.floor(idx))
             pos = idx + 1 if idx >= 0 else idx
             return Typed(F.element_at(base.col, pos), dt.elementType)
         # boolean predicate -> filter(); singleton unwrap not represented
@@ -238,6 +315,16 @@ class Compiler:
         def mk(x):
             return self._c(pred, Typed(x, elem_ctx_t), env)
 
+        probe = self._c(pred, Typed(F.lit(None).cast(elem_ctx_t), elem_ctx_t), env)
+        _numeric = (T.LongType, T.IntegerType, T.DoubleType, T.FloatType,
+                    T.ShortType, T.ByteType, T.DecimalType)
+        if isinstance(probe.dtype, _numeric) or (
+            isinstance(probe.dtype, T.ArrayType)
+            and isinstance(probe.dtype.elementType, _numeric)
+        ):
+            # a numeric (or numeric-array) predicate selects by INDEX in
+            # JSONata, which needs the element's position — tier 2
+            raise NotCompilable("numeric predicate = index selection (tier 2)")
         try:
             filtered = F.filter(base.col, lambda x: self._truthy(mk(x)))
         except NotCompilable:
@@ -292,10 +379,13 @@ class Compiler:
         if isinstance(v.dtype, T.BooleanType):
             return F.when(v.col, "true").otherwise("false")
         if isinstance(v.dtype, (T.DoubleType, T.FloatType)):
-            # render integral doubles without the trailing .0, like JSONata
-            return F.when(
-                v.col == v.col.cast("long"), v.col.cast("long").cast("string")
-            ).otherwise(v.col.cast("string"))
+            # JSONata renders numbers in the JS canonical form (plain up to
+            # 1e21, '1e-7' style exponents); Java's Double.toString switches
+            # to '1.0E-4' notation at different thresholds, so a compiled
+            # cast silently diverges for non-integral doubles outside
+            # [1e-3, 1e7). Route the subtree to the tier-2 renderer
+            # (found by the round-5 corpus-wide dual-tier sweep).
+            raise NotCompilable("canonical float-to-string rendering (tier 2)")
         return v.col.cast("string")
 
     # -------------------------------------------------------------- functions
@@ -381,9 +471,29 @@ class Compiler:
             T.StringType(),
         )
 
+    @staticmethod
+    def _regex_java(rx) -> str:
+        """Java-regex pattern string for a tokenized regex literal,
+        carrying its flags as inline modifiers ((?i) etc.) — a bare
+        ``.pattern`` silently DROPS /i //m //s (round-5 dual-tier sweep
+        fix: $contains('ABC', /abc/i) compiled to a case-sensitive
+        rlike)."""
+        import re as _re
+
+        mods = ""
+        if rx.flags & _re.IGNORECASE:
+            mods += "i"
+        if rx.flags & _re.MULTILINE:
+            mods += "m"
+        if rx.flags & _re.DOTALL:
+            mods += "s"
+        return (f"(?{mods})" if mods else "") + rx.pattern
+
     def _fn_contains(self, a, ctx, env, raw):
         if raw[-1]["type"] == "regex":
-            return Typed(a[0].col.rlike(raw[-1]["value"].pattern), T.BooleanType())
+            return Typed(
+                a[0].col.rlike(self._regex_java(raw[-1]["value"])), T.BooleanType()
+            )
         return Typed(a[0].col.contains(a[1].col), T.BooleanType())
 
     def _fn_split(self, a, ctx, env, raw):
@@ -391,7 +501,7 @@ class Compiler:
 
         pat = raw[1]
         if pat["type"] == "regex":
-            rx = pat["value"].pattern
+            rx = self._regex_java(pat["value"])
         elif pat["type"] == "string":
             rx = _re.escape(pat["value"])
         else:
@@ -531,10 +641,27 @@ class Compiler:
         return Typed(F.array_sort(a[0].col), a[0].dtype)
 
     def _fn_zip(self, a, ctx, env, raw):
-        return Typed(
-            F.arrays_zip(*[x.col for x in a]),
-            None,
+        # JSONata $zip returns an array of ARRAYS; arrays_zip's structs
+        # would serialize as {"0":...} objects (round-5 dual-tier sweep
+        # fix). Same-typed inputs rebuild each tuple as an array; mixed
+        # types have no uniform Spark element type -> tier 2. $zip
+        # truncates to the shortest input.
+        ets = []
+        for x in a:
+            if not isinstance(x.dtype, T.ArrayType):
+                raise NotCompilable("$zip over non-array")
+            ets.append(x.dtype.elementType)
+        if len({e.simpleString() for e in ets}) != 1:
+            raise NotCompilable("$zip over mixed element types (tier 2)")
+        n = F.least(*[F.size(x.col) for x in a]) if len(a) > 1 else F.size(a[0].col)
+        idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
         )
+        cols = [x.col for x in a]
+        tup = F.transform(
+            idx, lambda i: F.array(*[F.element_at(c, i) for c in cols])
+        )
+        return Typed(tup, T.ArrayType(T.ArrayType(ets[0])))
 
     def _sort(self, node, ctx: Typed, env: dict) -> Typed:
         """B2.5 ``^(key, >key)`` order-by over an ARRAY column: array_sort
@@ -697,7 +824,8 @@ class Compiler:
             if repl["type"] != "string" or "$" in repl["value"] or "\\" in repl["value"]:
                 raise NotCompilable("$replace regex with group refs or dynamic replacement")
             return Typed(
-                F.regexp_replace(s, pat["value"].pattern, repl["value"]), T.StringType()
+                F.regexp_replace(s, self._regex_java(pat["value"]), repl["value"]),
+                T.StringType(),
             )
         raise NotCompilable("$replace with dynamic pattern")
 
