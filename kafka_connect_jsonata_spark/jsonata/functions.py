@@ -591,6 +591,43 @@ def fn_format_number(ev, n=UNDEFINED, picture=UNDEFINED, options=UNDEFINED):
     # mandatory-digit character ('01%' == '00%' — jsonata docs format 0.14
     # as "14%"); normalize 1-9 to 0 before parsing
     sub = re.sub(r"[1-9]", "0", sub)
+
+    # scientific notation: '<mantissa>e<exp-digits>' (XPath exponent
+    # separator). The value is scaled so the mantissa's integer part has
+    # exactly the picture's mandatory integer digits; the exponent is
+    # zero-padded to the exponent picture's width, minus sign only when
+    # negative. ('0.######e0' formats 0.00001 as '1e-5'.)
+    exp_sep = opts.get("exponent-separator", "e")
+    if exp_sep in sub:
+        mant_pic, _, epart = sub.partition(exp_sep)
+        em = re.match(r"^([0#]+)([^0#]*)$", epart)
+        if em and re.search(r"[0#]", mant_pic):
+            mm = re.match(r"^([^0#]*)([0#.,]*[0#])([^0#]*)$", mant_pic)
+            if not mm:
+                raise JsonataError("D3080", f"invalid picture string {picture!r}")
+            mbody = mm.group(2)
+            m_int = mbody.split(".", 1)[0].replace(",", "")
+            min_int_m = max(m_int.count("0"), 1)
+            max_frac_m = len(mbody.split(".", 1)[1]) if "." in mbody else 0
+            v = float(value)
+            if v == 0:
+                exp10, mant_v = 0, 0.0
+            else:
+                exp10 = math.floor(math.log10(abs(v))) - (min_int_m - 1)
+                mant_v = v / (10.0 ** exp10)
+                q = Decimal(repr(abs(mant_v))).quantize(
+                    Decimal(1).scaleb(-max_frac_m), rounding=ROUND_HALF_EVEN
+                )
+                if q >= Decimal(10) ** min_int_m:  # rounding overflowed width
+                    exp10 += 1
+                    mant_v = v / (10.0 ** exp10)
+            mant_str = fn_format_number(ev, mant_v, mant_pic, options)
+            digits = em.group(1).count("0")
+            e_str = str(abs(exp10)).zfill(digits)
+            if exp10 < 0:
+                e_str = minus + e_str
+            return mant_str + exp_sep + e_str + em.group(2)
+
     m = re.match(r"^([^0#]*)([0#.,]*[0#])([^0#]*)$", sub)
     if not m:
         raise JsonataError("D3080", f"invalid picture string {picture!r}")

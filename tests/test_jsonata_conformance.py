@@ -552,6 +552,14 @@ GROUPS["scoping"] = [
      " function($l,$r){$l.k>$r.k}).t", None, ["b", "a", "c"]),  # stable sort
     ("$substringAfter('abc', 'c')", None, ""),
     ("$substringAfter('abc', 'x')", None, "abc"),
+    # exponent pictures (XPath scientific notation; added round 5)
+    ("$formatNumber(0.00001, '0.######e0')", None, "1e-5"),
+    ("$formatNumber(12345.6, '0.00e0')", None, "1.23e4"),
+    ("$formatNumber(0.5, '0.0e0')", None, "5.0e-1"),
+    ("$formatNumber(9.99999, '0.0e0')", None, "1.0e1"),
+    ("$formatNumber(0, '0.0e0')", None, "0.0e0"),
+    ("$formatNumber(-12345.6, '0.00e0')", None, "-1.23e4"),
+    ("$formatNumber(123456, '00.0e0')", None, "12.3e4"),
 ]
 
 GROUPS["errors"] = [
