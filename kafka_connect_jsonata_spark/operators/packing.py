@@ -40,6 +40,7 @@ def pack_token_budget(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int | None = None,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Assign each document its (start_offset, pack_id, spans_boundary)
     under concat-then-chunk packing with ``budget`` tokens per pack.
@@ -48,6 +49,11 @@ def pack_token_budget(
     the document's FIRST token; ``spans_boundary`` marks documents whose
     tokens cross into the next pack (loaders typically split or mask
     those). Empty documents get zero-width placement (never span).
+
+    ``n_tokens_col``: use a precomputed per-doc token count instead of
+    whitespace-tokenizing ``text_col`` — tokenizer-aware packing (e.g.
+    feed ``bpe.encode_documents``'s ``n_bpe_tokens`` so packs respect the
+    REAL sequence lengths the model will see, not word counts).
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
@@ -58,11 +64,16 @@ def pack_token_budget(
             f"pack_token_budget orders by an integral id column; got {id_col}: "
             f"{id_type.simpleString()} (map non-integral ids to a dense rank first)"
         )
-    toks = df.select(
-        F.col(id_col).alias("id"),
+    count_expr = (
+        F.coalesce(F.col(n_tokens_col), F.lit(0))
+        if n_tokens_col is not None
         # null text counts as zero tokens (size(NULL) is NULL, which would
         # poison the prefix sums)
-        F.coalesce(F.size(tokens(F.col(text_col))), F.lit(0)).cast("long").alias("n_tokens"),
+        else F.coalesce(F.size(tokens(F.col(text_col))), F.lit(0))
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        count_expr.cast("long").alias("n_tokens"),
     )
     bounds = toks.agg(F.min("id").alias("lo"), F.max("id").alias("hi")).collect()[0]
     if bounds["lo"] is None:

@@ -2680,6 +2680,24 @@ ORDER BY wkey ASC, doc_id ASC LIMIT 100
 WEIGHTED_SAMPLE_SQL = _weighted_sample_sql()
 
 
+def pack_bpe_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C57 gate (rows-only: BPE has no SQL analog): tokenizer-aware
+    sequence packing — train BPE merges, encode, then pack by the REAL
+    token counts via pack_token_budget(n_tokens_col=...). The whitespace
+    path stays oracle-gated separately (pack_token_budget_docs); equality
+    of the two paths on a shared count column is pinned in
+    tests/test_queries_smoke.py."""
+    from kafka_connect_jsonata_spark.functions import bpe
+    from kafka_connect_jsonata_spark.operators.packing import pack_token_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(docs, num_merges=100, min_count=2)
+    enc = bpe.encode_documents(docs, merges).select("doc_id", "n_bpe_tokens")
+    return pack_token_budget(
+        enc, budget=2048, n_tokens_col="n_bpe_tokens"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2801,6 +2819,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier_train": quality_classifier_train,
     "bpe_encode_docs": bpe_encode_docs,
     "compression_ratio_docs": compression_ratio_docs,
+    "pack_bpe_budget_docs": pack_bpe_budget_docs,
     "multimodal_image_stats": multimodal_image_stats,
     "multimodal_audio_features": multimodal_audio_features,
     "pca_project_embeddings": pca_project_embeddings,

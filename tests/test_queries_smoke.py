@@ -36,6 +36,7 @@ ROWS_ONLY = {
     # zlib deflate has no SQL analog; parity with local zlib pinned in
     # tests/test_curation.py
     "compression_ratio_docs",
+    "pack_bpe_budget_docs",
 }
 
 
@@ -396,3 +397,21 @@ def test_quantize_roundtrip_bounds(spark):
             assert abs(r["unit"] - 1.0) < 1e-12
         else:
             assert r["unit"] == 0.0 and r["q"] == [0, 0, 0]
+
+
+def test_pack_n_tokens_col_matches_text_path(spark, sf_dir):
+    """pack_token_budget(n_tokens_col=...) with precomputed whitespace
+    counts must place every doc exactly like the text path."""
+    import pyspark.sql.functions as F
+
+    from kafka_connect_jsonata_spark.functions.text import token_count
+    from kafka_connect_jsonata_spark.operators.packing import pack_token_budget
+    from kafka_connect_jsonata_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    via_text = pack_token_budget(docs, budget=512)
+    pre = docs.select("doc_id", token_count(F.col("text")).alias("nt"))
+    via_col = pack_token_budget(pre, budget=512, n_tokens_col="nt")
+    a = sorted(map(tuple, via_text.select("doc_id", "start_offset", "pack_id").collect()))
+    b = sorted(map(tuple, via_col.select("doc_id", "start_offset", "pack_id").collect()))
+    assert a == b
