@@ -850,18 +850,18 @@ def duplicate_span_removal(
     islands = marked.select(
         "__id",
         "pos",
-        F.sum(brk).over(wd.rowsBetween(Window.unboundedPreceding, 0)).alias("isl"),
+        F.sum(brk).over(wd.rowsBetween(Window.unboundedPreceding, 0)).alias("__isl"),
     )
-    spans = islands.groupBy("__id", "isl").agg(
+    spans = islands.groupBy("__id", "__isl").agg(
         F.min("pos").alias("s"), (F.max("pos") + F.lit(L - 1)).alias("e")
     )
     per_doc = spans.groupBy("__id").agg(
-        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("spans")
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("__spans")
     )
 
     out = df.join(per_doc, df[id_col] == per_doc["__id"], "left")
     sp = F.coalesce(
-        F.col("spans"), F.array().cast("array<struct<s:int,e:int>>")
+        F.col("__spans"), F.array().cast("array<struct<s:int,e:int>>")
     )
     acc0 = F.struct(F.lit(0).alias("last"), F.lit("").alias("acc"))
     folded = F.aggregate(
