@@ -301,3 +301,37 @@ def test_streaming_dlq_split(spark, event_stream, sf_dir):
     assert n_ok == batch.count() - expected_dead
     row = spark.sql("SELECT * FROM t_dlq_dead LIMIT 1").first()
     assert row["error_code"] == "D3137" and "low-value" in row["error"]
+
+
+def test_curation_ops_stream_batch_parity(spark, sf_dir, tmp_path):
+    """Round-5 curation operators are stateless Column/Arrow maps, so they
+    must run UNCHANGED on a readStream and agree row-exactly with batch:
+    Gopher rule battery + classifier margin over a documents file-stream."""
+    from kafka_connect_jsonata_spark.functions import classifier
+    from kafka_connect_jsonata_spark.functions.curation import gopher_quality
+
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    (d / "documents.parquet").symlink_to(f"{sf_dir}/documents.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(str(d))
+
+    def chain(df):
+        g = gopher_quality(df).select(
+            "doc_id", F.col("keep").alias("g_keep"), "n_words"
+        )
+        s = classifier.score_documents(df).select("doc_id", "margin")
+        return g.join(s, "doc_id")
+
+    out = chain(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_curation_parity")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(map(tuple, spark.table("t_curation_parity").collect()))
+    exp = sorted(map(tuple, chain(load_table(spark, sf_dir, "documents")).collect()))
+    assert got == exp and len(got) > 0
