@@ -768,7 +768,8 @@ def fn_format_integer(ev, n=UNDEFINED, picture=UNDEFINED):
         return _to_alpha(n)
     if pic == "A":
         return _to_alpha(n).upper()
-    if re.fullmatch(r"[0#,]*0", pic):
+    # decimal-digit-family applies here too: '1;o' == '0;o' ("12th")
+    if re.fullmatch(r"[0#,]*0", re.sub(r"[1-9]", "0", pic)):
         s = fn_format_number(ev, n, pic)
         return s + (_ordinal_suffix(n) if ordinal else "")
     raise JsonataError("D3130", f"unsupported $formatInteger picture {picture!r}")

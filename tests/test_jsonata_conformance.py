@@ -134,6 +134,12 @@ GROUPS["numeric"] = [
     ("$formatNumber(1234.5678, '#,##0.00')", None, "1,234.57"),
     ("$formatBase(-100, 2)", None, "-1100100"),
     ("$parseInteger('one hundred and twenty-three', 'w')", None, 123),
+    ("$formatInteger(12, '1;o')", None, "12th"),
+    ("$formatInteger(3, '1;o')", None, "3rd"),
+    ("$formatInteger(22, '1;o')", None, "22nd"),
+    ("$formatInteger(11, '1;o')", None, "11th"),
+    ("$formatInteger(12, 'w;o')", None, "twelfth"),
+    ("$formatInteger(21, 'w;o')", None, "twenty-first"),
     ("-a", {"a": 5}, -5),
 ]
 
