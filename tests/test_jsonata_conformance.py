@@ -466,6 +466,9 @@ GROUPS["dates2"] = [
     ("$fromMillis(1510067557121, '[F1]')", None, "2"),
     ("$fromMillis(1510067557121, '[P]')", None, "pm"),
     ("$fromMillis(1510067557121, '[PN]')", None, "PM"),
+    ("$toMillis('07/11/2017', '[D01]/[M01]/[Y0001]')", None, 1510012800000),
+    ("$toMillis('13:45', '[H01]:[m01]')", None, 49500000),
+    ("$fromMillis(1510067557121)", None, "2017-11-07T15:12:37.121Z"),
 ]
 
 # dotted object constructor maps per item; un-dotted suffix is group-by
