@@ -819,12 +819,14 @@ class Compiler:
             return Typed(F.replace(s, F.lit(pat["value"]), a[2].col), T.StringType())
         if pat["type"] == "regex":
             repl = raw[2]
-            # group refs / escapes differ between JSONata ($N, $$) and Java
-            # Matcher replacement — compile only the literal-replacement case
-            if repl["type"] != "string" or "$" in repl["value"] or "\\" in repl["value"]:
-                raise NotCompilable("$replace regex with group refs or dynamic replacement")
+            if repl["type"] != "string":
+                raise NotCompilable("$replace regex with dynamic replacement")
+            # JSONata replacement syntax: $N = group ref (same as Java),
+            # $$ = literal dollar (Java spells it \$); backslashes are
+            # literal in JSONata but escapes in Java Matcher replacement
+            rv = repl["value"].replace("\\", "\\\\").replace("$$", "\\$")
             return Typed(
-                F.regexp_replace(s, self._regex_java(pat["value"]), repl["value"]),
+                F.regexp_replace(s, self._regex_java(pat["value"]), rv),
                 T.StringType(),
             )
         raise NotCompilable("$replace with dynamic pattern")
