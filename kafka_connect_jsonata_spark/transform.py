@@ -230,6 +230,14 @@ def transform(
         except NotCompilable:
             if force_tier == "compiled":
                 raise
+        except Exception:
+            # engine-level compile/analysis failure (e.g. a Spark type
+            # mismatch inside a higher-order expression the compiler
+            # accepted) — in auto mode this is just another "tier 1 can't
+            # run it": fall back to the semantics-complete interpreter
+            # instead of leaking an AnalysisException to the caller
+            if force_tier == "compiled":
+                raise
     # interpreter tier over the referenced slice of the row as JSON
     df = _prepare_interpreter_input(df, parse_cached(expr))
     json_col = F.to_json(F.struct(*[F.col(c) for c in df.columns]))

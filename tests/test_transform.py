@@ -472,3 +472,12 @@ def test_sql_registered_jsonata(spark):
     assert rows[1] == ("3", '{"id":2}')
     assert rows[2][0] == "6" and rows[2][1] is None  # tombstone -> NULL
     assert rows[3] == (None, None)
+
+
+def test_auto_tier_falls_back_on_engine_compile_errors(spark):
+    """A valid expression the compiler accepts but Spark's analyzer rejects
+    (aggregate() type mismatch on an empty-array reduce) must fall back to
+    the interpreter in auto mode instead of leaking AnalysisException."""
+    df = spark.createDataFrame([(1,)], "id long")
+    out = transform(df, "$reduce([], function($a,$b){$a+$b}, 5)")
+    assert [r[0] for r in out.collect()] == ["5"] or [r[0] for r in out.collect()] == [5]
