@@ -93,7 +93,11 @@ class Compiler:
                     fields = []
                     dts = []
                     for kexpr, vexpr in rhs_node["pairs"]:
-                        if kexpr["type"] not in ("string", "name"):
+                        if kexpr["type"] != "string":
+                            # a BARE name key is a PATH expression in
+                            # JSONata ({type: number} keys on the VALUE of
+                            # 'type') — dynamic keys cannot form a static
+                            # struct (context-sweep fix, round 5)
                             raise NotCompilable("computed object keys")
                         val = self._c(vexpr, Typed(x, elem_t), env)
                         fields.append(val.col.alias(kexpr["value"]))
@@ -176,7 +180,11 @@ class Compiler:
             fields = []
             dts = []
             for kexpr, vexpr in node["pairs"]:
-                if kexpr["type"] not in ("string", "name"):
+                if kexpr["type"] != "string":
+                    # bare name keys are PATH expressions in JSONata
+                    # ({type: number} keys on the value of 'type'); dynamic
+                    # keys cannot form a static struct (round-5 fix — the
+                    # old code compiled them as literals)
                     raise NotCompilable("computed object keys")
                 key = kexpr["value"]
                 val = self._c(vexpr, ctx, env)

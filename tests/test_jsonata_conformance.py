@@ -763,3 +763,72 @@ def test_dual_tier_constant_corpus_sweep(spark):
     assert not failures, failures[:5]
     # the sweep must be substantive, not vacuous
     assert compiled_n >= 100, (compiled_n, skipped)
+
+
+def test_dual_tier_context_corpus_sweep(spark):
+    """Context-DEPENDENT corpus cases (dict inputs) through both tiers:
+    the input object becomes a one-row DataFrame, so compiled paths,
+    predicates, and constructors over real structures are cross-checked
+    against the interpreter — the surface the engine actually runs on
+    user tables."""
+    import json
+
+    from kafka_connect_jsonata_spark.transform import transform
+
+    def norm(v):
+        if hasattr(v, "asDict"):
+            return {k: norm(x) for k, x in v.asDict().items()}
+        if isinstance(v, list):
+            return [norm(x) for x in v]
+        if isinstance(v, float) and v == int(v) and abs(v) < 1e15:
+            return int(v)
+        return v
+
+    compiled_n = skipped = 0
+    failures = []
+    for group, cases in GROUPS.items():
+        if group == "errors":
+            continue
+        for expr, data, expected in cases:
+            if not isinstance(data, dict) or not data:
+                continue
+            try:
+                # json inference keeps ints/doubles typed (createDataFrame
+                # from a raw dict infers map<string,string> instead)
+                df = spark.read.json(
+                    spark.sparkContext.parallelize([json.dumps(data)])
+                )
+            except Exception:
+                skipped += 1  # schema inference can't type this input
+                continue
+            try:
+                c = transform(df, expr, force_tier="compiled")
+                rows = c.collect()
+                if len(c.columns) == 1 and c.columns[0] in ("__result", "value"):
+                    cval = [norm(r[0]) for r in rows]
+                else:
+                    cval = [norm(r) for r in rows]
+            except Exception:
+                skipped += 1
+                continue
+            got = ev(expr, data)
+            want = [None] if got is UNDEFINED else [norm(json.loads(json.dumps(got)))]
+            if want == [None] and cval in ([], [[]], [None]):
+                compiled_n += 1
+                continue
+            # sequence-representation convention (SURVEY §1.3): the typed
+            # tier keeps arrays where the dynamic tier unwraps singletons —
+            # compiled [X] agreeing with want [[X's elements]] is a match
+            if (
+                len(cval) == 1
+                and isinstance(cval[0], list)
+                and cval[0] == want
+            ):
+                compiled_n += 1
+                continue
+            if cval != want:
+                failures.append((expr, cval, want))
+            else:
+                compiled_n += 1
+    assert not failures, failures[:5]
+    assert compiled_n >= 20, (compiled_n, skipped)
