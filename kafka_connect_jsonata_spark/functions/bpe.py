@@ -23,6 +23,7 @@ published 'lowest/newest/widest' worked example.
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -131,6 +132,12 @@ def encode_documents(
     table is closure-shipped (bounded by num_merges); segmentation is
     memoized per distinct word within each Arrow batch."""
     ranks = {tuple(p): i for i, p in enumerate(merges)}
+    # train-side word_histogram tokenizes with tokens() (Java regex \s+,
+    # ASCII whitespace only); mirror that EXACTLY here — Python str.split()
+    # also splits on Unicode whitespace (NBSP,  , ...), which would
+    # segment different words than the ones the merges were learned over
+    # (round-6 ADVICE fix).
+    _ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         memo: dict[str, list[str]] = {}
@@ -146,8 +153,9 @@ def encode_documents(
             for text in b["__text"]:
                 out: list[str] = []
                 if text:
-                    for w in text.split():
-                        out.extend(seg(w))
+                    for w in _ws.split(text):
+                        if w:
+                            out.extend(seg(w))
                 toks.append(out)
             yield pd.DataFrame({"__id": b["__id"], "bpe_tokens": toks})
 

@@ -961,7 +961,19 @@ def bigram_logprob_score(
     ).filter(F.col("__w2").isNotNull())
     c1 = pairs.groupBy("__w1").agg(F.count(F.lit(1)).alias("__c1"))
     c12 = pairs.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__c12"))
-    v = pos.agg((F.countDistinct("__w") + F.lit(1 if min_term_count > 1 else 0)).alias("__v"))
+    if min_term_count > 1:
+        # V = retained types + 1 for the OOV bucket. pos already has
+        # '<unk>' substituted in, so countDistinct must EXCLUDE it before
+        # adding the +1, or V comes out one too large whenever any rare
+        # token exists (round-6 ADVICE fix).
+        v = pos.agg(
+            (
+                F.countDistinct(F.when(F.col("__w") != "<unk>", F.col("__w")))
+                + F.lit(1)
+            ).alias("__v")
+        )
+    else:
+        v = pos.agg(F.countDistinct("__w").alias("__v"))
     p = (F.col("__c12") + F.lit(float(k))) / (
         F.col("__c1").cast("double") + F.lit(float(k)) * F.col("__v").cast("double")
     )

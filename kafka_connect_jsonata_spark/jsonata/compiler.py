@@ -17,12 +17,14 @@ Compilable subset (SURVEY.md §2B tables, "Spark" column):
 
 Also compiled: ``^(...)`` order-by over array columns, object fns
 ($merge/$sift/$each/$spread — struct cases resolve statically), $replace
-with literal patterns, $type from the static schema.
+with literal patterns and with regex group references (in-range ``$N``,
+``$$``, literal ``$``), $type from the static schema.
 
 Deliberately NOT compiled (fall back to tier 2): implicit array mapping with
 singleton unwrap, ``**``/``%``, group-by constructors, row-sequence
 order-by, recursion, ``$eval``, schema-as-data rewrites, picture strings,
-$match index reporting, $replace with limit or group refs.
+$match index reporting, $replace with a limit argument or out-of-range
+group references.
 """
 
 from __future__ import annotations
@@ -142,7 +144,16 @@ class Compiler:
                     return res.col
 
                 col = F.transform(lhs.col, build_call)
-                return Typed(col, T.ArrayType(dt_box[0] or T.StringType()))
+                res_t = dt_box[0] or T.StringType()
+                if isinstance(res_t, T.ArrayType):
+                    # path-step sequences flatten in JSONata:
+                    # ['a b','c d'].$split($,' ') -> ['a','b','c','d'], not
+                    # [['a','b'],['c','d']].  Drop per-element empty results
+                    # (null in tier 1) before flattening — the interpreter
+                    # drops empty sequences from the result sequence.
+                    col = F.flatten(F.filter(col, lambda r: r.isNotNull()))
+                    return Typed(col, res_t)
+                return Typed(col, T.ArrayType(res_t))
             return self._c(rhs_node, lhs, env)
         if t == "filter":
             return self._filter(node, ctx, env)
@@ -831,10 +842,26 @@ class Compiler:
                 raise NotCompilable("$replace regex with dynamic replacement")
             # JSONata replacement syntax: $N = group ref (same as Java),
             # $$ = literal dollar (Java spells it \$); backslashes are
-            # literal in JSONata but escapes in Java Matcher replacement
-            rv = repl["value"].replace("\\", "\\\\").replace("$$", "\\$")
+            # literal in JSONata but escapes in Java Matcher replacement.
+            # A lone '$' not followed by a digit is a LITERAL in JSONata but
+            # a group-ref error in Java — escape it.  Out-of-range $N throws
+            # at action time in Java (after tier selection, so auto mode
+            # could not fall back) — validate group count here and route to
+            # tier 2 instead.
+            java_pat = self._regex_java(pat["value"])
+            try:
+                ngroups = re.compile(java_pat).groups
+            except re.error:
+                raise NotCompilable("$replace regex not Python-validatable")
+            rv = repl["value"].replace("\\", "\\\\").replace("$$", "\x00")
+            for m in re.finditer(r"\$(\d+)", rv):
+                if int(m.group(1)) > ngroups:
+                    raise NotCompilable(
+                        "$replace group ref out of range (tier-2 semantics)"
+                    )
+            rv = re.sub(r"\$(?!\d)", "\\\\$", rv).replace("\x00", "\\$")
             return Typed(
-                F.regexp_replace(s, self._regex_java(pat["value"]), rv),
+                F.regexp_replace(s, java_pat, rv),
                 T.StringType(),
             )
         raise NotCompilable("$replace with dynamic pattern")

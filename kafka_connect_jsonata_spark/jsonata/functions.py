@@ -416,7 +416,12 @@ def fn_replace(ev, s=UNDEFINED, pat=UNDEFINED, repl=UNDEFINED, limit=UNDEFINED):
                 i += 1
         return "".join(out)
 
-    return rx.sub(conv(repl), s, count=count)
+    try:
+        return rx.sub(conv(repl), s, count=count)
+    except re.error as e:
+        # out-of-range $N group reference (round-6 fix: surface as a
+        # JSONata evaluation error, not a raw Python re.error)
+        raise JsonataError("D1004", f"invalid group reference in $replace: {e}")
 
 
 def fn_base64encode(ev, s=UNDEFINED):

@@ -74,3 +74,33 @@ def test_empty_and_null_text(spark):
     assert got[1]["bpe_tokens"] == [] and got[1]["n_bpe_tokens"] == 0
     assert got[2]["bpe_tokens"] == []
     assert got[3]["bpe_tokens"] == ["ab", "</w>"]
+
+
+def test_encode_tokenization_matches_train_side_on_unicode_ws(spark):
+    """Train-side word_histogram splits on Java \\s+ (ASCII whitespace
+    only); encode_documents must split the SAME way — a NBSP-joined pair
+    is ONE word on both sides, not two (round-6 ADVICE fix: str.split()
+    also split on Unicode whitespace)."""
+    from kafka_connect_jsonata_spark.functions.bpe import (
+        encode_documents,
+        train_bpe,
+        word_histogram,
+    )
+
+    w = "lo\u00a0hi"  # NO-BREAK SPACE inside: Java \\s does NOT split it
+    df = spark.createDataFrame(
+        [(1, f"{w} {w}"), (2, w)], ["doc_id", "text"]
+    )
+    hist = {r["word"]: r["count"] for r in word_histogram(df).collect()}
+    assert hist.get(w) == 3  # one word train-side, three occurrences
+    merges = train_bpe(df, num_merges=20)
+    out = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in encode_documents(df, merges).collect()
+    }
+    # apply-side must segment the same NBSP-containing word, not split it
+    assert "\u00a0" in "".join(out[2])
+    # word-boundary count matches train-side tokenization: doc 1 has
+    # exactly 2 words -> exactly 2 end-of-word markers
+    assert sum(t.endswith("</w>") for t in out[1]) == 2
+    assert sum(t.endswith("</w>") for t in out[2]) == 1

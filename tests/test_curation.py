@@ -366,3 +366,36 @@ def test_bigram_logprob_floor_maps_rare_to_unk(spark):
     assert got[2]["avg_neg_logp2"] > got[3]["avg_neg_logp2"]
     with pytest.raises(ValueError):
         bigram_logprob_score(df, min_term_count=0)
+
+
+def test_bigram_logprob_floor_V_is_retained_plus_one(spark):
+    """Exact reference parity WITH the frequency floor: V must be the
+    count of RETAINED types + 1 for the OOV bucket — not one larger
+    (round-6 ADVICE fix: countDistinct previously ran after the <unk>
+    substitution, double-counting the bucket)."""
+    import math
+    from collections import Counter
+
+    from kafka_connect_jsonata_spark.functions.curation import bigram_logprob_score
+
+    rows = [(1, "a b a b"), (2, "a rare b"), (3, "a b odd a")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in bigram_logprob_score(df, min_term_count=2).collect()
+    }
+
+    toks = [w for _, t in rows for w in t.split()]
+    keep = {w for w, c in Counter(toks).items() if c >= 2}
+    sub = {
+        did: [w if w in keep else "<unk>" for w in t.split()] for did, t in rows
+    }
+    pairs = [p for ws in sub.values() for p in zip(ws, ws[1:])]
+    c12, c1 = Counter(pairs), Counter(p[0] for p in pairs)
+    v = len(keep) + 1  # retained types + OOV bucket
+    for did, ws in sub.items():
+        ps = list(zip(ws, ws[1:]))
+        want = sum(
+            -math.log((c12[p] + 0.1) / (c1[p[0]] + 0.1 * v)) for p in ps
+        ) / len(ps)
+        assert got[did]["avg_neg_logp2"] == pytest.approx(want, abs=1e-6), did

@@ -539,6 +539,17 @@ GROUPS["scoping"] = [
     ("[3,1,2]^($)", None, [1, 2, 3]),
     # literal (non-regex) replacement: '$' has no special meaning
     ("$replace('hello', 'l', '$$')", None, "he$$$$o"),
+    # regex replacement: lone '$' (not followed by a digit) is a LITERAL;
+    # '$$' is an escaped dollar; '$0' is the whole match (round-6 fixes —
+    # the compiler previously handed lone '$' to Java Matcher, which threw)
+    ("$replace('a-b', /-/, ' $ ')", None, "a $ b"),
+    ("$replace('a-b', /-/, '$$')", None, "a$b"),
+    ("$replace('a-b-c', /-/, '$0$0')", None, "a--b--c"),
+    ("$replace('abcd', /(ab)(c)/, '$2$1$0')", None, "cababcd"),
+    # dotted function-call step over an array FLATTENS array-valued
+    # results, like every JSONata path step (round-6 compiler fix)
+    ("['a b','c d'].$split($, ' ')", None, ["a", "b", "c", "d"]),
+    ("['a','b c'].$split($, ' ')", None, ["a", "b", "c"]),
     ("$number('0x1F')", None, 31),  # hex string accepted (jsonata 1.7+)
     ("$match('ababab', /ab/, 2)[1].index", None, 2),
     ("$lookup([{'a':1},{'a':2}], 'a')", None, [1, 2]),
@@ -574,6 +585,10 @@ GROUPS["scoping"] = [
 GROUPS["errors"] = [
     "$sqrt(-1)",
     "1/0",
+    # out-of-range $N group refs error in tier 2; the compiler must route
+    # them there (NotCompilable), never to Java Matcher at action time
+    "$replace('abc', /(b)/, '[$2]')",
+    "$replace('abc', /(b)/, '[$15]')",
     "$sort([1,'a'])",
     "$uppercase(5)",
     "1 +",
@@ -832,3 +847,24 @@ def test_dual_tier_context_corpus_sweep(spark):
                 compiled_n += 1
     assert not failures, failures[:5]
     assert compiled_n >= 20, (compiled_n, skipped)
+
+
+def test_out_of_range_group_ref_not_compilable():
+    """Out-of-range $N in a $replace replacement must raise NotCompilable
+    at COMPILE time (so auto tier falls back to the interpreter's error
+    semantics), never surface as a Java INVALID_REGEXP_REPLACE at action
+    time after tier selection (round-6 ADVICE fix)."""
+    from pyspark.sql import types as T
+
+    from kafka_connect_jsonata_spark.jsonata.compiler import Compiler, NotCompilable
+
+    c = Compiler(T.StructType([T.StructField("s", T.StringType())]))
+    for expr in (
+        "$replace('abc', /(b)/, '[$2]')",
+        "$replace('abc', /(b)/, '[$15]')",
+    ):
+        with pytest.raises(NotCompilable):
+            c.compile(expr)
+    # in-range refs and literal dollars still compile
+    c.compile("$replace('abc', /(b)/, '[$1]')")
+    c.compile("$replace('a-b', /-/, ' $ ')")
