@@ -55,6 +55,10 @@ def get_spark(app_name: str = "spark-jsonata", cpus: int | None = None) -> Spark
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # progress bars interleave \r-spew with stdout; a driver tail
+        # capture of bench.py then truncates its JSON line mid-string
+        # (BENCH_r05.json arrived unparseable that way)
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # The default codegen class cache holds 100 entries; a session that
         # runs the full headline query set compiles several hundred

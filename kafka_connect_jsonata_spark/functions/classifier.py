@@ -156,13 +156,21 @@ def train_logreg(
     if n == 0:
         feats.unpersist()
         raise ValueError("no non-empty documents to train on")
+    sc = df.sparkSession.sparkContext
     w = np.zeros(dim, dtype=np.float64)
     try:
         for _ in range(int(iters)):
-            w_c = w.copy()
+            # Ship the per-iteration weights as a SparkContext broadcast,
+            # not a closure capture: a closure re-pickles the full vector
+            # into every task description each iteration, while a broadcast
+            # moves it once per executor over the torrent protocol — the
+            # difference between 0.8 MB at dim=100k and real pain at
+            # embedding-width dims (round-6 review item).
+            b_w = sc.broadcast(w.copy())
 
             @pandas_udf("double")
             def resid(idx: pd.Series) -> pd.Series:
+                w_c = b_w.value
                 m = np.zeros(len(idx), dtype=np.float64)
                 for i, arr in enumerate(idx):
                     if arr is not None and len(arr):
@@ -176,6 +184,7 @@ def train_logreg(
                 .agg(F.sum("__r").alias("g"))
                 .collect()
             )
+            b_w.unpersist(blocking=False)
             g = np.zeros(dim, dtype=np.float64)
             for row in grad_rows:
                 g[row["j"]] = row["g"]

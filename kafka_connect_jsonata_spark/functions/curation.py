@@ -817,8 +817,9 @@ def quantile_filter(
     q: float,
     group_col: str = None,
     tiebreak_col: str = None,
-    exact: bool = True,
+    exact: bool | str = "auto",
     rel_err: float = 0.01,
+    exact_cap: int = 5_000_000,
 ) -> DataFrame:
     """Keep the rows whose score sits in the top ``(1-q)`` slice of their
     group — the "train on the best X% per source" curation step (quality
@@ -836,9 +837,30 @@ def quantile_filter(
     100 TB path: two linear scans, no per-group total order; boundary rows
     within ``rel_err`` of the cut may differ from the exact slice, which
     is why it is the non-gated variant.
+
+    ``exact="auto"`` (default): probe the largest group's row count (one
+    bounded agg — a single number reaches the driver) and take the exact
+    tier only when every group fits a per-task sort (``<= exact_cap``
+    rows); above the cap, route to the approx tier. This is the same
+    auto-routing pattern as ``dedup.embedding_dup_pairs(strategy="auto")``
+    — a 100 TB caller who takes the defaults can no longer land on a
+    single-task global sort (``group_col=None``) or a skewed-group window
+    sort by accident.
     """
     if not 0.0 <= q < 1.0:
         raise ValueError("q must be in [0, 1)")
+    if exact == "auto":
+        if group_col is None:
+            biggest = df.count()
+        else:
+            biggest = (
+                df.groupBy(group_col)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .agg(F.max("__n"))
+                .first()[0]
+                or 0
+            )
+        exact = biggest <= int(exact_cap)
     order = [F.col(score_col).asc()]
     if tiebreak_col is not None:
         order.append(F.col(tiebreak_col).asc())

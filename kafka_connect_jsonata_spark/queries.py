@@ -366,9 +366,16 @@ WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
 
 
 def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with no orders at all (left-anti = NOT EXISTS)."""
+    """Customers with no URGENT order (left-anti = NOT EXISTS).
+
+    The right side is sliced to priority 1-URGENT so the anti set is
+    NON-EMPTY at every test sf (203 rows at sf0.01) — an anti join whose
+    gate passes on 0 = 0 rows proves nothing (round-6 fix; previously
+    anti-joined against ALL orders, and every customer has one)."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return R.equi_join(
         cust, orders.select(F.col("o_custkey").alias("c_custkey")), ["c_custkey"], "left_anti"
     ).select("c_custkey", "c_name")
@@ -376,7 +383,8 @@ def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANTI_JOIN_SQL = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
 """
 
 

@@ -685,6 +685,30 @@ def test_quantile_filter_approx_tier_broadcasts_thresholds(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_quantile_filter_auto_tier_routes_by_group_size(spark, sf_dir):
+    """C47 auto tier (round-6): above a forced-low cap the default must
+    take the approx threshold path (no per-group window sort); below it,
+    the exact percent_rank window. A defaults-taking 100 TB caller can no
+    longer land on a single-task global sort."""
+    from kafka_connect_jsonata_spark.functions import curation
+    from kafka_connect_jsonata_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # forced-low cap -> approx: threshold broadcast join, no rank window
+    big = curation.quantile_filter(docs, "n_chars", 0.5, group_col="source", exact_cap=1)
+    plan = plan_of(big)
+    assert "percent_rank" not in plan and "BroadcastHashJoin" in plan
+    # worst case: group_col=None under a low cap must NOT be a global sort
+    glob = curation.quantile_filter(docs, "n_chars", 0.5, exact_cap=1)
+    gplan = plan_of(glob)
+    assert "percent_rank" not in gplan
+    # generous cap -> exact window, identical to the SQL-gated tier
+    small = curation.quantile_filter(
+        docs, "n_chars", 0.5, group_col="source", tiebreak_col="doc_id"
+    )
+    assert "percent_rank" in plan_of(small)
+
+
 def test_pipeline_scores_each_document_exactly_once(spark, sf_dir):
     """C49: the composed pipeline filters on the classifier margin; the
     margin udf must not be cloned below the exchange by that filter."""
