@@ -54,7 +54,11 @@ class Compiler:
         self.schema = schema
 
     def compile(self, source: str) -> Typed:
-        ast = parse(source)
+        return self.compile_ast(parse(source))
+
+    def compile_ast(self, ast: dict) -> Typed:
+        """Compile an already-parsed AST (used by the envelope hybrid tier,
+        which compiles sub-expressions of a larger dynamic-tier AST)."""
         root = Typed(F.struct(*[F.col(f.name) for f in self.schema.fields]), self.schema)
         return self._c(ast, root, {})
 

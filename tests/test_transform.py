@@ -150,6 +150,62 @@ def test_envelope_reroute_and_retimestamp(spark, sf_dir):
     assert all(r["topic"] == "rerouted" and r["timestamp"] == 0 for r in rows)
 
 
+HYBRID_ENVELOPE_EXPRS = [
+    "$merge([$, {'topic': 'purchases', 'kafkaPartition': 3}])",
+    "$merge([$, {'topic': 'rerouted', 'timestamp': 0}])",
+    "$merge([$, {'kafkaPartition': timestamp % 8}])",
+    "$merge([$, {'topic': topic & '-v2'}, {'timestamp': timestamp + 1000}])",
+    "$merge([$, {'keySchema': null, 'key': 'fixed'}])",
+]
+
+INTERPRETER_ENVELOPE_EXPRS = [
+    "$",  # bare identity: not the merge idiom
+    "value.event_type = 'purchase' ? $ : null",  # payload read + tombstone
+    "$merge([$, {'value': value}])",  # payload subtree not identity
+    "$merge([$, {'topic': value.event_type}])",  # scalar from payload tree
+]
+
+
+@pytest.mark.parametrize("expr", HYBRID_ENVELOPE_EXPRS)
+def test_envelope_hybrid_matches_interpreter(spark, sf_dir, expr):
+    """Round-5 verdict #1: envelope-level rewrites with opaque payload
+    passthrough compile to native Columns (no Python node in the plan) and
+    agree with the interpreter tier value-for-value."""
+    from kafka_connect_jsonata_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    env = wrap_as_dynamic_envelope(ev, topic="events", key_col="event_id", timestamp_col="ts")
+    hybrid = transform_envelope(env, expr)
+    plan = hybrid._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    interp = transform_envelope(env, expr, force_tier="interpreter")
+    cols = [
+        "topic",
+        "kafkaPartition",
+        "timestamp",
+        "key",
+        "keySchema",
+        F.get_json_object("value", "$.event_type").alias("et"),
+    ]
+    h = sorted(tuple(r) for r in hybrid.select(*cols).collect())
+    i = sorted(tuple(r) for r in interp.select(*cols).collect())
+    assert h == i
+
+
+@pytest.mark.parametrize("expr", INTERPRETER_ENVELOPE_EXPRS)
+def test_envelope_true_rewrites_stay_interpreter(spark, sf_dir, expr):
+    """Schema-as-data rewrites and payload reads must NOT hybrid-compile —
+    the typed plan carries payloads as JSON strings, the interpreter env
+    as decoded trees."""
+    from kafka_connect_jsonata_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(20)
+    env = wrap_as_dynamic_envelope(ev, topic="events", key_col="event_id", timestamp_col="ts")
+    out = transform_envelope(env, expr)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+
+
 def test_envelope_tombstone_filter(spark, sf_dir):
     """A4: records whose expression evaluates null are dropped."""
     from kafka_connect_jsonata_spark.sources.readers import load_table
