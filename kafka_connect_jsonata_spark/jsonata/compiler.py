@@ -18,13 +18,22 @@ Compilable subset (SURVEY.md §2B tables, "Spark" column):
 Also compiled: ``^(...)`` order-by over array columns, object fns
 ($merge/$sift/$each/$spread — struct cases resolve statically), $replace
 with literal patterns and with regex group references (in-range ``$N``,
-``$$``, literal ``$``), $type from the static schema.
+``$$``, literal ``$``), $type from the static schema, block-bound lambdas
+(``$f := function..`` — inlined by substitution at invocation and HOF
+sites, builtin references like ``$map(a, $uppercase)`` included), $sort
+with a comparator (array_sort 3-way, stable), $reduce first-element init,
+single-pair group-by constructors ``seq{k: v}`` with string keys and
+scalar-typed values (-> MapType), $match with literal anchor/lookaround-
+free patterns (index reconstructed by a locate() fold), and the
+zero-padded digit pictures of $formatInteger/$parseInteger.
 
 Deliberately NOT compiled (fall back to tier 2): implicit array mapping with
-singleton unwrap, ``**``/``%``, group-by constructors, row-sequence
-order-by, recursion, ``$eval``, schema-as-data rewrites, picture strings,
-$match index reporting, $replace with a limit argument or out-of-range
-group references.
+singleton unwrap, ``**``/``%``, multi-pair or sequence-valued group-by
+(runtime D1009 / dynamic singleton unwrap), row-sequence
+order-by, recursion, ``$eval``, schema-as-data rewrites, words/roman/
+ordinal integer pictures, $match with anchors/lookaround/zero-length or
+group-under-alternation patterns, $replace with a limit argument or
+out-of-range group references.
 """
 
 from __future__ import annotations
@@ -47,6 +56,17 @@ class NotCompilable(Exception):
 class Typed:
     col: Column
     dtype: T.DataType | None  # None = unknown/any
+
+
+@dataclass
+class CompiledLambda:
+    """A lambda bound to a variable inside a block (``$f := function..``),
+    kept as raw AST + captured compile-time env so later invocations and
+    HOF references inline it (closures compile by substitution)."""
+
+    params: list
+    body: dict
+    env: dict
 
 
 class Compiler:
@@ -182,12 +202,37 @@ class Compiler:
             result = None
             for expr in node["expressions"]:
                 if expr["type"] == "bind":
-                    child[expr["var"]] = self._c(expr["rhs"], ctx, child)
+                    rhs = expr["rhs"]
+                    if rhs["type"] == "lambda":
+                        # keep the lambda as AST + captured env; invocations
+                        # and HOF references inline it later
+                        child[expr["var"]] = CompiledLambda(
+                            rhs["args"], rhs["body"], dict(child)
+                        )
+                        result = None  # a block VALUE of lambda type: tier 2
+                        continue
+                    if rhs["type"] == "variable":
+                        # alias of a bound lambda or of a builtin function
+                        # ($f := $uppercase) — keep it callable
+                        bound = child.get(rhs["value"])
+                        if isinstance(bound, CompiledLambda):
+                            child[expr["var"]] = bound
+                            result = None
+                            continue
+                        if rhs["value"] not in child and hasattr(
+                            self, "_fn_" + rhs["value"]
+                        ):
+                            child[expr["var"]] = self._builtin_as_lambda(
+                                rhs["value"], child
+                            )
+                            result = None
+                            continue
+                    child[expr["var"]] = self._c(rhs, ctx, child)
                     result = child[expr["var"]]
                 else:
                     result = self._c(expr, ctx, child)
             if result is None:
-                raise NotCompilable("empty block")
+                raise NotCompilable("empty block (or block valued as a lambda)")
             return result
         if t == "bind":
             raise NotCompilable("bind outside block")
@@ -237,6 +282,8 @@ class Compiler:
             )
         if t == "sort":
             return self._sort(node, ctx, env)
+        if t == "group":
+            return self._group(node, ctx, env)
         if t == "call":
             return self._call(node, ctx, env)
         if t == "apply":
@@ -412,10 +459,41 @@ class Compiler:
         return v.col.cast("string")
 
     # -------------------------------------------------------------- functions
+    def _builtin_as_lambda(self, name: str, env: dict) -> "CompiledLambda":
+        """Wrap a builtin reference ($uppercase in HOF/alias position) as a
+        one-arg lambda calling it, so it inlines like a bound lambda."""
+        arg = {"type": "variable", "value": "__hof_arg", "pos": 0}
+        body = {
+            "type": "call",
+            "procedure": {"type": "variable", "value": name, "pos": 0},
+            "arguments": [arg],
+            "pos": 0,
+        }
+        return CompiledLambda(["__hof_arg"], body, dict(env))
+
+    def _is_fn_ref(self, node, env: dict) -> bool:
+        """A raw argument node that names a function (bound lambda or
+        builtin) rather than a value — consumed raw by HOF handlers."""
+        return node["type"] == "variable" and (
+            isinstance(env.get(node["value"]), CompiledLambda)
+            or (
+                node["value"] not in env
+                and hasattr(self, "_fn_" + node["value"])
+            )
+        )
+
     def _call(self, node, ctx: Typed, env: dict) -> Typed:
         proc = node["procedure"]
         if proc["type"] == "variable" and proc["value"] in env:
-            raise NotCompilable("user lambda invocation")  # tier 2
+            lam = env[proc["value"]]
+            if not isinstance(lam, CompiledLambda):
+                raise NotCompilable("call of non-lambda binding")
+            # inline the bound lambda: compile args in the CALLER's env,
+            # evaluate the body in the lambda's captured env (closure)
+            child = dict(lam.env)
+            for p, anode in zip(lam.params, node["arguments"]):
+                child[p] = self._c(anode, ctx, env)
+            return self._c(lam.body, ctx, child)
         if proc["type"] != "variable":
             raise NotCompilable("computed function reference")
         name = proc["value"]
@@ -424,14 +502,17 @@ class Compiler:
         handler = getattr(self, "_fn_" + name, None)
         if handler is None:
             raise NotCompilable(f"function ${name} not in compiled subset")
-        # lambda and regex-literal arguments are consumed from the raw AST
-        # by their handlers (a bare regex has no Column form); $merge takes
-        # its array argument raw as well — its elements are structs of
-        # DIFFERENT schemas, which no single ArrayType can hold
+        # lambda, regex-literal, and function-reference arguments are
+        # consumed from the raw AST by their handlers (a bare regex/function
+        # has no Column form); $merge takes its array argument raw as well —
+        # its elements are structs of DIFFERENT schemas, which no single
+        # ArrayType can hold
         if name == "merge":
             return self._fn_merge([], ctx, env, args)
         typed_args = [
-            None if a["type"] in ("lambda", "regex") else self._c(a, ctx, env)
+            None
+            if a["type"] in ("lambda", "regex") or self._is_fn_ref(a, env)
+            else self._c(a, ctx, env)
             for a in args
         ]
         return handler(typed_args, ctx, env, args)
@@ -512,6 +593,106 @@ class Compiler:
             mods += "s"
         return (f"(?{mods})" if mods else "") + rx.pattern
 
+    _MATCH_RESULT_T = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("match", T.StringType()),
+                T.StructField("index", T.IntegerType()),
+                T.StructField("groups", T.ArrayType(T.StringType())),
+            ]
+        )
+    )
+
+    def _fn_match(self, a, ctx, env, raw):
+        """B4 $match -> array of {match, index, groups} structs, natively:
+        regexp_extract_all for the match/group texts, and a left-to-right
+        fold reconstructing each match's index by locate()-ing its text at
+        or after the previous match's end (sound because the regex engine
+        scans left-to-right: the matched text first occurs, matchably, at
+        its own position). Patterns whose match position depends on
+        CONTEXT outside the matched text — anchors, word boundaries,
+        lookaround — break that reconstruction and stay tier 2, as do
+        zero-length-matchable patterns (D1004 in the interpreter) and
+        patterns mixing capture groups with alternation/optionality
+        (a non-participating group is undefined in JSONata but '' from
+        regexp_extract_all)."""
+        import re as _re
+
+        if len(raw) < 2 or raw[1]["type"] != "regex":
+            raise NotCompilable("$match with dynamic pattern")
+        rx = raw[1]["value"]
+        p = rx.pattern
+        if any(tok in p for tok in ("(?=", "(?!", "(?<", "\\b", "\\B")):
+            raise NotCompilable("$match pattern with lookaround/boundaries")
+        if _re.search(r"(?<!\\)[\^$]", p):
+            raise NotCompilable("$match pattern with anchors")
+        if rx.groups and any(c in p for c in "|?*"):
+            raise NotCompilable(
+                "$match groups with alternation/optionality (tier 2)"
+            )
+        if _re.compile(rx.pattern, rx.flags).match(""):
+            raise NotCompilable("$match zero-length-matchable pattern (D1004)")
+        pat = self._regex_java(rx)
+        s = a[0].col
+        ms = F.regexp_extract_all(s, F.lit(pat), F.lit(0))
+        if len(raw) > 2:
+            if raw[2]["type"] != "number" or int(raw[2]["value"]) < 1:
+                raise NotCompilable("$match with dynamic/degenerate limit")
+            ms = F.slice(ms, 1, int(raw[2]["value"]))
+        gcols = [
+            F.regexp_extract_all(s, F.lit(pat), F.lit(i))
+            for i in range(1, rx.groups + 1)
+        ]
+        acc0 = F.struct(
+            F.lit(1).alias("pos"), F.array().cast("array<int>").alias("idx")
+        )
+
+        def step(acc, m):
+            loc = F.call_function("locate", m, s, acc.getField("pos"))
+            return F.struct(
+                (loc + F.length(m)).alias("pos"),
+                F.concat(
+                    acc.getField("idx"), F.array((loc - 1).cast("int"))
+                ).alias("idx"),
+            )
+
+        idxs = F.aggregate(ms, acc0, step).getField("idx")
+
+        def assemble(j):
+            groups = (
+                F.array(*[F.element_at(g, j) for g in gcols])
+                if gcols
+                else F.array().cast("array<string>")
+            )
+            return F.struct(
+                F.element_at(ms, j).alias("match"),
+                F.element_at(idxs, j).alias("index"),
+                groups.alias("groups"),
+            )
+
+        col = F.when(
+            F.size(ms) >= 1,
+            F.transform(F.sequence(F.lit(1), F.size(ms)), assemble),
+        ).otherwise(F.array().cast(self._MATCH_RESULT_T))
+        return Typed(col, self._MATCH_RESULT_T)
+
+    def _fn_formatInteger(self, a, ctx, env, raw):
+        # zero-padded digit pictures only; words/roman/ordinal stay tier 2
+        if len(raw) < 2 or raw[1]["type"] != "string":
+            raise NotCompilable("$formatInteger with dynamic picture")
+        pic = raw[1]["value"]
+        if not re.fullmatch(r"0+", pic):
+            raise NotCompilable(f"$formatInteger picture {pic!r} (tier 2)")
+        n = F.round(self._num(a[0])).cast("long")
+        return Typed(F.format_string(f"%0{len(pic)}d", n), T.StringType())
+
+    def _fn_parseInteger(self, a, ctx, env, raw):
+        if len(raw) < 2 or raw[1]["type"] != "string":
+            raise NotCompilable("$parseInteger with dynamic picture")
+        if not re.fullmatch(r"0+", raw[1]["value"]):
+            raise NotCompilable("$parseInteger non-digit picture (tier 2)")
+        return Typed(a[0].col.cast("long"), T.LongType())
+
     def _fn_contains(self, a, ctx, env, raw):
         if raw[-1]["type"] == "regex":
             return Typed(
@@ -585,8 +766,17 @@ class Compiler:
         return Typed(F.rand(), T.DoubleType())
 
     def _fn_formatBase(self, a, ctx, env, raw):
-        radix = a[1].col if len(a) > 1 else F.lit(10)
-        return Typed(F.lower(F.conv(a[0].col.cast("long").cast("string"), 10, radix.cast("int"))), T.StringType())
+        # conv() takes literal int bases, treats negatives as unsigned
+        # 64-bit, and JSONata rounds the input — handle all three
+        if len(raw) > 1 and raw[1]["type"] != "number":
+            raise NotCompilable("$formatBase with dynamic radix")
+        radix = int(raw[1]["value"]) if len(raw) > 1 else 10
+        if not 2 <= radix <= 36:
+            raise NotCompilable("$formatBase radix out of range (D3100)")
+        n = F.round(self._num(a[0])).cast("long")
+        mag = F.lower(F.conv(F.abs(n).cast("string"), 10, radix))
+        col = F.when(n < 0, F.concat(F.lit("-"), mag)).otherwise(mag)
+        return Typed(col, T.StringType())
 
     def _fn_formatNumber(self, a, ctx, env, raw):
         # Common-picture subset (the '#,##0.00' family JSONata4Java users
@@ -659,9 +849,33 @@ class Compiler:
         return Typed(F.array_distinct(a[0].col), a[0].dtype)
 
     def _fn_sort(self, a, ctx, env, raw):
-        if len(a) > 1:
-            raise NotCompilable("$sort with comparator")
-        return Typed(F.array_sort(a[0].col), a[0].dtype)
+        arr = a[0]
+        if not isinstance(arr.dtype, T.ArrayType):
+            raise NotCompilable("$sort over non-array")
+        if len(raw) > 1:
+            # comparator(l, r) returns true when l sorts AFTER r; compile to
+            # array_sort's 3-way form. 0 on "neither after" keeps Java's
+            # TimSort stable for equal keys (the corpus pins stability).
+            params, body, base_env = self._resolve_lambda(raw[1], env)
+            if len(params) < 2:
+                raise NotCompilable("$sort comparator arity")
+            et = arr.dtype.elementType
+
+            def after(x, y):
+                child = dict(base_env)
+                child[params[0]] = Typed(x, et)
+                child[params[1]] = Typed(y, et)
+                return self._truthy(self._c(body, ctx, child))
+
+            def cmp(l, r):
+                return (
+                    F.when(after(l, r), F.lit(1))
+                    .when(after(r, l), F.lit(-1))
+                    .otherwise(F.lit(0))
+                )
+
+            return Typed(F.array_sort(arr.col, cmp), arr.dtype)
+        return Typed(F.array_sort(arr.col), arr.dtype)
 
     def _fn_zip(self, a, ctx, env, raw):
         # JSONata $zip returns an array of ARRAYS; arrays_zip's structs
@@ -685,6 +899,66 @@ class Compiler:
             idx, lambda i: F.array(*[F.element_at(c, i) for c in cols])
         )
         return Typed(tup, T.ArrayType(T.ArrayType(ets[0])))
+
+    def _group(self, node, ctx: Typed, env: dict) -> Typed:
+        """B2.2 group-by constructor ``seq{key: value}`` -> MapType.
+        Distinct keys in first-occurrence order (map_from_entries preserves
+        entry order, matching the interpreter's insertion-ordered dict);
+        the value expression compiles against the grouped SUB-SEQUENCE.
+
+        Compiled subset: single pair (multi-pair needs runtime D1009
+        duplicate-key detection), statically-string key, and a non-array
+        value dtype — sequence-valued groups would need the interpreter's
+        dynamic singleton unwrap, which no fixed Spark type can express.
+        Null keys drop their items (undefined-key semantics; tier 1's
+        documented NULL conflation applies); null values drop their keys
+        (undefined-value pair omission, same conflation)."""
+        base = self._c(node["expr"], ctx, env)
+        if isinstance(base.dtype, T.ArrayType):
+            arr, et = base.col, base.dtype.elementType
+        elif base.dtype is not None and not isinstance(base.dtype, T.NullType):
+            # scalar context: a one-item sequence
+            arr, et = F.array(base.col), base.dtype
+        else:
+            raise NotCompilable("group-by over untyped context")
+        if len(node["pairs"]) != 1:
+            raise NotCompilable("group-by with multiple pairs (D1009 tier 2)")
+        kexpr, vexpr = node["pairs"][0]
+
+        def key_of(x):
+            k = self._c(kexpr, Typed(x, et), env)
+            if not isinstance(k.dtype, T.StringType):
+                raise NotCompilable("group-by key not statically a string")
+            return k.col
+
+        keys = F.array_distinct(
+            F.filter(F.transform(arr, key_of), lambda k: k.isNotNull())
+        )
+        vt_box: list = []
+
+        def entry(k):
+            grp = F.filter(arr, lambda x: key_of(x) == k)
+            v = self._c(vexpr, Typed(grp, T.ArrayType(et)), env)
+            if isinstance(v.dtype, T.ArrayType):
+                raise NotCompilable(
+                    "group-by value of sequence type (singleton unwrap)"
+                )
+            vt_box.append(v.dtype)
+            return F.struct(k.alias("key"), v.col.alias("value"))
+
+        entries = F.filter(
+            F.transform(keys, entry), lambda e: e.getField("value").isNotNull()
+        )
+        col = F.map_from_entries(entries)
+        # a missing/empty input sequence still constructs {} (the
+        # interpreter grinds an UNDEFINED placeholder through the pairs)
+        col = F.coalesce(col, F.map_from_entries(F.array().cast(
+            T.ArrayType(T.StructType([
+                T.StructField("key", T.StringType()),
+                T.StructField("value", vt_box[0] or T.StringType()),
+            ]))
+        )))
+        return Typed(col, T.MapType(T.StringType(), vt_box[0] or T.StringType()))
 
     def _sort(self, node, ctx: Typed, env: dict) -> Typed:
         """B2.5 ``^(key, >key)`` order-by over an ARRAY column: array_sort
@@ -920,6 +1194,32 @@ class Compiler:
         v = a[0]
         if isinstance(v.dtype, T.MapType):
             return Typed(F.element_at(v.col, a[1].col), v.dtype.valueType)
+        if isinstance(v.dtype, T.StructType):
+            if raw[-1]["type"] != "string":
+                raise NotCompilable("$lookup over struct with dynamic key")
+            key = raw[-1]["value"]
+            if key not in v.dtype.fieldNames():
+                # statically absent key -> undefined
+                return Typed(F.lit(None), T.NullType())
+            return Typed(v.col.getField(key), v.dtype[key].dataType)
+        if isinstance(v.dtype, T.ArrayType) and isinstance(
+            v.dtype.elementType, T.StructType
+        ):
+            # implicit mapping over an array of objects, like a path step
+            inner = v.dtype.elementType
+            if raw[-1]["type"] != "string":
+                raise NotCompilable("$lookup over struct with dynamic key")
+            key = raw[-1]["value"]
+            if key not in inner.fieldNames():
+                return Typed(F.lit(None), T.NullType())
+            out_t = inner[key].dataType
+            if isinstance(out_t, T.ArrayType):
+                raise NotCompilable("nested-array flatten in $lookup mapping")
+            col = F.filter(
+                F.transform(v.col, lambda x: x.getField(key)),
+                lambda r: r.isNotNull(),
+            )
+            return Typed(col, T.ArrayType(out_t))
         raise NotCompilable("$lookup over non-map")
 
     def _fn_base64encode(self, a, ctx, env, raw):
@@ -1046,14 +1346,23 @@ class Compiler:
     def _fn_millis(self, a, ctx, env, raw):
         return Typed(F.unix_millis(F.current_timestamp()), T.LongType())
 
-    # higher-order over arrays with inline lambdas
-    def _lambda_body(self, raw_fn, n_args):
-        if raw_fn["type"] != "lambda":
-            raise NotCompilable("HOF requires an inline lambda")
-        return raw_fn["args"], raw_fn["body"]
+    # higher-order over arrays: inline lambdas, block-bound lambdas, and
+    # builtin function references all inline by substitution
+    def _resolve_lambda(self, raw_fn, env):
+        """-> (params, body, base_env) for a HOF's function argument."""
+        if raw_fn["type"] == "lambda":
+            return raw_fn["args"], raw_fn["body"], env
+        if raw_fn["type"] == "variable":
+            bound = env.get(raw_fn["value"])
+            if isinstance(bound, CompiledLambda):
+                return bound.params, bound.body, bound.env
+            if bound is None and hasattr(self, "_fn_" + raw_fn["value"]):
+                lam = self._builtin_as_lambda(raw_fn["value"], env)
+                return lam.params, lam.body, lam.env
+        raise NotCompilable("HOF requires a lambda or function reference")
 
     def _fn_map(self, a, ctx, env, raw):
-        params, body = self._lambda_body(raw[1], 1)
+        params, body, base_env = self._resolve_lambda(raw[1], env)
         arr = a[0]
         if not isinstance(arr.dtype, T.ArrayType):
             raise NotCompilable("$map over non-array")
@@ -1061,10 +1370,12 @@ class Compiler:
         out_t = [None]
 
         def fn(x, i=None):
-            child = dict(env)
+            child = dict(base_env)
             child[params[0]] = Typed(x, et)
             if len(params) > 1 and i is not None:
                 child[params[1]] = Typed(i, T.IntegerType())
+            if len(params) > 2:
+                child[params[2]] = arr  # third param = the whole array
             r = self._c(body, Typed(x, et), child)
             out_t[0] = r.dtype
             return r.col
@@ -1076,17 +1387,19 @@ class Compiler:
         return Typed(col, T.ArrayType(out_t[0] or T.StringType()))
 
     def _fn_filter(self, a, ctx, env, raw):
-        params, body = self._lambda_body(raw[1], 1)
+        params, body, base_env = self._resolve_lambda(raw[1], env)
         arr = a[0]
         if not isinstance(arr.dtype, T.ArrayType):
             raise NotCompilable("$filter over non-array")
         et = arr.dtype.elementType
 
         def fn(x, i=None):
-            child = dict(env)
+            child = dict(base_env)
             child[params[0]] = Typed(x, et)
             if len(params) > 1 and i is not None:
                 child[params[1]] = Typed(i, T.IntegerType())
+            if len(params) > 2:
+                child[params[2]] = arr
             return self._truthy(self._c(body, Typed(x, et), child))
 
         if len(params) > 1:
@@ -1095,23 +1408,70 @@ class Compiler:
             col = F.filter(arr.col, fn)
         return Typed(col, arr.dtype)
 
+    def _fn_single(self, a, ctx, env, raw):
+        """$single(arr, fn): the one element matching the predicate.
+        0-or-many matches error in BOTH tiers (interpreter D3138/D3139;
+        compiled raise_error at action time — message carries the code)."""
+        params, body, base_env = self._resolve_lambda(raw[1], env)
+        arr = a[0]
+        if not isinstance(arr.dtype, T.ArrayType):
+            raise NotCompilable("$single over non-array")
+        et = arr.dtype.elementType
+
+        def fn(x):
+            child = dict(base_env)
+            child[params[0]] = Typed(x, et)
+            return self._truthy(self._c(body, Typed(x, et), child))
+
+        matches = F.filter(arr.col, fn)
+        col = F.when(F.size(matches) == 1, F.element_at(matches, 1)).otherwise(
+            F.raise_error(
+                F.lit("D3139: $single matched zero or multiple elements")
+            ).cast(et if et else "string")
+        )
+        return Typed(col, et)
+
     def _fn_reduce(self, a, ctx, env, raw):
-        params, body = self._lambda_body(raw[1], 2)
+        params, body, base_env = self._resolve_lambda(raw[1], env)
         arr = a[0]
         if not isinstance(arr.dtype, T.ArrayType):
             raise NotCompilable("$reduce over non-array")
-        if len(a) < 3:
-            raise NotCompilable("$reduce without init (first-element init)")
         et = arr.dtype.elementType
-        init = a[2]
+        if len(a) >= 3:
+            init = a[2]
+            init_t, init_col = init.dtype, init.col
+            seq = arr.col
+        else:
+            # first-element init: fold the tail onto head; empty -> undefined
+            init_t = et
+            init_col = F.element_at(arr.col, 1)
+            seq = F.slice(arr.col, 2, F.greatest(F.size(arr.col) - 1, F.lit(0)))
+
+        def body_of(acc_typed, x):
+            child = dict(base_env)
+            child[params[0]] = acc_typed
+            child[params[1]] = Typed(x, et)
+            return self._c(body, Typed(x, et), child)
+
+        # aggregate() needs merge-output type == accumulator type, but the
+        # body may widen (JSONata arithmetic compiles to double while a
+        # literal 0 init is long) — probe the body's result type, widen the
+        # accumulator to it, and pin the merge output with a cast
+        probe = body_of(Typed(F.lit(None).cast(init_t), init_t), F.lit(None).cast(et))
+        acc_t = probe.dtype or init_t
+        if acc_t.simpleString() != (init_t or acc_t).simpleString():
+            reprobe = body_of(Typed(F.lit(None).cast(acc_t), acc_t), F.lit(None).cast(et))
+            if (reprobe.dtype or acc_t).simpleString() != acc_t.simpleString():
+                raise NotCompilable("$reduce accumulator type does not converge")
+            init_col = init_col.cast(acc_t)
 
         def fn(acc, x):
-            child = dict(env)
-            child[params[0]] = Typed(acc, init.dtype)
-            child[params[1]] = Typed(x, et)
-            return self._c(body, Typed(x, et), child).col
+            return body_of(Typed(acc, acc_t), x).col.cast(acc_t)
 
-        return Typed(F.aggregate(arr.col, init.col, fn), init.dtype)
+        col = F.aggregate(seq, init_col, fn)
+        if len(a) < 3:
+            col = F.when(F.size(arr.col) >= 1, col)
+        return Typed(col, acc_t)
 
 
 def _elem_type(v: Typed):
