@@ -1096,3 +1096,205 @@ def dup_ngram_coverage(
         .otherwise(F.lit(0.0))
         .alias("dup_ngram_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C60: CCNet-style per-group boilerplate line removal
+# ---------------------------------------------------------------------------
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    delimiter: str = "\n",
+    max_doc_frac: float = 0.5,
+    min_docs: int = 2,
+    broadcast_cap: int = 5_000_000,
+) -> DataFrame:
+    """Strip boilerplate lines: a line occurring in more than
+    ``max_doc_frac`` of the documents of its group (site/domain/source) is
+    boilerplate — the CCNet recipe (Wenzek et al. 2020) for nav bars,
+    cookie banners and footers, applied per ``group_col``.
+
+    Returns (id, group, cleaned, n_lines, n_removed).
+
+    Scale shape (two tiers, auto-selected like quantile_filter's):
+    - frequency pass: docs explode to DISTINCT (group, xxhash64(line))
+      pairs — no line text shuffles — one hash agg per (group, hash), one
+      tiny agg for group sizes.
+    - small frequent set (<= broadcast_cap rows, probed with one count):
+      collect per-group frequent-hash ARRAYS and join them back
+      broadcast; each doc filters its own lines map-side with
+      array_contains. The corpus NEVER shuffles.
+    - large frequent set: fall back to posexplode -> anti-join on
+      (group, hash) -> re-aggregate by id ordered by position. Linear,
+      keyed shuffles only.
+    64-bit hash collisions can only OVER-remove a line (FP rate ~n/2^64);
+    the oracle gate compares cleaned text value-exact on real data.
+    """
+    import re as _re
+
+    spark = df.sparkSession
+    lines_expr = F.split(F.col(text_col), _re.escape(delimiter))
+    base = df.select(
+        F.col(id_col), F.col(group_col).alias("__grp"), lines_expr.alias("__lines")
+    )
+
+    dl = base.select(
+        F.col(id_col),
+        "__grp",
+        F.explode(F.array_distinct(F.transform("__lines", lambda l: F.xxhash64(l)))).alias("__lh"),
+    )
+    group_sizes = base.groupBy("__grp").agg(F.count("*").alias("__gn"))
+    freq = (
+        dl.groupBy("__grp", "__lh")
+        .agg(F.count("*").alias("__dc"))
+        .join(F.broadcast(group_sizes), "__grp")
+        .filter(
+            (F.col("__dc") >= F.lit(min_docs))
+            & (F.col("__dc").cast("double") > F.lit(max_doc_frac) * F.col("__gn"))
+        )
+        .select("__grp", "__lh")
+    )
+
+    n_freq = freq.count()  # bounded probe: one count over the frequent set
+    if n_freq <= broadcast_cap:
+        freq_arrays = freq.groupBy("__grp").agg(
+            F.collect_list("__lh").alias("__freq")
+        )
+        joined = base.join(F.broadcast(freq_arrays), "__grp", "left")
+        fa = F.coalesce(F.col("__freq"), F.array().cast("array<bigint>"))
+        kept = F.filter(F.col("__lines"), lambda l: ~F.array_contains(fa, F.xxhash64(l)))
+        return joined.select(
+            F.col(id_col),
+            F.col("__grp").alias(group_col),
+            F.array_join(kept, delimiter).alias("cleaned"),
+            F.size("__lines").alias("n_lines"),
+            (F.size("__lines") - F.size(kept)).alias("n_removed"),
+        )
+
+    # large-state tier: per-line anti-join, order restored by position
+    ex = base.select(
+        F.col(id_col), "__grp", F.posexplode("__lines").alias("__pos", "__line")
+    ).withColumn("__lh", F.xxhash64("__line"))
+    kept_rows = ex.join(freq, ["__grp", "__lh"], "left_anti")
+    reagg = kept_rows.groupBy(id_col, "__grp").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s.getField("__line"),
+            ),
+            delimiter,
+        ).alias("cleaned"),
+        F.count("*").alias("__nk"),
+    )
+    return (
+        base.select(F.col(id_col), "__grp", F.size("__lines").alias("n_lines"))
+        .join(reagg, [id_col, "__grp"], "left")
+        .select(
+            F.col(id_col),
+            F.col("__grp").alias(group_col),
+            F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("__nk", F.lit(0))).cast("int").alias("n_removed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C61: fuzzy (MinHash-LSH) cross-corpus decontamination
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_contamination_pairs(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str | None = None,
+    eval_text_col: str | None = None,
+    num_hashes: int = 32,
+    n_bands: int = 16,
+    ngram: int = 5,
+    threshold: float = 0.9,
+    seed: int = 0x5EED,
+) -> DataFrame:
+    """Fuzzy decontamination: training documents NEAR-duplicating an eval/
+    benchmark document (exact-overlap decontamination is
+    ngram_overlap_contamination above; published recipes also strip fuzzy
+    matches — e.g. 13-gram/MinHash overlap in GPT-3/PaLM data notes).
+
+    Returns (id, eval_id, jaccard) for every train x eval pair whose exact
+    char-``ngram`` shingle Jaccard >= ``threshold``, candidate-generated by
+    banded MinHash (same one-pass numpy sketch kernel as
+    dedup.minhash_lsh_pairs) and verified exactly, so the output equals
+    the brute-force cross join's at operating points where banding recall
+    is ~1 (r=2 bands: P(miss | J=0.9) ~ 1e-11). Same-id pairs are excluded
+    (an eval slice drawn from the corpus matches itself trivially).
+
+    Scale shape: the corpus sketches ONCE (the only corpus-wide movement
+    is the narrow-scan spread repartition shared with minhash_lsh_pairs —
+    a no-op to drop on a 100 TB scan that is already wide); candidates
+    come from an equi-join of its (band, bucket) keys against the
+    broadcast eval buckets (map-side, no corpus shuffle), and the exact
+    verify re-fetches shingle arrays for the (bounded) candidate ids only.
+    Eval side is tiny by contract (same bound as the broadcast in
+    ngram_overlap_contamination).
+    """
+    from kafka_connect_jsonata_spark.functions.dedup import (
+        _minhash_sketch_fn,
+        barrier,
+    )
+
+    eval_id_col = eval_id_col or id_col
+    eval_text_col = eval_text_col or text_col
+    kernel = _minhash_sketch_fn(num_hashes, n_bands, ngram, seed)
+
+    def sketch(d: DataFrame, idc: str, txc: str) -> DataFrame:
+        norm = F.lower(F.regexp_replace(F.trim(F.col(txc)), r"\s+", " "))
+        base = d.repartition(d.sparkSession.sparkContext.defaultParallelism).select(
+            F.col(idc).alias("id"), norm.alias("__s")
+        )
+        id_type = base.schema["id"].dataType.simpleString()
+        return base.mapInPandas(
+            kernel, f"id {id_type}, __h array<bigint>, bkts array<bigint>"
+        ).transform(barrier)
+
+    tr = sketch(train, id_col, text_col)
+    ev = sketch(eval_set, eval_id_col, eval_text_col)
+
+    tr_buckets = tr.select("id", F.posexplode("bkts").alias("band", "bkt"))
+    ev_buckets = ev.select(
+        F.col("id").alias("eval_id"), F.posexplode("bkts").alias("band", "bkt")
+    )
+    cand = (
+        tr_buckets.join(F.broadcast(ev_buckets), ["band", "bkt"])
+        .filter(F.col("id") != F.col("eval_id"))
+        .select("id", "eval_id")
+        .dropDuplicates(["id", "eval_id"])
+    )
+    tr_h = tr.select("id", F.col("__h").alias("grams_a"), F.size("__h").alias("sz_a"))
+    ev_h = ev.select(
+        F.col("id").alias("eval_id"),
+        F.col("__h").alias("grams_b"),
+        F.size("__h").alias("sz_b"),
+    )
+    pairs = (
+        cand.join(tr_h, "id")
+        .join(F.broadcast(ev_h), "eval_id")
+        .filter(
+            (F.col("sz_a").cast("double") >= threshold * F.col("sz_b"))
+            & (F.col("sz_b").cast("double") >= threshold * F.col("sz_a"))
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
+    union = F.col("sz_a") + F.col("sz_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        pairs.select(
+            F.col("id"), F.col("eval_id"), F.round(jac, 4).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

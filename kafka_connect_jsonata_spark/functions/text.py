@@ -366,3 +366,107 @@ def chunk_with_overlap(
         F.col("__c.nw").cast("int").alias("n_chunk_words"),
         F.col("__c.chunk").alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C58: line-level cleaning (C4/RefinedWeb-style rules)
+# ---------------------------------------------------------------------------
+
+
+def clean_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+    min_words: int = 3,
+    badwords: tuple[str, ...] = ("javascript", "lorem ipsum", "cookie"),
+    require_terminal_punct: bool = False,
+) -> DataFrame:
+    """C4-style line-level document cleaning: split ``text_col`` on
+    ``delimiter``, drop lines with fewer than ``min_words`` words, lines
+    containing a badword (case-insensitive substring), and — optionally —
+    lines not ending in terminal punctuation (. ! ? ").
+
+    Returns (id, cleaned text, n_lines, n_kept). Zero-shuffle: the whole
+    operator is one Column projection over the scan (split/filter/
+    array_join are codegen'd JVM expressions), so at 100 TB it runs at
+    parquet-scan speed with full predicate/column pushdown intact.
+
+    Reference scope: the reference transforms one record at a time
+    (JsonataTransformation.java:88); corpus-curation rules like C4's line
+    filters (Raffel et al. 2020, §2.2) are the batch-pipeline extension.
+    """
+    import re as _re
+
+    lines = F.split(F.col(text_col), _re.escape(delimiter))
+
+    def keep(line):
+        wc = F.size(F.filter(F.split(F.trim(line), r"\s+"), lambda t: t != F.lit("")))
+        p = wc >= min_words
+        low = F.lower(line)
+        for b in badwords:
+            p = p & ~low.contains(b.lower())
+        if require_terminal_punct:
+            p = p & F.rtrim(line).rlike("[.!?\"']$")
+        return p
+
+    kept = F.filter(lines, keep)
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, delimiter).alias("cleaned"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C59: inverted index build (term -> doc_freq + postings)
+# ---------------------------------------------------------------------------
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_freq: int = 1,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Build a corpus inverted index: one row per term with its document
+    frequency, total term frequency, and the posting list of document ids
+    (ascending, distinct, rendered as a comma-joined string so the value
+    is engine-portable for the oracle gate).
+
+    Scale shape: explode to (term, doc, tf) with per-doc tf pre-aggregated
+    BEFORE the term shuffle (map-side combine on the (doc) side costs
+    nothing extra — the explode itself is per-partition), then ONE hash
+    aggregation keyed by term. Posting lists for stop-like terms are the
+    inherent output of the operator (like a pair-emitting join, the state
+    IS the result); ``max_postings`` caps the rendered list at the N
+    smallest doc ids for consumers that only need a prefix, and
+    ``min_doc_freq`` floors rare terms the way the vocabulary joins
+    (curation.py unigram/TF-IDF) bound theirs.
+    """
+    tf = (
+        df.select(F.col(id_col).alias("__doc"), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term", "__doc")
+        .agg(F.count("*").alias("__tf"))
+    )
+    agg = tf.groupBy("term").agg(
+        F.count("*").alias("doc_freq"),
+        F.sum("__tf").alias("total_tf"),
+        F.array_sort(F.collect_list("__doc")).alias("__postings"),
+    )
+    postings = F.col("__postings")
+    if max_postings is not None:
+        postings = F.slice(postings, 1, max_postings)
+    out = agg.select(
+        "term",
+        "doc_freq",
+        "total_tf",
+        F.array_join(F.transform(postings, lambda d: d.cast("string")), ",").alias(
+            "postings"
+        ),
+    )
+    if min_doc_freq > 1:
+        out = out.filter(F.col("doc_freq") >= min_doc_freq)
+    return out

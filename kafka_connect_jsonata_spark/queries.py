@@ -2706,6 +2706,126 @@ def pack_bpe_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clean_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C58: C4-style line-level cleaning, zero-shuffle Column projection.
+    The synthetic corpus is single-line word soup, so the gate splits on
+    the word 'the' to get variable-length pseudo-lines — the operator
+    itself takes any delimiter ('\\n' in production). Rules exercised:
+    min-words and badword."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.clean_lines(
+        docs, delimiter=" the ", min_words=4, badwords=("spark",)
+    )
+
+
+CLEAN_LINES_SQL = """
+WITH l AS (SELECT doc_id, str_split(text, ' the ') AS lines FROM documents),
+k AS (
+  SELECT doc_id, lines,
+         list_filter(lines, x ->
+            len(list_filter(str_split(trim(x), ' '), w -> w <> '')) >= 4
+            AND NOT contains(lower(x), 'spark')) AS kept
+  FROM l)
+SELECT doc_id,
+       coalesce(array_to_string(kept, ' the '), '') AS cleaned,
+       len(lines) AS n_lines,
+       len(kept) AS n_kept
+FROM k
+"""
+
+
+def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C59: corpus inverted index — term -> doc_freq, total_tf, ascending
+    posting list (comma-joined for engine-portable value comparison). One
+    term-keyed hash agg after a per-(term,doc) pre-aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.inverted_index(docs)
+
+
+INVERTED_INDEX_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(str_split_regex(trim(text), '\\s+'), t -> t <> '')) AS term
+  FROM documents),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM w GROUP BY term, doc_id)
+SELECT term,
+       count(*) AS doc_freq,
+       CAST(sum(tf) AS BIGINT) AS total_tf,
+       array_to_string(list_sort(list(doc_id)), ',') AS postings
+FROM tf GROUP BY term
+"""
+
+
+def boilerplate_removal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C60: CCNet-style per-source boilerplate line removal. Gate uses
+    single words as 'lines' (delimiter=' ') so the frequency threshold is
+    non-vacuous on the synthetic word-soup corpus; production calls use
+    '\\n'. Broadcast tier (frequent set far below the cap) — the corpus
+    never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.remove_boilerplate_lines(
+        docs, delimiter=" ", group_col="source", max_doc_frac=0.85, min_docs=2
+    )
+
+
+BOILERPLATE_SQL = """
+WITH l AS (SELECT doc_id, source, str_split(text, ' ') AS lines FROM documents),
+dw AS (
+  SELECT DISTINCT doc_id, source, unnest(lines) AS line FROM l),
+gs AS (SELECT source, count(*) AS gn FROM documents GROUP BY source),
+freq AS (
+  SELECT dw.source, line
+  FROM dw JOIN gs USING (source)
+  GROUP BY dw.source, line, gs.gn
+  HAVING count(*) >= 2 AND count(*)::DOUBLE > 0.85 * gs.gn),
+fa AS (SELECT source, list(line) AS fl FROM freq GROUP BY source),
+j AS (
+  SELECT l.doc_id, l.source, l.lines,
+         list_filter(l.lines, x -> fl IS NULL OR NOT list_contains(fl, x)) AS kept
+  FROM l LEFT JOIN fa USING (source))
+SELECT doc_id, source,
+       coalesce(array_to_string(kept, ' '), '') AS cleaned,
+       len(lines) AS n_lines,
+       len(lines) - len(kept) AS n_removed
+FROM j
+"""
+
+
+def fuzzy_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C61: fuzzy (MinHash-LSH) decontamination of the corpus against an
+    eval slice (doc_id % 10 = 0). Banding at r=2 gives recall ~1-1e-11 at
+    J >= 0.9 and candidates verify with EXACT shingle Jaccard, so the
+    brute-force cross join below is an exact value oracle — same evidence
+    pattern as minhash_lsh_dups. The corpus side never shuffles: (band,
+    bucket) keys equi-join the broadcast eval buckets map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    return curation.fuzzy_contamination_pairs(
+        docs, ev, num_hashes=32, n_bands=16, threshold=0.9
+    )
+
+
+FUZZY_DECON_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(s)-4,1)+1),
+                                      i -> s[i:i+4])) AS grams
+  FROM (SELECT doc_id,
+               lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS s
+        FROM documents)),
+sized AS (SELECT doc_id, grams, len(grams) AS sz FROM g),
+ev AS (SELECT * FROM sized WHERE doc_id % 10 = 0)
+SELECT a.doc_id AS id, b.doc_id AS eval_id,
+       round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+             (a.sz + b.sz - len(list_intersect(a.grams, b.grams))), 4) AS jaccard
+FROM sized a JOIN ev b
+  ON a.doc_id <> b.doc_id
+ AND a.sz >= 0.9 * b.sz AND b.sz >= 0.9 * a.sz
+WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+      (a.sz + b.sz - len(list_intersect(a.grams, b.grams))) >= 0.9
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2730,6 +2850,12 @@ def pack_bpe_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # represented (lang_id_counts, cosine_topk_bruteforce,
 # stratified_sample_docs, jsonata_datetime_array_ops, simhash_docs,
 # unigram_floor_docs, pca_project_fixed).
+# Round-6 rotation: the four C58-C61 additions (line cleaning, inverted
+# index, boilerplate removal, fuzzy decontamination) get in-window rows;
+# demoted: mixture_sample_docs (sampling family keeps temperature_mix +
+# hash_sample), jsonata_picture_format (jsonata family keeps flagship/
+# object_ops/interpreter), sliding_window_agg (streaming family keeps
+# sessionize), approx_distinct_stats (sketch family keeps percentile).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- 1-31: relational / text / similarity / jsonata representatives --
     "q1_pricing_summary": q1_pricing_summary,
@@ -2750,7 +2876,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_group_ids": dedup_group_ids,
     "hash_sample_docs": hash_sample_docs,
     "temperature_mix_docs": temperature_mix_docs,
-    "mixture_sample_docs": mixture_sample_docs,
     "pack_token_budget_docs": pack_token_budget_docs,
     "safe_transform_dlq": safe_transform_dlq,
     "bm25_search": bm25_search,
@@ -2760,13 +2885,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udtf_explode_tokens": udtf_explode_tokens,
     "jsonata_flagship": jsonata_flagship,
     "quality_classifier_docs": quality_classifier_docs,
-    "jsonata_picture_format": jsonata_picture_format,
     "jsonata_interpreter": jsonata_interpreter,
     # -- streaming / sketch / multimodal / curation gates --
-    "sliding_window_agg": sliding_window_agg,
     "sessionize_events": sessionize_events,
     "percentile_summary": percentile_summary,
-    "approx_distinct_stats": approx_distinct_stats,
     "minhash_lsh_dups": minhash_lsh_dups,
     "gopher_quality_docs": gopher_quality_docs,
     "embedding_dup_pairs": embedding_dup_pairs_q,
@@ -2783,8 +2905,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_pipeline_docs": curation_pipeline_docs,
     "heavy_hitter_terms": heavy_hitter_terms,
     "quantile_filter_docs": quantile_filter_docs,
+    "clean_lines_docs": clean_lines_docs,
+    "inverted_index_terms": inverted_index_terms,
+    "boilerplate_removal_docs": boilerplate_removal_docs,
+    "fuzzy_decontaminate_docs": fuzzy_decontaminate_docs,
     # -- past the gate window: oracle-registered siblings (builder sweep) --
     "pca_project_fixed": pca_project_fixed,
+    "mixture_sample_docs": mixture_sample_docs,
+    "jsonata_picture_format": jsonata_picture_format,
+    "sliding_window_agg": sliding_window_agg,
+    "approx_distinct_stats": approx_distinct_stats,
     "lang_id_counts": lang_id_counts,
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
     "stratified_sample_docs": stratified_sample_docs,
@@ -2889,6 +3019,10 @@ ORACLES: dict[str, str] = {
     "quality_classifier_docs": QUALITY_CLASSIFIER_SQL,
     "gopher_quality_docs": GOPHER_SQL,
     "quantile_filter_docs": QUANTILE_FILTER_SQL,
+    "clean_lines_docs": CLEAN_LINES_SQL,
+    "inverted_index_terms": INVERTED_INDEX_SQL,
+    "boilerplate_removal_docs": BOILERPLATE_SQL,
+    "fuzzy_decontaminate_docs": FUZZY_DECON_SQL,
     "temperature_mix_docs": TEMPERATURE_MIX_SQL,
     "curation_pipeline_docs": CURATION_PIPELINE_SQL,
     "envelope_reroute": ENVELOPE_REROUTE_SQL,
