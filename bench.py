@@ -103,6 +103,11 @@ HEADLINE = [
     "q6_forecast_revenue",
     "dup_ngram_coverage_docs",
     "weighted_sample_docs",
+    # round 6 additions
+    "clean_lines_docs",
+    "inverted_index_terms",
+    "boilerplate_removal_docs",
+    "fuzzy_decontaminate_docs",
 ]
 
 
