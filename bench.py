@@ -108,6 +108,11 @@ HEADLINE = [
     "inverted_index_terms",
     "boilerplate_removal_docs",
     "fuzzy_decontaminate_docs",
+    "semantic_dedup_pairs",
+    "dsir_select_docs",
+    "zipf_fit_docs",
+    "vocab_coverage_docs",
+    "curriculum_order_docs",
 ]
 
 

@@ -192,3 +192,118 @@ def train_logreg(
     finally:
         feats.unpersist()
     return w
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (hashed n-gram features)
+# ---------------------------------------------------------------------------
+
+
+def hashed_ngram_features(text_col: Column, use_bigrams: bool = True) -> Column:
+    """array<int> of hashed n-gram feature buckets for a document: every
+    unigram plus (optionally) every adjacent-word bigram, each hashed into
+    the same [0, HASH_DIM) space via the engine-portable md5 bucket. The
+    hashing trick keeps the feature space a CONSTANT regardless of corpus
+    vocabulary — the property that makes DSIR's distribution estimates
+    bounded driver/executor state at any corpus size."""
+    w = tokens(text_col)
+    uni = F.transform(w, hashed_bucket)
+    if not use_bigrams:
+        return uni
+    bi = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: hashed_bucket(
+                F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return F.concat(uni, bi)
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 1.0,
+    use_bigrams: bool = True,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
+    every RAW document by how much more likely its hashed n-gram bag is
+    under the TARGET distribution than under the raw distribution,
+
+        log w(doc) = sum_j c_j * [ln p_t(j) - ln p_r(j)]
+
+    with add-``lam`` smoothed bucket unigram models fitted on the rows
+    where ``is_target`` is true (target) vs false (raw). High-weight raw
+    documents are the ones that "look like" the target domain — the
+    resampling pool for domain-targeted pretraining data selection.
+
+    Scale shape: one exploded (id, bucket) pass feeds a bucket-keyed hash
+    agg whose result is AT MOST ``HASH_DIM`` rows (the hashing trick — no
+    vocabulary, no unbounded broadcast); scoring joins the exploded raw
+    side against that bounded stats table (AQE sizes it; broadcast at
+    these cardinalities) and re-aggregates per document. The corpus text
+    itself never shuffles — only (id, int bucket) pairs do. Totals ride a
+    1-row broadcast crossJoin, lazily.
+
+    Returns (id, n_features, log_weight) for every raw document, with the
+    float-stable per-feature formulation
+    ``sum[ln(ct_j+lam) - ln(cr_j+lam)] + n*[ln(Tr+lam*m) - ln(Tt+lam*m)]``
+    (log_weight rounded to 6 places; rank on the unrounded value upstream
+    of any top-k).
+    """
+    m = HASH_DIM
+    feats = df.select(
+        F.col(id_col),
+        is_target.alias("__t"),
+        F.explode(hashed_ngram_features(F.col(text_col), use_bigrams)).alias("j"),
+    )
+    stats = feats.groupBy("j").agg(
+        F.sum(F.when(F.col("__t"), F.lit(1)).otherwise(F.lit(0))).alias("ct"),
+        F.sum(F.when(F.col("__t"), F.lit(0)).otherwise(F.lit(1))).alias("cr"),
+    )
+    tot = stats.agg(
+        F.sum("ct").cast("double").alias("Tt"), F.sum("cr").cast("double").alias("Tr")
+    )
+    ratio = F.log(F.col("ct").cast("double") + F.lit(lam)) - F.log(
+        F.col("cr").cast("double") + F.lit(lam)
+    )
+    per = (
+        feats.filter(~F.col("__t"))
+        .join(stats, "j")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum(ratio).alias("__s"),
+        )
+    )
+    norm = F.log(F.col("Tr") + F.lit(lam * m)) - F.log(F.col("Tt") + F.lit(lam * m))
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col(id_col),
+        F.col("n_features"),
+        (F.col("__s") + F.col("n_features") * norm).alias("log_weight"),
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    is_target: Column,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kw,
+) -> DataFrame:
+    """Top-``k`` raw documents by DSIR importance weight (deterministic
+    tie-break on id) — the plain-top-k flavor of the paper's Gumbel
+    resampling. Distributed TakeOrderedAndProject; ``k`` rows cross the
+    wire, never the corpus. ``log_weight`` is rounded to 6 places for
+    hash-stable output; ordering uses the unrounded value."""
+    w = dsir_log_weights(df, is_target, id_col=id_col, text_col=text_col, **kw)
+    return (
+        w.orderBy(F.col("log_weight").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "n_features", F.round("log_weight", 6).alias("log_weight"))
+    )

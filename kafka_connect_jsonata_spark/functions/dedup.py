@@ -891,3 +891,93 @@ def duplicate_span_removal(
         F.size(sp).cast("long").alias("n_spans"),
         removed.cast("long").alias("chars_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic (cluster-bounded) embedding dedup
+# ---------------------------------------------------------------------------
+
+
+def semantic_dup_pairs(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    c_id_col: str = "cluster_id",
+    c_vec_col: str = "centroid",
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with k-means, then look for
+    high-cosine pairs ONLY within each cluster — the clustering turns the
+    O(N^2) all-pairs cosine join into k independent O((N/k)^2) joins whose
+    per-task working set is one cluster, not the corpus.
+
+    Scale shape: centroid assignment is the zero-shuffle literal/GEMM
+    projection of :func:`assign_nearest_centroid`; the one data shuffle is
+    the id-keyed join of assignments back onto vectors plus the
+    cluster-keyed self-join. Cluster populations bound the quadratic term —
+    SemDeDup runs with k large (100k clusters at web scale) exactly so each
+    bucket stays small; a skewed cluster degrades to its own bounded
+    quadratic, never to a corpus-wide cross join. Cosine is the same
+    double-accumulated zip_with fold the DuckDB oracle recomputes.
+
+    Returns (id_a, id_b, cluster_id, cosine_sim) with id_a < id_b and
+    cosine_sim >= threshold (rounded to 4 places for the gate hash; the
+    filter applies to the unrounded value).
+    """
+    from kafka_connect_jsonata_spark.functions.curation import (
+        assign_nearest_centroid,
+    )
+
+    assigned = assign_nearest_centroid(
+        emb, centroids, id_col=id_col, vec_col=vec_col,
+        c_id_col=c_id_col, c_vec_col=c_vec_col,
+    ).select(id_col, c_id_col)
+    side = emb.select(F.col(id_col), F.col(vec_col)).join(assigned, id_col)
+    a = side.select(
+        F.col(c_id_col),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = side.select(
+        F.col(c_id_col),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+    )
+    sim = cosine(F.col("__va"), F.col("__vb"))
+    return (
+        a.join(b, c_id_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col(c_id_col),
+            F.round(sim, 4).alias("cosine_sim"),
+            sim.alias("__raw"),
+        )
+        .filter(F.col("__raw") >= threshold)
+        .drop("__raw")
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kw,
+) -> DataFrame:
+    """Keep-one-per-semantic-group selection on top of
+    :func:`semantic_dup_pairs`: a vector is DROPPED iff some lower-id
+    vector in its cluster is within ``threshold`` cosine (the deterministic
+    stand-in for the paper's keep-farthest-from-centroid rule). One
+    anti-join against the pair list's ``id_b`` side — kept rows never
+    materialize pair lists of their own.
+    """
+    pairs = semantic_dup_pairs(
+        emb, centroids, threshold=threshold, id_col=id_col, vec_col=vec_col, **kw
+    )
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return emb.join(drop, id_col, "left_anti")

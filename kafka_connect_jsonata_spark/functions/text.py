@@ -470,3 +470,92 @@ def inverted_index(
     if min_doc_freq > 1:
         out = out.filter(F.col("doc_freq") >= min_doc_freq)
     return out
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics: Zipf rank-frequency fit, vocabulary coverage
+# ---------------------------------------------------------------------------
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Least-squares fit of the Zipf rank-frequency law over the corpus's
+    ``top_n`` most frequent terms: ln(freq) = intercept + slope * ln(rank)
+    (a healthy natural-language corpus sits near slope = -1; a corpus
+    polluted with boilerplate or machine junk drifts off it — a cheap
+    corpus-health metric for a curation pipeline).
+
+    Scale shape: one hash agg to term counts, then a distributed
+    TakeOrderedAndProject keeps only ``top_n`` rows (deterministic (count
+    desc, term asc) order) — the window that assigns ranks runs over those
+    ``top_n`` rows only, bounded by the PARAMETER, never by the corpus.
+    The regression itself is one tiny aggregate (covar/var over top_n
+    points). Returns one row: (n_terms, slope, intercept), rounded to 6.
+    """
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("term").asc())
+        .limit(top_n)
+    )
+    from pyspark.sql.window import Window
+
+    ranked = counts.withColumn(
+        "r",
+        F.row_number().over(
+            Window.orderBy(F.col("c").desc(), F.col("term").asc())
+        ),
+    ).select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.avg("y") - slope * F.avg("x"), 6).alias("intercept"),
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-vocabulary sizing curve point: if the vocabulary were the
+    corpus's ``vocab_size`` most frequent terms (count desc, term asc
+    deterministic cut), what fraction of corpus TOKENS is covered, and
+    what is the out-of-vocabulary rate over distinct TYPES?
+
+    One term-count hash agg; the vocabulary cut is a distributed top-k
+    (``vocab_size`` rows cross the wire); coverage is a 2-row-ish
+    aggregate join. Returns one row (total_tokens, total_types,
+    vocab_tokens, coverage, oov_types)."""
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = counts.orderBy(F.col("c").desc(), F.col("term").asc()).limit(vocab_size)
+    totals = counts.agg(
+        F.sum("c").alias("total_tokens"), F.count(F.lit(1)).alias("total_types")
+    )
+    in_vocab = top.agg(
+        F.sum("c").alias("vocab_tokens"), F.count(F.lit(1)).alias("vocab_types")
+    )
+    return (
+        totals.crossJoin(F.broadcast(in_vocab))
+        .select(
+            "total_tokens",
+            "total_types",
+            "vocab_tokens",
+            F.round(
+                F.col("vocab_tokens").cast("double") / F.col("total_tokens"), 6
+            ).alias("coverage"),
+            (F.col("total_types") - F.col("vocab_types")).alias("oov_types"),
+        )
+    )

@@ -282,3 +282,94 @@ def weighted_sample(
         .limit(k)
         .drop("__wkey")
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    n_stages: int = 4,
+    exact: bool | str = "auto",
+    exact_cap: int = 5_000_000,
+    seed: int | str = 42,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Curriculum ordering for training: partition the corpus into
+    ``n_stages`` difficulty stages by ``score_col`` (ascending — low score
+    = easy = first) and assign every row a global ``curriculum_pos`` that
+    walks the stages in order. The standard easy-to-hard data schedule
+    (Bengio et al. 2009) as a corpus operator.
+
+    ``exact=True`` (the SQL-reproducible gate tier): stage = ntile over
+    (score, id), position = row_number over (stage, score, id) — global
+    windows, single-task, only safe below ``exact_cap`` rows.
+
+    ``exact=False`` (the 100 TB tier): stage boundaries come from ONE
+    ``approx_percentile`` pass (t-digest, bounded state) and are applied
+    map-side; WITHIN a stage the position is the deterministic md5
+    permutation rank of :func:`deterministic_shuffle` — which is what a
+    training pipeline wants anyway (stages in curriculum order, examples
+    shuffled within each stage). Rank uses the same two-phase prefix sum:
+    rows bucket by (stage, leading-hash-bits), a bounded aggregation
+    yields per-cell counts, their driver-side running sum (walked in
+    (stage, hash-bucket) order) gives each cell's global offset, and a
+    per-cell window ranks locally. One keyed shuffle of (ids + score);
+    driver state is O(n_stages * n_buckets).
+
+    ``exact="auto"``: probe ``df.count()`` once and pick the exact tier
+    below ``exact_cap``. Returns ``df`` + (stage, curriculum_pos).
+    """
+    if n_stages < 1:
+        raise ValueError("n_stages must be >= 1")
+    spark = df.sparkSession
+    if exact == "auto":
+        exact = df.count() <= int(exact_cap)
+    if exact:
+        w_stage = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+        staged = df.withColumn("stage", F.ntile(n_stages).over(w_stage))
+        w_pos = Window.orderBy(
+            F.col("stage").asc(), F.col(score_col).asc(), F.col(id_col).asc()
+        )
+        return staged.withColumn(
+            "curriculum_pos", F.row_number().over(w_pos).cast("long") - 1
+        )
+    qs = [i / n_stages for i in range(1, n_stages)]
+    thr = (
+        df.agg(F.percentile_approx(F.col(score_col), qs, 10_000).alias("t"))
+        .first()["t"]
+        if qs
+        else []
+    )
+    stage = F.lit(1)
+    for i, t in enumerate(thr):
+        stage = F.when(F.col(score_col) <= F.lit(t), stage).otherwise(F.lit(i + 2))
+    nb = n_buckets or spark.sparkContext.defaultParallelism
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    hb = F.least(
+        F.lit(nb - 1),
+        (F.conv(F.substring("__h", 1, 4), 16, 10).cast("long") * nb / 65536).cast(
+            "int"
+        ),
+    )
+    bt = df.withColumn("stage", stage).withColumn("__h", h).withColumn("__hb", hb)
+    counts = (
+        bt.groupBy("stage", "__hb")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy("stage", "__hb")
+        .collect()
+    )
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((int(r["stage"]), int(r["__hb"]), acc))
+        acc += int(r["__n"])
+    off_df = spark.createDataFrame(offsets, "stage int, __hb int, __off long")
+    w = (
+        Window.partitionBy("stage", "__hb")
+        .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bt.join(F.broadcast(off_df), ["stage", "__hb"])
+        .withColumn("curriculum_pos", F.count(F.lit(1)).over(w) - 1 + F.col("__off"))
+        .drop("__h", "__hb", "__off")
+    )

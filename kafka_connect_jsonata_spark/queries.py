@@ -2826,6 +2826,167 @@ WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
 """
 
 
+def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C62: SemDeDup — semantic near-dup pairs found ONLY within k-means
+    clusters (fixed centroids = the first 8 vectors, as in kmeans_assign),
+    so the quadratic cosine join is bounded by cluster population, never
+    the corpus. Oracle recomputes assignment + in-cluster pair cosine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cluster_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    return dedup.semantic_dup_pairs(emb, cents, threshold=0.3)
+
+
+SEMANTIC_DEDUP_SQL = """
+WITH c AS (
+  SELECT CAST(vec_id AS INT) AS cluster_id, embedding AS cv
+  FROM embeddings WHERE vec_id < 8),
+p AS (
+  SELECT e.vec_id, c.cluster_id,
+         list_reduce(list_transform(list_zip(e.embedding, c.cv),
+             q -> (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))
+                * (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))),
+             (x, y) -> x + y) AS d
+  FROM embeddings e CROSS JOIN c),
+a AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, cluster_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster_id ASC) AS r
+    FROM p) t
+  WHERE r = 1),
+s AS (SELECT a.vec_id, a.cluster_id, e.embedding
+      FROM a JOIN embeddings e USING (vec_id))
+SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.cluster_id,
+       round(
+         list_reduce(list_transform(list_zip(x.embedding, y.embedding),
+                     q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), (u, v) -> u + v)
+         / (sqrt(list_reduce(list_transform(x.embedding, z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE)), (u, v) -> u + v))
+          * sqrt(list_reduce(list_transform(y.embedding, z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE)), (u, v) -> u + v))), 4)
+       AS cosine_sim
+FROM s x JOIN s y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+WHERE list_reduce(list_transform(list_zip(x.embedding, y.embedding),
+                  q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), (u, v) -> u + v)
+      / (sqrt(list_reduce(list_transform(x.embedding, z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE)), (u, v) -> u + v))
+       * sqrt(list_reduce(list_transform(y.embedding, z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE)), (u, v) -> u + v)))
+      >= 0.3
+"""
+
+
+def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C63: DSIR data selection — top-20 raw documents by hashed-bigram
+    importance weight against the src0/src1 target slice. Feature space is
+    the constant 4096-bucket md5 hash (no vocabulary state); the oracle
+    recomputes the identical buckets and the float-stable per-feature
+    log-ratio sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    return classifier.dsir_select(
+        docs, F.col("source").isin("src0", "src1"), k=20
+    )
+
+
+DSIR_SELECT_SQL = r"""
+WITH w AS (
+  SELECT doc_id, source IN ('src0', 'src1') AS t,
+         regexp_extract_all(trim(text), '\S+') AS ws
+  FROM documents),
+uni AS (SELECT doc_id, t, unnest(ws) AS g FROM w),
+bi AS (
+  SELECT doc_id, t,
+         ws[CAST(i AS INT) + 1] || ' ' || ws[CAST(i AS INT) + 2] AS g
+  FROM w, unnest(range(len(ws) - 1)) u(i)
+  WHERE len(ws) >= 2),
+f AS (
+  SELECT doc_id, t,
+         (strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 256
+       + (strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(md5(g), 3, 1)) - 1) AS j
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+s AS (
+  SELECT j, sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+         sum(CASE WHEN t THEN 0 ELSE 1 END) AS cr
+  FROM f GROUP BY j),
+tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS tt, CAST(sum(cr) AS DOUBLE) AS tr FROM s),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+         sum(ln(ct + 1.0) - ln(cr + 1.0)) AS ss
+  FROM f JOIN s USING (j) WHERE NOT t GROUP BY doc_id)
+SELECT doc_id, n_features,
+       round(ss + n_features * (ln(tr + 4096.0) - ln(tt + 4096.0)), 6) AS log_weight
+FROM per CROSS JOIN tot
+ORDER BY ss + n_features * (ln(tr + 4096.0) - ln(tt + 4096.0)) DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+def zipf_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C64: Zipf rank-frequency least-squares fit over the corpus's top-200
+    terms — the corpus-health slope metric. The rank window runs over 200
+    rows (bounded by the parameter), never the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.zipf_fit(docs, top_n=200)
+
+
+ZIPF_FIT_SQL = r"""
+WITH w AS (SELECT unnest(regexp_extract_all(trim(text), '\S+')) AS term FROM documents),
+c AS (SELECT term, count(*) AS c FROM w GROUP BY term
+      ORDER BY c DESC, term ASC LIMIT 200),
+r AS (SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, term ASC) AS DOUBLE)) AS x,
+             ln(CAST(c AS DOUBLE)) AS y
+      FROM c)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       round(covar_pop(x, y) / var_pop(x), 6) AS slope,
+       round(avg(y) - covar_pop(x, y) / var_pop(x) * avg(x), 6) AS intercept
+FROM r
+"""
+
+
+def vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C65: tokenizer-vocabulary sizing — token coverage and type-OOV rate
+    of a 500-term top-frequency vocabulary. Term counts hash-agg once; the
+    vocabulary cut is a distributed top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.vocab_coverage(docs, vocab_size=500)
+
+
+VOCAB_COVERAGE_SQL = r"""
+WITH w AS (SELECT unnest(regexp_extract_all(trim(text), '\S+')) AS term FROM documents),
+c AS (SELECT term, count(*) AS c FROM w GROUP BY term),
+top AS (SELECT * FROM c ORDER BY c DESC, term ASC LIMIT 500),
+t AS (SELECT CAST(sum(c) AS BIGINT) AS total_tokens,
+             CAST(count(*) AS BIGINT) AS total_types FROM c),
+v AS (SELECT CAST(sum(c) AS BIGINT) AS vocab_tokens,
+             CAST(count(*) AS BIGINT) AS vocab_types FROM top)
+SELECT total_tokens, total_types, vocab_tokens,
+       round(CAST(vocab_tokens AS DOUBLE) / total_tokens, 6) AS coverage,
+       total_types - vocab_types AS oov_types
+FROM t CROSS JOIN v
+"""
+
+
+def curriculum_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C66: curriculum ordering — 4 difficulty stages by document length,
+    every row placed at a global easy-to-hard position. Auto tier takes the
+    exact (SQL-reproducible) path at gate scale; the 100 TB tier swaps in
+    approx-quantile stage cuts + the md5 prefix-sum rank (plan/unit
+    tested)."""
+    from kafka_connect_jsonata_spark.operators.sampling import curriculum_order
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = curriculum_order(docs, score_col="n_chars", n_stages=4)
+    return out.select("doc_id", "stage", "curriculum_pos")
+
+
+CURRICULUM_SQL = """
+SELECT doc_id,
+       CAST(ntile(4) OVER (ORDER BY n_chars ASC, doc_id ASC) AS INT) AS stage,
+       CAST(row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) - 1 AS BIGINT)
+         AS curriculum_pos
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2856,6 +3017,13 @@ WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
 # hash_sample), jsonata_picture_format (jsonata family keeps flagship/
 # object_ops/interpreter), sliding_window_agg (streaming family keeps
 # sessionize), approx_distinct_stats (sketch family keeps percentile).
+# Round-6 second rotation: the five C62-C66 additions (SemDeDup, DSIR,
+# Zipf fit, vocab coverage, curriculum order) get in-window rows; demoted
+# with family kept represented: tfidf_top_terms (term weighting: bm25 +
+# unigram stay), kmeans_assign (clustering: semantic_dedup_pairs runs the
+# same centroid assignment), chunk_dedup_docs (sub-doc dedup:
+# dup_span_removal stays), heavy_hitter_terms (sketches: percentile
+# stays), hash_sample_docs (sampling: temperature_mix + curriculum stay).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- 1-31: relational / text / similarity / jsonata representatives --
     "q1_pricing_summary": q1_pricing_summary,
@@ -2874,7 +3042,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": ann_lsh_topk,
     "ngram_jaccard_dups": ngram_jaccard_dups,
     "dedup_group_ids": dedup_group_ids,
-    "hash_sample_docs": hash_sample_docs,
     "temperature_mix_docs": temperature_mix_docs,
     "pack_token_budget_docs": pack_token_budget_docs,
     "safe_transform_dlq": safe_transform_dlq,
@@ -2897,19 +3064,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_docs": decontaminate_docs,
     "pii_redact_docs": pii_redact_docs,
     "repetition_quality": repetition_quality,
-    "tfidf_top_terms": tfidf_top_terms,
-    "kmeans_assign": kmeans_assign,
     "embedding_covariance_stats": embedding_covariance_stats,
-    "chunk_dedup_docs": chunk_dedup_docs,
     "unigram_logprob_docs": unigram_logprob_docs,
     "curation_pipeline_docs": curation_pipeline_docs,
-    "heavy_hitter_terms": heavy_hitter_terms,
     "quantile_filter_docs": quantile_filter_docs,
     "clean_lines_docs": clean_lines_docs,
     "inverted_index_terms": inverted_index_terms,
     "boilerplate_removal_docs": boilerplate_removal_docs,
     "fuzzy_decontaminate_docs": fuzzy_decontaminate_docs,
+    "semantic_dedup_pairs": semantic_dedup_pairs,
+    "dsir_select_docs": dsir_select_docs,
+    "zipf_fit_docs": zipf_fit_docs,
+    "vocab_coverage_docs": vocab_coverage_docs,
+    "curriculum_order_docs": curriculum_order_docs,
     # -- past the gate window: oracle-registered siblings (builder sweep) --
+    "tfidf_top_terms": tfidf_top_terms,
+    "kmeans_assign": kmeans_assign,
+    "chunk_dedup_docs": chunk_dedup_docs,
+    "heavy_hitter_terms": heavy_hitter_terms,
+    "hash_sample_docs": hash_sample_docs,
     "pca_project_fixed": pca_project_fixed,
     "mixture_sample_docs": mixture_sample_docs,
     "jsonata_picture_format": jsonata_picture_format,
@@ -3023,6 +3196,11 @@ ORACLES: dict[str, str] = {
     "inverted_index_terms": INVERTED_INDEX_SQL,
     "boilerplate_removal_docs": BOILERPLATE_SQL,
     "fuzzy_decontaminate_docs": FUZZY_DECON_SQL,
+    "semantic_dedup_pairs": SEMANTIC_DEDUP_SQL,
+    "dsir_select_docs": DSIR_SELECT_SQL,
+    "zipf_fit_docs": ZIPF_FIT_SQL,
+    "vocab_coverage_docs": VOCAB_COVERAGE_SQL,
+    "curriculum_order_docs": CURRICULUM_SQL,
     "temperature_mix_docs": TEMPERATURE_MIX_SQL,
     "curation_pipeline_docs": CURATION_PIPELINE_SQL,
     "envelope_reroute": ENVELOPE_REROUTE_SQL,

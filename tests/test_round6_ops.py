@@ -175,3 +175,189 @@ def test_fuzzy_decontamination_eval_side_broadcast(spark):
     ev = train.limit(2)
     plan = plan_of(fuzzy_contamination_pairs(train, ev))
     assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------------- semantic dedup (C62)
+
+
+def _vec_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semantic_dup_pairs_cluster_bounded(spark):
+    from kafka_connect_jsonata_spark.functions.dedup import semantic_dup_pairs
+
+    # two well-separated clusters; near-dups exist within each, and an
+    # ACROSS-cluster pair with cosine 1.0 must NOT be reported
+    emb = _vec_df(
+        spark,
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.99, 0.01, 0.0]),   # dup of 1, same cluster
+            (3, [0.0, 1.0, 0.0]),
+            (4, [0.0, 0.99, 0.01]),   # dup of 3, same cluster
+            (5, [2.0, 0.0, 0.0]),     # cos(5,1)=1 but what matters: same cluster as 1
+        ],
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "cluster_id int, centroid array<float>",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cluster_id"]
+        for r in semantic_dup_pairs(emb, cents, threshold=0.95).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+    assert (3, 4) in pairs and pairs[(3, 4)] == 1
+    assert (1, 5) in pairs  # same cluster, cosine 1.0
+    assert not any(a in (1, 2, 5) and b in (3, 4) for a, b in pairs)
+
+
+def test_semantic_dedup_keeps_lowest_id(spark):
+    from kafka_connect_jsonata_spark.functions.dedup import semantic_dedup
+
+    emb = _vec_df(
+        spark,
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.001]),
+            (3, [0.0, 1.0]),
+        ],
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cluster_id int, centroid array<float>"
+    )
+    kept = sorted(
+        r["vec_id"] for r in semantic_dedup(emb, cents, threshold=0.99).collect()
+    )
+    assert kept == [1, 3]
+
+
+# ------------------------------------------------------------------ DSIR (C63)
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    from kafka_connect_jsonata_spark.functions.classifier import dsir_select
+
+    rows = [(i, "alpha beta gamma delta", "target") for i in range(4)]
+    rows += [(10, "alpha beta gamma delta", "raw")]        # looks like target
+    rows += [(11, "zig zag zog zug", "raw")]               # does not
+    rows += [(12, "alpha beta unrelated words", "raw")]    # partially
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    top = dsir_select(df, F.col("source") == "target", k=3)
+    got = [r["doc_id"] for r in top.collect()]
+    assert got[0] == 10 and got[-1] == 11
+    w = {r["doc_id"]: r["log_weight"] for r in top.collect()}
+    assert w[10] > w[12] > w[11]
+
+
+def test_dsir_feature_space_is_bounded(spark):
+    from kafka_connect_jsonata_spark.functions.classifier import (
+        HASH_DIM,
+        hashed_ngram_features,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    feats = df.select(
+        F.explode(hashed_ngram_features(F.col("text"))).alias("j")
+    ).collect()
+    # 5 unigrams + 4 bigrams, every bucket inside [0, HASH_DIM)
+    assert len(feats) == 9
+    assert all(0 <= r["j"] < HASH_DIM for r in feats)
+
+
+# ------------------------------------------------- corpus stats (C64 / C65)
+
+
+def test_zipf_fit_recovers_power_law(spark):
+    from kafka_connect_jsonata_spark.functions.text import zipf_fit
+
+    # corpus engineered so term t_r appears ~ 1000/r times: slope ~ -1
+    words = []
+    for r in range(1, 51):
+        words += [f"t{r:02d}"] * max(int(1000 / r), 1)
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    row = zipf_fit(df, top_n=50).first()
+    assert row["n_terms"] == 50
+    assert -1.05 < row["slope"] < -0.95
+
+
+def test_vocab_coverage_bounds(spark):
+    from kafka_connect_jsonata_spark.functions.text import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(1, "a a a a b b c d e f")], "doc_id long, text string"
+    )
+    row = vocab_coverage(df, vocab_size=2).first()
+    assert row["total_tokens"] == 10 and row["total_types"] == 6
+    # top-2 vocabulary = {a (4), b (2)} -> 6 of 10 tokens covered
+    assert row["vocab_tokens"] == 6 and abs(row["coverage"] - 0.6) < 1e-9
+    assert row["oov_types"] == 4
+
+
+# -------------------------------------------------------- curriculum (C66)
+
+
+def test_curriculum_exact_orders_easy_to_hard(spark):
+    from kafka_connect_jsonata_spark.operators.sampling import curriculum_order
+
+    df = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(8)], "doc_id long, score double"
+    )
+    out = curriculum_order(df, "score", n_stages=4, exact=True).collect()
+    by_pos = sorted(out, key=lambda r: r["curriculum_pos"])
+    # positions are a 0..n-1 permutation and scores are non-decreasing
+    assert [r["curriculum_pos"] for r in by_pos] == list(range(8))
+    scores = [r["score"] for r in by_pos]
+    assert scores == sorted(scores)
+    # stages are contiguous runs 1..4, two rows each
+    assert [r["stage"] for r in by_pos] == [1, 1, 2, 2, 3, 3, 4, 4]
+
+
+def test_curriculum_approx_tier_stage_monotone_permutation(spark):
+    from kafka_connect_jsonata_spark.operators.sampling import curriculum_order
+
+    n = 200
+    df = spark.createDataFrame(
+        [(i, float(i % 17)) for i in range(n)], "doc_id long, score double"
+    )
+    out = curriculum_order(df, "score", n_stages=4, exact=False, n_buckets=8).collect()
+    assert sorted(r["curriculum_pos"] for r in out) == list(range(n))
+    # walking positions in order, the stage number never decreases
+    stages = [r["stage"] for r in sorted(out, key=lambda r: r["curriculum_pos"])]
+    assert stages == sorted(stages)
+    # every stage is populated and every row's score respects its stage cut
+    assert set(stages) == {1, 2, 3, 4}
+
+
+def test_curriculum_approx_reproducible_and_seeded(spark):
+    from kafka_connect_jsonata_spark.operators.sampling import curriculum_order
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "doc_id long, score double"
+    )
+    a = {
+        r["doc_id"]: r["curriculum_pos"]
+        for r in curriculum_order(df, "score", exact=False, seed=1).collect()
+    }
+    b = {
+        r["doc_id"]: r["curriculum_pos"]
+        for r in curriculum_order(df, "score", exact=False, seed=1).collect()
+    }
+    c = {
+        r["doc_id"]: r["curriculum_pos"]
+        for r in curriculum_order(df, "score", exact=False, seed=2).collect()
+    }
+    assert a == b
+    assert a != c
+
+
+def test_curriculum_approx_has_no_global_window(spark):
+    from kafka_connect_jsonata_spark.operators.sampling import curriculum_order
+
+    df = spark.range(100).selectExpr("id AS doc_id", "CAST(id AS DOUBLE) AS score")
+    plan = plan_of(curriculum_order(df, "score", exact=False))
+    # every Window in the approx tier is keyed by (stage, hash-bucket)
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "__hb" in line or "stage" in line, line
