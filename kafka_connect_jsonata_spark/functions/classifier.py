@@ -241,19 +241,28 @@ def dsir_log_weights(
     documents are the ones that "look like" the target domain — the
     resampling pool for domain-targeted pretraining data selection.
 
-    Scale shape: one exploded (id, bucket) pass feeds a bucket-keyed hash
-    agg whose result is AT MOST ``HASH_DIM`` rows (the hashing trick — no
-    vocabulary, no unbounded broadcast); scoring joins the exploded raw
-    side against that bounded stats table (AQE sizes it; broadcast at
-    these cardinalities) and re-aggregates per document. The corpus text
-    itself never shuffles — only (id, int bucket) pairs do. Totals ride a
-    1-row broadcast crossJoin, lazily.
+    Scale shape: the exploded (id, bucket) pass pre-aggregates to
+    per-(doc, bucket) COUNTS first, shrinking the scoring join's input to
+    distinct (doc, bucket) pairs. The bucket-stats aggregation is AT MOST
+    ``HASH_DIM`` rows (the hashing trick — no vocabulary, no unbounded
+    broadcast); scoring joins that bounded table (AQE sizes it; broadcast
+    at these cardinalities) and re-aggregates per document with
+    count-weighted ratios. The corpus text itself never shuffles — only
+    (id, int bucket, count) rows do. Totals ride a 1-row broadcast
+    crossJoin, lazily. The tokenize+hash scan runs once per consumer
+    (stats / totals / scoring — measured: filter and isnotnull pushdown
+    clone the shared subtree differently per branch, so Catalyst's
+    ReusedExchange cannot legally kick in); at gate scale the three scans
+    run concurrently, and a caller at cluster scale who wants one
+    materialization can persist the (id, is_target, bucket, count)
+    pre-aggregation and pass it through — it is strictly smaller than the
+    corpus text.
 
     Returns (id, n_features, log_weight) for every raw document, with the
-    float-stable per-feature formulation
-    ``sum[ln(ct_j+lam) - ln(cr_j+lam)] + n*[ln(Tr+lam*m) - ln(Tt+lam*m)]``
-    (log_weight rounded to 6 places; rank on the unrounded value upstream
-    of any top-k).
+    float-stable count-weighted formulation
+    ``sum[c_j * (ln(ct_j+lam) - ln(cr_j+lam))] + n*[ln(Tr+lam*m) -
+    ln(Tt+lam*m)]`` (round to 6 places downstream; rank on the unrounded
+    value upstream of any top-k).
     """
     m = HASH_DIM
     feats = df.select(
@@ -261,9 +270,12 @@ def dsir_log_weights(
         is_target.alias("__t"),
         F.explode(hashed_ngram_features(F.col(text_col), use_bigrams)).alias("j"),
     )
-    stats = feats.groupBy("j").agg(
-        F.sum(F.when(F.col("__t"), F.lit(1)).otherwise(F.lit(0))).alias("ct"),
-        F.sum(F.when(F.col("__t"), F.lit(0)).otherwise(F.lit(1))).alias("cr"),
+    dj = feats.groupBy(id_col, "__t", "j").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    stats = dj.groupBy("j").agg(
+        F.sum(F.when(F.col("__t"), F.col("__c")).otherwise(F.lit(0))).alias("ct"),
+        F.sum(F.when(F.col("__t"), F.lit(0)).otherwise(F.col("__c"))).alias("cr"),
     )
     tot = stats.agg(
         F.sum("ct").cast("double").alias("Tt"), F.sum("cr").cast("double").alias("Tr")
@@ -272,12 +284,12 @@ def dsir_log_weights(
         F.col("cr").cast("double") + F.lit(lam)
     )
     per = (
-        feats.filter(~F.col("__t"))
+        dj.filter(~F.col("__t"))
         .join(stats, "j")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_features"),
-            F.sum(ratio).alias("__s"),
+            F.sum("__c").alias("n_features"),
+            F.sum(F.col("__c").cast("double") * ratio).alias("__s"),
         )
     )
     norm = F.log(F.col("Tr") + F.lit(lam * m)) - F.log(F.col("Tt") + F.lit(lam * m))

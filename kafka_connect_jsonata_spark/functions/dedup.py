@@ -906,6 +906,7 @@ def semantic_dup_pairs(
     vec_col: str = "embedding",
     c_id_col: str = "cluster_id",
     c_vec_col: str = "centroid",
+    strategy: str = "gemm",
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus with k-means, then look for
@@ -916,11 +917,20 @@ def semantic_dup_pairs(
     Scale shape: centroid assignment is the zero-shuffle literal/GEMM
     projection of :func:`assign_nearest_centroid`; the one data shuffle is
     the id-keyed join of assignments back onto vectors plus the
-    cluster-keyed self-join. Cluster populations bound the quadratic term —
-    SemDeDup runs with k large (100k clusters at web scale) exactly so each
-    bucket stays small; a skewed cluster degrades to its own bounded
-    quadratic, never to a corpus-wide cross join. Cosine is the same
-    double-accumulated zip_with fold the DuckDB oracle recomputes.
+    cluster-keyed grouping. Cluster populations bound the quadratic term —
+    SemDeDup runs with k large (100k clusters at web scale) exactly so
+    each bucket stays small; a skewed cluster degrades to its own bounded
+    quadratic, never to a corpus-wide cross join.
+
+    ``strategy="gemm"`` (default): one ``applyInPandas`` per cluster runs
+    the whole in-cluster similarity matrix as a single BLAS matmul —
+    the same sanctioned vectorized-linear-algebra path as
+    :func:`embedding_dup_pairs`, ~10x the Catalyst-lambda fold at 64-dim.
+    The per-task working set is one cluster's (n/k) x d matrix (the
+    paper's own memory model). ``strategy="columns"``: the no-Python
+    reference plan — cluster-keyed self-join with the explicit
+    left-to-right zip_with fold (kept for plan comparisons and engines
+    without Arrow).
 
     Returns (id_a, id_b, cluster_id, cosine_sim) with id_a < id_b and
     cosine_sim >= threshold (rounded to 4 places for the gate hash; the
@@ -930,11 +940,38 @@ def semantic_dup_pairs(
         assign_nearest_centroid,
     )
 
+    if strategy not in ("gemm", "columns"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     assigned = assign_nearest_centroid(
         emb, centroids, id_col=id_col, vec_col=vec_col,
         c_id_col=c_id_col, c_vec_col=c_vec_col,
     ).select(id_col, c_id_col)
     side = emb.select(F.col(id_col), F.col(vec_col)).join(assigned, id_col)
+    if strategy == "gemm":
+        def pairs_of_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) < 2:
+                return pd.DataFrame(
+                    {"id_a": [], "id_b": [], c_id_col: [], "cosine_sim": []}
+                )
+            ids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ mat.T
+            ai, bi = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+            return pd.DataFrame(
+                {
+                    "id_a": ids[ai],
+                    "id_b": ids[bi],
+                    c_id_col: pdf[c_id_col].iloc[0],
+                    "cosine_sim": np.round(sims[ai, bi], 4),
+                }
+            )
+
+        id_type = emb.schema[id_col].dataType.simpleString()
+        return side.groupBy(c_id_col).applyInPandas(
+            pairs_of_cluster,
+            f"id_a {id_type}, id_b {id_type}, {c_id_col} int, cosine_sim double",
+        )
     a = side.select(
         F.col(c_id_col),
         F.col(id_col).alias("id_a"),
@@ -981,3 +1018,53 @@ def semantic_dedup(
     )
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return emb.join(drop, id_col, "left_anti")
+
+
+def embedding_outlier_filter(
+    emb: DataFrame,
+    centroids: DataFrame,
+    q: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    c_id_col: str = "cluster_id",
+    c_vec_col: str = "centroid",
+    exact: bool | str = "auto",
+) -> DataFrame:
+    """Per-cluster embedding outlier pruning: drop the vectors whose
+    distance to their assigned centroid sits in the top ``(1-q)`` tail of
+    their CLUSTER — the "remove far-from-any-mode noise" companion to
+    SemDeDup (the DataComp/DFN-style geometric cleaning step: near-dups
+    are dropped by :func:`semantic_dedup`, junk is dropped here).
+
+    Composition, not new machinery: zero-shuffle centroid assignment
+    (:func:`~kafka_connect_jsonata_spark.functions.curation.assign_nearest_centroid`)
+    feeding :func:`~kafka_connect_jsonata_spark.functions.curation.quantile_filter`
+    with ``group_col=cluster`` — which auto-routes to the exact per-group
+    window below its cap and the t-digest threshold + map-side filter
+    above it, so the 100 TB path never sorts a cluster in one task.
+    ``dist_sq`` is kept ASCENDING (low = typical), so quantile_filter's
+    keep-top-(1-q) contract maps to DROP the far tail via score negation.
+
+    Returns (id, cluster_id, dist_sq) for the KEPT (inlier) vectors.
+    """
+    from kafka_connect_jsonata_spark.functions.curation import (
+        assign_nearest_centroid,
+        quantile_filter,
+    )
+
+    assigned = assign_nearest_centroid(
+        emb, centroids, id_col=id_col, vec_col=vec_col,
+        c_id_col=c_id_col, c_vec_col=c_vec_col,
+    )
+    # keep rows whose NEGATED distance is in the top-q slice == rows whose
+    # distance is in the bottom-q slice (ties broken on id, deterministic)
+    scored = assigned.withColumn("__neg_d", -F.col("dist_sq"))
+    kept = quantile_filter(
+        scored,
+        score_col="__neg_d",
+        q=1.0 - q,
+        group_col=c_id_col,
+        tiebreak_col=id_col,
+        exact=exact,
+    )
+    return kept.select(id_col, c_id_col, "dist_sq")

@@ -2903,15 +2903,18 @@ f AS (
        + (strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1) * 16
        + (strpos('0123456789abcdef', substr(md5(g), 3, 1)) - 1) AS j
   FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+dj AS (
+  SELECT doc_id, t, j, CAST(count(*) AS BIGINT) AS c
+  FROM f GROUP BY doc_id, t, j),
 s AS (
-  SELECT j, sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
-         sum(CASE WHEN t THEN 0 ELSE 1 END) AS cr
-  FROM f GROUP BY j),
+  SELECT j, sum(CASE WHEN t THEN c ELSE 0 END) AS ct,
+         sum(CASE WHEN t THEN 0 ELSE c END) AS cr
+  FROM dj GROUP BY j),
 tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS tt, CAST(sum(cr) AS DOUBLE) AS tr FROM s),
 per AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
-         sum(ln(ct + 1.0) - ln(cr + 1.0)) AS ss
-  FROM f JOIN s USING (j) WHERE NOT t GROUP BY doc_id)
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_features,
+         sum(c * (ln(ct + 1.0) - ln(cr + 1.0))) AS ss
+  FROM dj JOIN s USING (j) WHERE NOT t GROUP BY doc_id)
 SELECT doc_id, n_features,
        round(ss + n_features * (ln(tr + 4096.0) - ln(tt + 4096.0)), 6) AS log_weight
 FROM per CROSS JOIN tot
@@ -2984,6 +2987,45 @@ SELECT doc_id,
        CAST(row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) - 1 AS BIGINT)
          AS curriculum_pos
 FROM documents
+"""
+
+
+def embedding_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C67: per-cluster embedding outlier pruning — keep the 80% of each
+    cluster closest to its centroid (fixed centroids = first 8 vectors).
+    Exact tier at gate scale; the approx t-digest tier is the plan-pinned
+    100 TB route (quantile_filter auto-tier)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cluster_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    return dedup.embedding_outlier_filter(emb, cents, q=0.8)
+
+
+EMBEDDING_OUTLIER_SQL = """
+WITH c AS (
+  SELECT CAST(vec_id AS INT) AS cluster_id, embedding AS cv
+  FROM embeddings WHERE vec_id < 8),
+p AS (
+  SELECT e.vec_id, c.cluster_id,
+         list_reduce(list_transform(list_zip(e.embedding, c.cv),
+             q -> (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))
+                * (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))),
+             (x, y) -> x + y) AS d
+  FROM embeddings e CROSS JOIN c),
+a AS (
+  SELECT vec_id, cluster_id, round(d, 4) AS dist_sq FROM (
+    SELECT vec_id, cluster_id, d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster_id ASC) AS r
+    FROM p) t
+  WHERE r = 1)
+SELECT vec_id, cluster_id, dist_sq FROM (
+  SELECT vec_id, cluster_id, dist_sq,
+         percent_rank() OVER (PARTITION BY cluster_id
+                              ORDER BY -dist_sq ASC, vec_id ASC) AS pr
+  FROM a) t
+WHERE pr >= 0.2
 """
 
 
@@ -3078,6 +3120,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_coverage_docs": vocab_coverage_docs,
     "curriculum_order_docs": curriculum_order_docs,
     # -- past the gate window: oracle-registered siblings (builder sweep) --
+    "embedding_outlier_docs": embedding_outlier_docs,
     "tfidf_top_terms": tfidf_top_terms,
     "kmeans_assign": kmeans_assign,
     "chunk_dedup_docs": chunk_dedup_docs,
@@ -3201,6 +3244,7 @@ ORACLES: dict[str, str] = {
     "zipf_fit_docs": ZIPF_FIT_SQL,
     "vocab_coverage_docs": VOCAB_COVERAGE_SQL,
     "curriculum_order_docs": CURRICULUM_SQL,
+    "embedding_outlier_docs": EMBEDDING_OUTLIER_SQL,
     "temperature_mix_docs": TEMPERATURE_MIX_SQL,
     "curation_pipeline_docs": CURATION_PIPELINE_SQL,
     "envelope_reroute": ENVELOPE_REROUTE_SQL,

@@ -361,3 +361,79 @@ def test_curriculum_approx_has_no_global_window(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "__hb" in line or "stage" in line, line
+
+
+# ------------------------------------------------- embedding outliers (C67)
+
+
+def test_embedding_outlier_filter_drops_far_tail(spark):
+    from kafka_connect_jsonata_spark.functions.dedup import embedding_outlier_filter
+
+    # cluster 0: four tight vectors + one far outlier; cluster 1: two tight
+    emb = _vec_df(
+        spark,
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.1]),
+            (3, [1.0, -0.1]),
+            (4, [0.9, 0.0]),
+            (5, [5.0, 5.0]),      # far from both centroids -> top tail of cluster 0
+            (6, [0.0, 1.0]),
+            (7, [0.0, 0.9]),
+        ],
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cluster_id int, centroid array<float>"
+    )
+    kept = sorted(
+        r["vec_id"]
+        for r in embedding_outlier_filter(emb, cents, q=0.8, exact=True).collect()
+    )
+    assert 5 not in kept
+    # percent_rank of the farthest row in any >=2-row cluster is 0 < 1-q,
+    # so each cluster sheds exactly its far tail: cluster 0 keeps the four
+    # tight vectors, cluster 1 (2 rows) keeps its closest
+    assert set(kept) == {1, 2, 3, 4, 6}
+
+
+def test_embedding_outlier_filter_approx_tier_runs(spark):
+    from kafka_connect_jsonata_spark.functions.dedup import embedding_outlier_filter
+
+    emb = _vec_df(spark, [(i, [float(i), 0.0]) for i in range(20)])
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "cluster_id int, centroid array<float>"
+    )
+    exact = {r["vec_id"] for r in embedding_outlier_filter(emb, cents, q=0.5, exact=True).collect()}
+    approx = {r["vec_id"] for r in embedding_outlier_filter(emb, cents, q=0.5, exact=False).collect()}
+    # exact tier keeps precisely the closest half; the t-digest tier may
+    # include the boundary row itself (>= on an observed threshold value)
+    assert exact == set(range(10))
+    assert set(range(10)) <= approx <= set(range(11))
+
+
+def test_semantic_pairs_gemm_columns_parity(spark):
+    from kafka_connect_jsonata_spark.functions.dedup import semantic_dup_pairs
+
+    import random
+
+    rng = random.Random(7)
+    emb = _vec_df(
+        spark,
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)],
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * 7), (1, [0.0, 1.0] + [0.0] * 6)],
+        "cluster_id int, centroid array<float>",
+    )
+    g = {
+        (r["id_a"], r["id_b"]): (r["cluster_id"], r["cosine_sim"])
+        for r in semantic_dup_pairs(emb, cents, threshold=0.5, strategy="gemm").collect()
+    }
+    c = {
+        (r["id_a"], r["id_b"]): (r["cluster_id"], r["cosine_sim"])
+        for r in semantic_dup_pairs(emb, cents, threshold=0.5, strategy="columns").collect()
+    }
+    assert g.keys() == c.keys() and len(g) > 0
+    for k in g:
+        assert g[k][0] == c[k][0]
+        assert abs(g[k][1] - c[k][1]) < 1e-9
