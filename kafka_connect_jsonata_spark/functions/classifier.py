@@ -199,27 +199,40 @@ def train_logreg(
 # ---------------------------------------------------------------------------
 
 
-def hashed_ngram_features(text_col: Column, use_bigrams: bool = True) -> Column:
-    """array<int> of hashed n-gram feature buckets for a document: every
-    unigram plus (optionally) every adjacent-word bigram, each hashed into
-    the same [0, HASH_DIM) space via the engine-portable md5 bucket. The
-    hashing trick keeps the feature space a CONSTANT regardless of corpus
-    vocabulary — the property that makes DSIR's distribution estimates
-    bounded driver/executor state at any corpus size."""
-    w = tokens(text_col)
-    uni = F.transform(w, hashed_bucket)
+def hashed_ngram_features_from_tokens(tok_col: Column, use_bigrams: bool = True) -> Column:
+    """array<int> of hashed n-gram feature buckets from an ALREADY-BOUND
+    token-array column: every unigram plus (optionally) every adjacent-word
+    bigram, each hashed into the same [0, HASH_DIM) space via the
+    engine-portable md5 bucket. Bigrams pair the array with its own
+    1-shifted slice via ``zip_with`` — O(n) per row.
+
+    The argument must be a materialized column reference (e.g. the output
+    of a prior ``select(tokens(text).alias(...))``), NOT an inline
+    ``tokens(text)`` expression: Catalyst inlines an expression argument
+    into every lambda position, so an inline split would re-tokenize the
+    document per bigram — measured at ~20x the whole featurization cost at
+    sf0.1 before this split-materialization fix."""
+    uni = F.transform(tok_col, hashed_bucket)
     if not use_bigrams:
         return uni
+    n = F.size(tok_col)
     bi = F.when(
-        F.size(w) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 1),
-            lambda i: hashed_bucket(
-                F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1))
-            ),
+        n >= 2,
+        F.zip_with(
+            F.slice(tok_col, 1, n - 1),
+            F.slice(tok_col, 2, n - 1),
+            lambda a, b: hashed_bucket(F.concat_ws(" ", a, b)),
         ),
     ).otherwise(F.array().cast("array<int>"))
     return F.concat(uni, bi)
+
+
+def hashed_ngram_features(text_col: Column, use_bigrams: bool = True) -> Column:
+    """Convenience wrapper over :func:`hashed_ngram_features_from_tokens`
+    for one-off use on a text column. For anything hot, materialize
+    ``tokens(text)`` in a projection first and call the ``_from_tokens``
+    variant (see its docstring for why)."""
+    return hashed_ngram_features_from_tokens(tokens(text_col), use_bigrams)
 
 
 def dsir_log_weights(
@@ -265,10 +278,17 @@ def dsir_log_weights(
     value upstream of any top-k).
     """
     m = HASH_DIM
-    feats = df.select(
+    toks = df.select(
         F.col(id_col),
         is_target.alias("__t"),
-        F.explode(hashed_ngram_features(F.col(text_col), use_bigrams)).alias("j"),
+        tokens(F.col(text_col)).alias("__w"),
+    )
+    feats = toks.select(
+        F.col(id_col),
+        F.col("__t"),
+        F.explode(
+            hashed_ngram_features_from_tokens(F.col("__w"), use_bigrams)
+        ).alias("j"),
     )
     dj = feats.groupBy(id_col, "__t", "j").agg(
         F.count(F.lit(1)).cast("long").alias("__c")
@@ -277,8 +297,25 @@ def dsir_log_weights(
         F.sum(F.when(F.col("__t"), F.col("__c")).otherwise(F.lit(0))).alias("ct"),
         F.sum(F.when(F.col("__t"), F.lit(0)).otherwise(F.col("__c"))).alias("cr"),
     )
-    tot = stats.agg(
-        F.sum("ct").cast("double").alias("Tt"), F.sum("cr").cast("double").alias("Tr")
+    # Corpus totals have a closed form in the TOKEN COUNT alone (n unigrams
+    # + max(n-1, 0) bigrams), so the totals consumer scans with a cheap
+    # size(split()) projection instead of re-running the full
+    # explode+md5-hash chain a third time (sum(ct) over stats is the same
+    # number — asserted by the oracle, which derives tt/tr from its stats
+    # CTE).
+    n_toks = F.size(tokens(F.col(text_col)))
+    nfeat = (
+        F.when(n_toks > 0, n_toks * 2 - 1).otherwise(F.lit(0))
+        if use_bigrams
+        else F.when(n_toks > 0, n_toks).otherwise(F.lit(0))
+    )
+    tot = df.select(is_target.alias("__t"), nfeat.cast("long").alias("__n")).agg(
+        F.sum(F.when(F.col("__t"), F.col("__n")).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("Tt"),
+        F.sum(F.when(F.col("__t"), F.lit(0)).otherwise(F.col("__n")))
+        .cast("double")
+        .alias("Tr"),
     )
     ratio = F.log(F.col("ct").cast("double") + F.lit(lam)) - F.log(
         F.col("cr").cast("double") + F.lit(lam)
