@@ -30,16 +30,27 @@ from kafka_connect_jsonata_spark.functions.text import tokens
 # ---------------------------------------------------------------------------
 
 
+def word_shingles_from_tokens(tok_col: Column, n: int) -> Column:
+    """Array of space-joined word n-grams from an ALREADY-BOUND token-array
+    column; empty array when the text has fewer than ``n`` words.
+    (sequence() counts *down* when size(w) < n — the guard keeps the index
+    array ascending-only.) The argument must be a materialized column
+    reference, not an inline ``tokens(text)`` expression: Catalyst inlines
+    expression arguments into every lambda position, so an inline split
+    re-tokenizes the document once per shingle — measured 3.8x slower at
+    sf0.1."""
+    idx = F.when(
+        F.size(tok_col) >= n, F.sequence(F.lit(1), F.size(tok_col) - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.array_join(F.slice(tok_col, i, n), " "))
+
+
 def word_shingles(col: Column, n: int) -> Column:
-    """Array of space-joined word n-grams of ``col``; empty array when the
-    text has fewer than ``n`` words. Pure Column expr: split -> indexed
-    slice windows. (sequence() counts *down* when size(w) < n — the guard
-    keeps the index array ascending-only.)"""
-    w = tokens(col)
-    idx = F.when(F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - n + 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
+    """Convenience wrapper over :func:`word_shingles_from_tokens` for
+    one-off use on a text column. For anything hot, materialize
+    ``tokens(text)`` in a projection first and call the ``_from_tokens``
+    variant (see its docstring for why)."""
+    return word_shingles_from_tokens(tokens(col), n)
 
 
 # ---------------------------------------------------------------------------
@@ -73,13 +84,18 @@ def ngram_overlap_contamination(
     """
     eval_id_col = eval_id_col or id_col
     eval_text_col = eval_text_col or text_col
+    # two-step selects materialize the token arrays so the shingle lambda
+    # slices a bound column instead of re-tokenizing per shingle
     ev = (
-        eval_set.select(F.explode(word_shingles(F.col(eval_text_col), n)).alias("__sh"))
+        eval_set.select(tokens(F.col(eval_text_col)).alias("__w"))
+        .select(F.explode(word_shingles_from_tokens(F.col("__w"), n)).alias("__sh"))
         .distinct()
     )
     tr = train.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__w")
+    ).select(
         F.col(id_col),
-        F.explode_outer(word_shingles(F.col(text_col), n)).alias("__sh"),
+        F.explode_outer(word_shingles_from_tokens(F.col("__w"), n)).alias("__sh"),
     )
     hits = (
         tr.join(F.broadcast(ev), "__sh", "left_semi")
@@ -457,7 +473,9 @@ def chunk_dedup(
     chunk value (duplicate groups are tiny; a hot boilerplate chunk is
     bounded by its duplicate count), reassembly partitions by doc id.
     """
-    w = tokens(F.col(text_col))
+    # tokens materialized in a first projection so the chunk lambda slices
+    # a bound column (an inline split re-tokenizes per chunk — 2x at sf0.1)
+    w = F.col("__w")
     n_chunks = F.ceil(F.size(w) / F.lit(chunk_words)).cast("int")
     chunks = F.when(
         F.size(w) > 0,
@@ -466,7 +484,9 @@ def chunk_dedup(
             lambda i: F.array_join(F.slice(w, i * chunk_words + 1, chunk_words), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    ex = df.select(F.col(id_col), F.posexplode_outer(chunks).alias("pos", "chunk"))
+    ex = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__w")).select(
+        F.col(id_col), F.posexplode_outer(chunks).alias("pos", "chunk")
+    )
     first = Window.partitionBy("chunk").orderBy(F.col(id_col).asc(), F.col("pos").asc())
     ranked = ex.withColumn(
         "keep", (F.col("chunk").isNotNull()) & (F.row_number().over(first) == 1)

@@ -70,24 +70,48 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def char_ngrams_from_norm(norm_col: Column, n: int = 5) -> Column:
+    """Distinct character n-grams from an ALREADY-BOUND normalized-text
+    column. The argument must be a materialized column reference: Catalyst
+    inlines expression arguments into every lambda position, so an inline
+    lower/regexp_replace would re-normalize the document once per gram
+    position — O(len^2) regex work (the trap documented on
+    ``hashed_ngram_features_from_tokens``)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm_col) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: norm_col.substr(i, F.lit(n))))
+
+
+def normalize_for_shingles(col: Column) -> Column:
+    """The shingle normalization shared by every char-gram path: trim,
+    collapse whitespace, lowercase."""
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
 def char_ngrams(col: Column, n: int = 5) -> Column:
-    """Distinct character n-grams (shingles) of normalized text."""
-    norm = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
-    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(n))))
+    """Convenience wrapper over :func:`char_ngrams_from_norm` for one-off
+    use on a raw text column. For anything hot, materialize
+    ``normalize_for_shingles(text)`` in a projection first and call the
+    ``_from_norm`` variant (see its docstring for why)."""
+    return char_ngrams_from_norm(normalize_for_shingles(col), n)
 
 
-def token_ngrams(col: Column, n: int = 3) -> Column:
-    """Distinct token n-grams of a text column."""
-    t = tokens(col)
-    cnt = F.greatest(F.size(t) - (n - 1), F.lit(0))
+def token_ngrams_from_tokens(tok_col: Column, n: int = 3) -> Column:
+    """Distinct token n-grams from an ALREADY-BOUND token-array column
+    (same materialization contract as :func:`char_ngrams_from_norm`)."""
+    cnt = F.greatest(F.size(tok_col) - (n - 1), F.lit(0))
     idx = F.sequence(F.lit(0), cnt - 1)
     return F.when(
         cnt > 0,
         F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok_col, i + 1, n)))
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def token_ngrams(col: Column, n: int = 3) -> Column:
+    """Convenience wrapper over :func:`token_ngrams_from_tokens`; for hot
+    paths materialize ``tokens(text)`` first."""
+    return token_ngrams_from_tokens(tokens(col), n)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -130,11 +154,12 @@ def ngram_jaccard_pairs(
 
     base = (
         df.repartition(par)
+        .select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__w"))
         .select(
-            F.col(id_col).alias("id"),
-            F.transform(token_ngrams(F.col(text_col), n), lambda g: F.xxhash64(g)).alias(
-                "hgrams"
-            ),
+            F.col("id"),
+            F.transform(
+                token_ngrams_from_tokens(F.col("__w"), n), lambda g: F.xxhash64(g)
+            ).alias("hgrams"),
         )
         .withColumn("sz", F.size("hgrams"))
         # materialized once, reused three ways (frequency build, prefix

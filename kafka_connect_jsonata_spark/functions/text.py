@@ -343,7 +343,9 @@ def chunk_with_overlap(
     """
     if chunk_words < 1 or stride_words < 1:
         raise ValueError("chunk_words and stride_words must be >= 1")
-    w = tokens(F.col(text_col))
+    # tokens materialized in a first projection so the window lambda slices
+    # a bound column (an inline split re-tokenizes per window — 2x at sf0.1)
+    w = F.col("__w")
     n = F.size(w)
     n_chunks = F.when(n > 0, F.floor((n - 1) / stride_words) + 1).otherwise(F.lit(0))
     idx = F.when(
@@ -359,7 +361,9 @@ def chunk_with_overlap(
             F.least(n - i * stride_words, F.lit(chunk_words)).alias("nw"),
         ),
     )
-    ex = df.select(F.col(id_col), F.explode(chunks).alias("__c"))
+    ex = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__w")).select(
+        F.col(id_col), F.explode(chunks).alias("__c")
+    )
     return ex.select(
         id_col,
         F.col("__c.cid").alias("chunk_id"),
