@@ -437,3 +437,50 @@ def test_semantic_pairs_gemm_columns_parity(spark):
     for k in g:
         assert g[k][0] == c[k][0]
         assert abs(g[k][1] - c[k][1]) < 1e-9
+
+
+def test_dsir_log_weights_matches_local_reference(spark):
+    """Spark dsir_log_weights == an independent pure-Python reference of
+    the paper formula on a mixed corpus (exact to 1e-9)."""
+    import hashlib
+    import math
+
+    from kafka_connect_jsonata_spark.functions.classifier import dsir_log_weights
+
+    rows = [
+        (0, "a b a b c", True),
+        (1, "a b", True),
+        (2, "a b a b c", False),
+        (3, "c c d e", False),
+        (4, "x y z", False),
+        (5, "a", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, t boolean")
+    got = {
+        r["doc_id"]: (r["n_features"], r["log_weight"])
+        for r in dsir_log_weights(df, F.col("t")).collect()
+    }
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:3], 16)
+
+    feats = {}
+    for i, text, t in rows:
+        w = text.split()
+        f = [bucket(x) for x in w] + [bucket(a + " " + b) for a, b in zip(w, w[1:])]
+        feats[i] = (t, f)
+    ct, cr = {}, {}
+    for t, f in feats.values():
+        for j in f:
+            (ct if t else cr)[j] = (ct if t else cr).get(j, 0) + 1
+    tt, tr = float(sum(ct.values())), float(sum(cr.values()))
+    norm = math.log(tr + 4096.0) - math.log(tt + 4096.0)
+    for i, (t, f) in feats.items():
+        if t:
+            assert i not in got
+            continue
+        w_ref = sum(
+            math.log(ct.get(j, 0) + 1.0) - math.log(cr.get(j, 0) + 1.0) for j in f
+        ) + len(f) * norm
+        assert got[i][0] == len(f)
+        assert abs(got[i][1] - w_ref) < 1e-9
