@@ -3066,6 +3066,9 @@ WHERE pr >= 0.2
 # same centroid assignment), chunk_dedup_docs (sub-doc dedup:
 # dup_span_removal stays), heavy_hitter_terms (sketches: percentile
 # stays), hash_sample_docs (sampling: temperature_mix + curriculum stay).
+# Round-6 third rotation: embedding_outlier_docs (C67, added after the
+# second rotation) gets an in-window row; multimodal_byte_stats demoted
+# (multimodal keeps multimodal_frame_sample in-window).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- 1-31: relational / text / similarity / jsonata representatives --
     "q1_pricing_summary": q1_pricing_summary,
@@ -3101,7 +3104,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_dups": minhash_lsh_dups,
     "gopher_quality_docs": gopher_quality_docs,
     "embedding_dup_pairs": embedding_dup_pairs_q,
-    "multimodal_byte_stats": multimodal_byte_stats,
     "multimodal_frame_sample": multimodal_frame_sample,
     "decontaminate_docs": decontaminate_docs,
     "pii_redact_docs": pii_redact_docs,
@@ -3119,8 +3121,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zipf_fit_docs": zipf_fit_docs,
     "vocab_coverage_docs": vocab_coverage_docs,
     "curriculum_order_docs": curriculum_order_docs,
-    # -- past the gate window: oracle-registered siblings (builder sweep) --
     "embedding_outlier_docs": embedding_outlier_docs,
+    # -- past the gate window: oracle-registered siblings (builder sweep) --
+    "multimodal_byte_stats": multimodal_byte_stats,
     "tfidf_top_terms": tfidf_top_terms,
     "kmeans_assign": kmeans_assign,
     "chunk_dedup_docs": chunk_dedup_docs,
