@@ -113,6 +113,9 @@ HEADLINE = [
     "zipf_fit_docs",
     "vocab_coverage_docs",
     "curriculum_order_docs",
+    "embedding_outlier_docs",
+    "unimax_mix_docs",
+    "score_normalize_docs",
 ]
 
 

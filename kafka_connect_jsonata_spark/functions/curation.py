@@ -907,6 +907,106 @@ def quantile_filter(
 
 
 # ---------------------------------------------------------------------------
+# per-group score normalization (calibrate quality scores across sources)
+# ---------------------------------------------------------------------------
+
+def normalize_scores(
+    df: DataFrame,
+    score_col: str,
+    group_col: str = None,
+    method: str = "percent_rank",
+    out_col: str = "norm_score",
+    exact: bool | str = "auto",
+    exact_cap: int = 5_000_000,
+    n_bins: int = 1000,
+) -> DataFrame:
+    """Calibrate a raw score onto a comparable [0, 1] scale per group —
+    the step BEFORE cross-source thresholding or curriculum mixing:
+    classifier margins, perplexities, and heuristic scores live on
+    incompatible scales per domain, so "top 30% of each source" must rank
+    within the source, not globally.
+
+    Methods:
+
+    - ``percent_rank`` — ECDF position. Exact tier: one per-group window,
+      value = ``(rank - 1) / (n - 1)`` — pure integer-ratio arithmetic,
+      bit-identical in any engine (ties share a rank, so no tiebreak
+      column is needed for determinism). Approx tier (the 100 TB path):
+      ONE ``approx_percentile`` pass yields ``n_bins`` per-group
+      thresholds applied as a map-side literal-array bin search — two
+      linear scans, no per-group sort. ``exact="auto"`` probes the
+      largest group (one bounded agg) and routes like
+      :func:`quantile_filter`.
+    - ``minmax`` — ``(x - min) / (max - min)`` from one bounded min/max
+      agg + broadcast join; order statistics are exact, so this method is
+      oracle-reproducible at any size. Degenerate group (max = min) -> 0.
+    - ``zscore`` — ``(x - mean) / stddev_pop``, same bounded-agg +
+      broadcast shape (NOT [0,1]; kept for feature pipelines). Sum-order
+      float sensitivity means this tier is test-pinned (numpy parity)
+      rather than oracle-gated. Degenerate group (stddev = 0) -> 0.
+    """
+    score = F.col(score_col).cast("double")
+    if method == "percent_rank":
+        if exact == "auto":
+            if group_col is None:
+                biggest = df.count()
+            else:
+                biggest = (
+                    df.groupBy(group_col)
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .agg(F.max("__n"))
+                    .first()[0]
+                    or 0
+                )
+            exact = biggest <= int(exact_cap)
+        if exact:
+            w = (
+                Window.partitionBy(group_col).orderBy(score.asc())
+                if group_col is not None
+                else Window.partitionBy().orderBy(score.asc())
+            )
+            return df.withColumn(out_col, F.percent_rank().over(w))
+        qs = [i / n_bins for i in range(1, n_bins)]
+        agg = F.percentile_approx(score, qs, max(n_bins, 100)).alias("__thr")
+        thr = df.groupBy(group_col).agg(agg) if group_col else df.agg(agg)
+        joined = (
+            df.join(F.broadcast(thr), group_col)
+            if group_col
+            else df.join(F.broadcast(thr))
+        )
+        # bin index = how many thresholds sit at or below the score; the
+        # threshold array is a broadcast literal, the search is JVM-side
+        binned = F.size(
+            F.filter(F.col("__thr"), lambda t: t <= score)
+        ).cast("double") / float(n_bins)
+        return joined.withColumn(out_col, binned).drop("__thr")
+    if method == "minmax":
+        aggs = [F.min(score).alias("__lo"), F.max(score).alias("__hi")]
+        stats = df.groupBy(group_col).agg(*aggs) if group_col else df.agg(*aggs)
+        joined = (
+            df.join(F.broadcast(stats), group_col)
+            if group_col
+            else df.join(F.broadcast(stats))
+        )
+        span = F.col("__hi") - F.col("__lo")
+        val = F.when(span > 0, (score - F.col("__lo")) / span).otherwise(0.0)
+        return joined.withColumn(out_col, val).drop("__lo", "__hi")
+    if method == "zscore":
+        aggs = [F.avg(score).alias("__mu"), F.stddev_pop(score).alias("__sd")]
+        stats = df.groupBy(group_col).agg(*aggs) if group_col else df.agg(*aggs)
+        joined = (
+            df.join(F.broadcast(stats), group_col)
+            if group_col
+            else df.join(F.broadcast(stats))
+        )
+        val = F.when(
+            F.col("__sd") > 0, (score - F.col("__mu")) / F.col("__sd")
+        ).otherwise(0.0)
+        return joined.withColumn(out_col, val).drop("__mu", "__sd")
+    raise ValueError(f"unknown method: {method!r}")
+
+
+# ---------------------------------------------------------------------------
 # compression-ratio quality signal
 # ---------------------------------------------------------------------------
 

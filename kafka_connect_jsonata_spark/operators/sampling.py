@@ -20,6 +20,8 @@ here is oracle-checkable, unlike RNG sampling.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -281,6 +283,138 @@ def weighted_sample(
         .orderBy(F.col("__wkey").asc(), F.col(id_col).asc())
         .limit(k)
         .drop("__wkey")
+    )
+
+
+def unimax_allocation(
+    counts: dict[str, int], budget: int, max_epochs: int = 4
+) -> dict[str, int]:
+    """UniMax budget allocation (Chung et al. 2023): distribute a total
+    ``budget`` of examples across sources as UNIFORMLY as possible,
+    capping every source at ``max_epochs`` passes over its ``counts[g]``
+    unique examples — the epoch-capped alternative to temperature
+    sampling that never over-repeats a small source.
+
+    Closed form of the sequential waterfilling (sources ascending by
+    size): a source is *binding* when its full cap still fits the uniform
+    share of the remaining budget — ``cap_g * (k - j + 1) <= budget -
+    prefix_caps`` — and with ascending capacities the binding set is a
+    prefix; every non-binding source gets the SAME share
+    ``floor((budget - sum(binding caps)) / n_non_binding)``.
+
+    Float discipline (the oracle runs the identical closed form in SQL):
+    ``max_epochs`` is an int, so caps / prefix sums / the binding test
+    are all exact int64 arithmetic; the single share division is one
+    IEEE double op followed by ``floor`` — bit-identical in any engine.
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    if max_epochs < 1:
+        raise ValueError("max_epochs must be >= 1")
+    if not counts:
+        raise ValueError("counts must be non-empty")
+    names = sorted(counts, key=lambda g: (counts[g], g))
+    k = len(names)
+    alloc: dict[str, int] = {}
+    bound_sum = 0
+    for j, g in enumerate(names):
+        cap = int(counts[g]) * int(max_epochs)
+        free = k - j
+        if cap * free <= budget - bound_sum:
+            alloc[g] = cap  # binding: runs all max_epochs passes
+            bound_sum += cap
+        else:
+            share = int(math.floor((budget - bound_sum) / free))
+            for g2 in names[j:]:
+                alloc[g2] = share
+            break
+    return alloc
+
+
+def unimax_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    budget: int,
+    max_epochs: int = 4,
+    salt: str = "",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Materialize the UniMax mixture: every selected row appears once per
+    ``epoch`` (0-based) it participates in. A source allocated ``a`` rows
+    out of ``n`` unique ones contributes ``a // n`` full passes of every
+    row plus a partial pass of the ``a % n`` rows that rank first under
+    the deterministic md5 position (same content-hash contract as
+    ``hash_sample``: reproducible on any cluster, nested across salts).
+
+    Scale shape: per-source counts are a bounded aggregation (one row per
+    source, like ``temperature_mix_rates``); the within-source rank is
+    the same two-phase distributed prefix rank as
+    ``deterministic_shuffle`` — rows bucket by (source, leading hash
+    bits), a bounded count agg gives per-cell offsets, a per-cell window
+    ranks locally — so no source ever funnels through a single task. The
+    epoch fan-out is a map-side ``explode`` (output growth is the
+    operator's contract, not a shuffle).
+    """
+    spark = df.sparkSession
+    counts = {
+        r[0]: int(r[1])
+        for r in df.groupBy(group_col).agg(F.count(F.lit(1))).collect()
+        if r[0] is not None
+    }
+    alloc = unimax_allocation(counts, budget, max_epochs)
+    plan = [
+        (g, alloc[g] // counts[g], alloc[g] % counts[g]) for g in sorted(alloc)
+    ]
+    plan_df = spark.createDataFrame(
+        plan, f"{group_col} string, __full int, __rem long"
+    )
+    nb = n_buckets or spark.sparkContext.defaultParallelism
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    hdf = df.withColumn("__h", h)
+    hb = F.least(
+        F.lit(nb - 1),
+        (F.conv(F.substring("__h", 1, 4), 16, 10).cast("long") * nb / 65536).cast(
+            "int"
+        ),
+    )
+    bt = hdf.withColumn("__hb", hb)
+    cell_counts = (
+        bt.groupBy(group_col, "__hb")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(group_col, "__hb")
+        .collect()
+    )
+    offsets, acc, cur = [], 0, None
+    for r in cell_counts:
+        if r[0] != cur:
+            cur, acc = r[0], 0  # rank restarts per source
+        offsets.append((r[0], int(r["__hb"]), acc))
+        acc += int(r["__n"])
+    off_df = spark.createDataFrame(
+        offsets, f"{group_col} string, __hb int, __off long"
+    )
+    w = (
+        Window.partitionBy(group_col, "__hb")
+        .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = (
+        bt.join(F.broadcast(off_df), [group_col, "__hb"])
+        .withColumn("__rn", F.count(F.lit(1)).over(w) - 1 + F.col("__off"))
+        .join(F.broadcast(plan_df), group_col)
+    )
+    n_epochs = F.col("__full") + F.when(F.col("__rn") < F.col("__rem"), 1).otherwise(0)
+    return (
+        ranked.withColumn(
+            "epoch",
+            F.explode(
+                F.when(
+                    n_epochs > 0, F.sequence(F.lit(0), (n_epochs - 1).cast("int"))
+                ).otherwise(F.array().cast("array<int>"))
+            ),
+        )
+        .drop("__h", "__hb", "__off", "__rn", "__full", "__rem")
     )
 
 

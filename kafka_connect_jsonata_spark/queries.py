@@ -3029,6 +3029,87 @@ WHERE pr >= 0.2
 """
 
 
+def unimax_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C68: UniMax epoch-capped mixture (Chung et al. 2023) — budget 701
+    docs over the skewed ``lang`` sources at a 2-epoch cap. Small sources
+    (fr, de) bind at their full 2-epoch capacity; the rest split the
+    remaining budget evenly (es/zh get a full pass + a partial one, en a
+    sub-epoch slice). The oracle reruns the identical closed-form
+    waterfilling in SQL — integer-exact by construction."""
+    from kafka_connect_jsonata_spark.operators.sampling import unimax_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = unimax_sample(docs, "doc_id", "lang", budget=701, max_epochs=2)
+    return out.select("doc_id", "lang", F.col("epoch").cast("int").alias("epoch"))
+
+
+UNIMAX_SQL = """
+WITH cnt AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+ord AS (
+  SELECT lang, n, n * 2 AS cap,
+         row_number() OVER (ORDER BY n ASC, lang ASC) AS j,
+         count(*) OVER () AS k,
+         coalesce(sum(n * 2) OVER (ORDER BY n ASC, lang ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+  FROM cnt),
+flg AS (
+  SELECT *, (cap * (k - j + 1) <= 701 - pfx) AS binding FROM ord),
+fin AS (
+  SELECT lang, n,
+         CASE WHEN binding THEN cap
+              ELSE CAST(floor((701 - (SELECT coalesce(sum(cap), 0)
+                                      FROM flg WHERE binding))
+                   / (SELECT nullif(count(*), 0) FROM flg WHERE NOT binding))
+                   AS BIGINT) END AS a
+  FROM flg),
+ranked AS (
+  SELECT d.doc_id, d.lang, f.a, f.n,
+         row_number() OVER (PARTITION BY d.lang
+             ORDER BY md5(CAST(d.doc_id AS VARCHAR)) ASC, d.doc_id ASC) - 1 AS rn
+  FROM documents d JOIN fin f USING (lang)),
+epochs AS (
+  SELECT doc_id, lang,
+         (a // n) + CASE WHEN rn < (a % n) THEN 1 ELSE 0 END AS e
+  FROM ranked)
+SELECT doc_id, lang, CAST(unnest(range(e)) AS INT) AS epoch
+FROM epochs WHERE e > 0
+"""
+
+
+def score_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C69: per-source score calibration — document length normalized per
+    ``lang`` by ECDF position (percent_rank: integer-ratio arithmetic,
+    engine-exact) and by min-max (order statistics, engine-exact). The
+    zscore method and the approx ECDF-binning 100 TB tier are test-pinned
+    instead (sum-order float sensitivity / t-digest)."""
+    from kafka_connect_jsonata_spark.functions.curation import normalize_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = normalize_scores(
+        docs, "n_chars", group_col="lang", method="percent_rank",
+        out_col="pr_score", exact=True,
+    )
+    out = normalize_scores(
+        out, "n_chars", group_col="lang", method="minmax", out_col="mm_score"
+    )
+    return out.select("doc_id", "lang", "pr_score", "mm_score")
+
+
+SCORE_NORMALIZE_SQL = """
+WITH s AS (
+  SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS x,
+         min(CAST(n_chars AS DOUBLE)) OVER (PARTITION BY lang) AS lo,
+         max(CAST(n_chars AS DOUBLE)) OVER (PARTITION BY lang) AS hi,
+         percent_rank() OVER (PARTITION BY lang
+                              ORDER BY CAST(n_chars AS DOUBLE) ASC) AS pr_score
+  FROM documents)
+SELECT doc_id, lang, pr_score,
+       CASE WHEN hi - lo > 0 THEN (x - lo) / (hi - lo) ELSE 0.0 END AS mm_score
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3123,6 +3204,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curriculum_order_docs": curriculum_order_docs,
     "embedding_outlier_docs": embedding_outlier_docs,
     # -- past the gate window: oracle-registered siblings (builder sweep) --
+    "unimax_mix_docs": unimax_mix_docs,
+    "score_normalize_docs": score_normalize_docs,
     "multimodal_byte_stats": multimodal_byte_stats,
     "tfidf_top_terms": tfidf_top_terms,
     "kmeans_assign": kmeans_assign,
@@ -3248,6 +3331,8 @@ ORACLES: dict[str, str] = {
     "vocab_coverage_docs": VOCAB_COVERAGE_SQL,
     "curriculum_order_docs": CURRICULUM_SQL,
     "embedding_outlier_docs": EMBEDDING_OUTLIER_SQL,
+    "unimax_mix_docs": UNIMAX_SQL,
+    "score_normalize_docs": SCORE_NORMALIZE_SQL,
     "temperature_mix_docs": TEMPERATURE_MIX_SQL,
     "curation_pipeline_docs": CURATION_PIPELINE_SQL,
     "envelope_reroute": ENVELOPE_REROUTE_SQL,

@@ -484,3 +484,214 @@ def test_dsir_log_weights_matches_local_reference(spark):
         ) + len(f) * norm
         assert got[i][0] == len(f)
         assert abs(got[i][1] - w_ref) < 1e-9
+
+
+# ------------------------------------------------- C68 unimax_sample
+
+
+def _unimax_ref(counts, budget, cap):
+    """Sequential waterfilling reference (the paper's formulation)."""
+    names = sorted(counts, key=lambda g: (counts[g], g))
+    alloc, remaining = {}, float(budget)
+    for j, g in enumerate(names):
+        share = remaining / (len(names) - j)
+        a = min(float(counts[g] * cap), share)
+        alloc[g] = a
+        remaining -= a
+    return alloc
+
+
+def test_unimax_allocation_matches_sequential_waterfilling():
+    from math import floor
+
+    from kafka_connect_jsonata_spark.operators.sampling import unimax_allocation
+
+    cases = [
+        ({"a": 10, "b": 100, "c": 1000}, 500, 3),
+        ({"a": 10, "b": 100, "c": 1000}, 5000, 3),   # all binding
+        ({"a": 10, "b": 100, "c": 1000}, 30, 3),     # none binding
+        ({"a": 5, "b": 5, "c": 5}, 12, 2),           # uniform sources
+        ({"solo": 7}, 100, 4),                       # single source
+    ]
+    for counts, budget, cap in cases:
+        got = unimax_allocation(counts, budget, cap)
+        ref = _unimax_ref(counts, budget, cap)
+        for g in counts:
+            # closed form == sequential waterfilling, integerized by floor
+            assert got[g] == floor(ref[g] + 1e-9), (counts, budget, cap, g)
+        assert sum(got.values()) <= budget or budget >= sum(
+            c * cap for c in counts.values()
+        )
+
+
+def test_unimax_allocation_validation():
+    import pytest as _pytest
+
+    from kafka_connect_jsonata_spark.operators.sampling import unimax_allocation
+
+    with _pytest.raises(ValueError):
+        unimax_allocation({}, 10, 2)
+    with _pytest.raises(ValueError):
+        unimax_allocation({"a": 1}, -1, 2)
+    with _pytest.raises(ValueError):
+        unimax_allocation({"a": 1}, 10, 0)
+
+
+def test_unimax_sample_epoch_structure(spark):
+    import hashlib
+
+    from kafka_connect_jsonata_spark.operators.sampling import (
+        unimax_allocation,
+        unimax_sample,
+    )
+
+    rows = [(i, "small" if i < 6 else "big") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = unimax_sample(df, "doc_id", "src", budget=20, max_epochs=3).collect()
+    counts = {"small": 6, "big": 24}
+    alloc = unimax_allocation(counts, 20, 3)
+    per_src = {}
+    for r in out:
+        per_src.setdefault(r["src"], []).append((r["doc_id"], r["epoch"]))
+    # each source contributes exactly its allocation, as (row, epoch) pairs
+    for g in alloc:
+        assert len(per_src.get(g, [])) == alloc[g]
+    # the partial epoch takes the md5-prefix rows of the source
+    for g, n in counts.items():
+        full, rem = alloc[g] // n, alloc[g] % n
+        ids = [i for i, s in rows if s == g]
+        order = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        expect = {(i, e) for i in ids for e in range(full)}
+        expect |= {(i, full) for i in order[:rem]}
+        assert set(per_src.get(g, [])) == expect
+
+
+def test_unimax_sample_partition_invariant(spark):
+    from kafka_connect_jsonata_spark.operators.sampling import unimax_sample
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(60)], "doc_id long, src string"
+    )
+    a = unimax_sample(df, "doc_id", "src", budget=40, max_epochs=2)
+    b = unimax_sample(
+        df.repartition(13), "doc_id", "src", budget=40, max_epochs=2, n_buckets=5
+    )
+    ka = {(r["doc_id"], r["epoch"]) for r in a.collect()}
+    kb = {(r["doc_id"], r["epoch"]) for r in b.collect()}
+    assert ka == kb and len(ka) > 0
+
+
+def test_unimax_sample_no_global_window(spark):
+    from kafka_connect_jsonata_spark.operators.sampling import unimax_sample
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 2}") for i in range(20)], "doc_id long, src string"
+    )
+    plan = plan_of(unimax_sample(df, "doc_id", "src", budget=10, max_epochs=2))
+    import re
+
+    # every Window node must partition by at least the source + hash bucket
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "__hb" in m.group(1) or "src" in m.group(1)
+
+
+# -------------------------------------------- C69 normalize_scores
+
+
+def test_normalize_scores_percent_rank_exact(spark):
+    from kafka_connect_jsonata_spark.functions.curation import normalize_scores
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 20.0), (4, "a", 40.0),
+         (5, "b", 7.0)],
+        "id long, g string, s double",
+    )
+    out = {
+        r["id"]: r["norm_score"]
+        for r in normalize_scores(df, "s", "g", exact=True).collect()
+    }
+    assert out[1] == 0.0
+    assert out[2] == out[3] == 1.0 / 3.0  # ties share a rank
+    assert out[4] == 1.0
+    assert out[5] == 0.0  # singleton group
+
+
+def test_normalize_scores_minmax_and_degenerate(spark):
+    from kafka_connect_jsonata_spark.functions.curation import normalize_scores
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 15.0), (3, "a", 30.0),
+         (4, "c", 9.0), (5, "c", 9.0)],
+        "id long, g string, s double",
+    )
+    out = {
+        r["id"]: r["norm_score"]
+        for r in normalize_scores(df, "s", "g", method="minmax").collect()
+    }
+    assert out[1] == 0.0 and out[3] == 1.0
+    assert out[2] == 0.25
+    assert out[4] == out[5] == 0.0  # max == min -> 0
+
+
+def test_normalize_scores_zscore_numpy_parity(spark):
+    import numpy as np
+
+    from kafka_connect_jsonata_spark.functions.curation import normalize_scores
+
+    vals = [3.0, 9.5, 1.25, 7.0, 4.5, 8.0]
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(vals)], "id long, g string, s double"
+    )
+    out = {
+        r["id"]: r["norm_score"]
+        for r in normalize_scores(df, "s", "g", method="zscore").collect()
+    }
+    ref = (np.array(vals) - np.mean(vals)) / np.std(vals)
+    for i, v in enumerate(ref):
+        assert abs(out[i] - v) < 1e-12
+
+
+def test_normalize_scores_approx_tier_tracks_exact(spark):
+    from kafka_connect_jsonata_spark.functions.curation import normalize_scores
+
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(200)], "id long, g string, s double"
+    )
+    exact = {
+        r["id"]: r["norm_score"]
+        for r in normalize_scores(df, "s", "g", exact=True).collect()
+    }
+    approx = {
+        r["id"]: r["norm_score"]
+        for r in normalize_scores(
+            df, "s", "g", exact=False, n_bins=100
+        ).collect()
+    }
+    for i in exact:
+        assert 0.0 <= approx[i] <= 1.0
+        assert abs(approx[i] - exact[i]) <= 0.02 + 1e-9  # within one bin
+    # approx tier preserves the ranking (scores are distinct here)
+    order_e = sorted(exact, key=lambda i: (exact[i], i))
+    order_a = sorted(approx, key=lambda i: (approx[i], i))
+    assert order_e == order_a
+
+
+def test_normalize_scores_approx_tier_has_no_window(spark):
+    from kafka_connect_jsonata_spark.functions.curation import normalize_scores
+
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(50)], "id long, g string, s double"
+    )
+    plan = plan_of(normalize_scores(df, "s", "g", exact=False))
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_normalize_scores_unknown_method(spark):
+    import pytest as _pytest
+
+    from kafka_connect_jsonata_spark.functions.curation import normalize_scores
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, s double")
+    with _pytest.raises(ValueError):
+        normalize_scores(df, "s", method="rank")
