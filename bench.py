@@ -116,6 +116,7 @@ HEADLINE = [
     "embedding_outlier_docs",
     "unimax_mix_docs",
     "score_normalize_docs",
+    "temperature_token_mix_docs",
 ]
 
 

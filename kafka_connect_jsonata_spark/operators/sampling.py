@@ -189,6 +189,7 @@ def temperature_mix_rates(
     group_col: str,
     target_total: float,
     alpha: float = 0.5,
+    weight_col: str | None = None,
 ) -> dict[str, float]:
     """Per-group keep rates for temperature-flattened corpus mixing:
     p_g ∝ n_g^alpha (alpha < 1 upweights small sources — the multilingual
@@ -201,10 +202,23 @@ def temperature_mix_rates(
     by name (the same explicit-fold rule every float oracle in this repo
     follows), and alpha=0.5 uses sqrt (IEEE-exact everywhere) rather than
     pow.
+
+    ``weight_col``: when set (e.g. a token count), a group's mass is
+    ``sum(weight_col)`` instead of its row count and ``target_total`` is
+    in the same unit — TOKEN-budget mixing, the form pretraining recipes
+    actually specify ("X billion tokens from source g"), still one
+    bounded aggregation. Rows are still kept/dropped whole (documents are
+    the sampling unit), so the kept mass matches the budget in
+    expectation, exactly as doc-count mixing does.
     """
+    mass = (
+        F.sum(F.col(weight_col).cast("long"))
+        if weight_col is not None
+        else F.count(F.lit(1))
+    )
     counts = {
         r[0]: int(r[1])
-        for r in df.groupBy(group_col).agg(F.count(F.lit(1))).collect()
+        for r in df.groupBy(group_col).agg(mass).collect()
         if r[0] is not None  # null groups fall to mixture_sample's default
     }
     if not counts:
@@ -232,12 +246,13 @@ def temperature_mix_sample(
     target_total: float,
     alpha: float = 0.5,
     salt: str = "",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Temperature-resampled corpus: ``mixture_sample`` driven by
     ``temperature_mix_rates`` instead of hand-picked rates — one bounded
     count aggregation, then the same zero-shuffle deterministic
-    md5-position filter."""
-    rates = temperature_mix_rates(df, group_col, target_total, alpha)
+    md5-position filter. Pass ``weight_col`` for token-budget mixing."""
+    rates = temperature_mix_rates(df, group_col, target_total, alpha, weight_col)
     return mixture_sample(df, id_col, group_col, rates, salt)
 
 

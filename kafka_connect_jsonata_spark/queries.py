@@ -2414,6 +2414,65 @@ FROM r LEFT JOIN k USING (lang)
 """
 
 
+def temperature_token_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C48 token-budget variant: temperature mixing where a group's mass is
+    its CHARACTER total (``weight_col='n_chars'``, the token-count proxy in
+    this corpus) and the target is 100k chars — the form pretraining
+    recipes actually specify. Same sqrt weights, same left-to-right fold,
+    same md5 filter; the oracle mirrors each step in SQL."""
+    from kafka_connect_jsonata_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = sampling.temperature_mix_rates(
+        docs, "lang", target_total=100_000, alpha=0.5, weight_col="n_chars"
+    )
+    sampled = sampling.mixture_sample(docs, "doc_id", "lang", rates, salt="tokmix")
+    totals = docs.groupBy("lang").agg(
+        F.sum(F.col("n_chars").cast("long")).alias("mass_chars")
+    )
+    kept = sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.col("n_chars").cast("long")).alias("kept_chars"),
+    )
+    rate_df = spark.createDataFrame(
+        [(g, float(r)) for g, r in sorted(rates.items())], "lang string, rate double"
+    )
+    return (
+        totals.join(kept, "lang", "left")
+        .join(rate_df, "lang")
+        .select(
+            "lang",
+            "mass_chars",
+            F.round("rate", 9).alias("rate"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("kept_chars"), F.lit(0)).cast("long").alias("kept_chars"),
+        )
+    )
+
+
+TEMPERATURE_TOKEN_MIX_SQL = """
+WITH c AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS m
+           FROM documents GROUP BY lang),
+s AS (SELECT list_reduce(list(sqrt(CAST(m AS DOUBLE)) ORDER BY lang),
+                         (a, b) -> a + b) AS sw FROM c),
+r AS (SELECT lang, m,
+             least(1.0, sqrt(CAST(m AS DOUBLE)) / s.sw * 100000.0 / m) AS rate
+      FROM c CROSS JOIN s),
+k AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
+      FROM documents d JOIN r USING (lang)
+      WHERE CASE WHEN r.rate >= 1.0 THEN TRUE
+                 ELSE md5(CAST(d.doc_id AS VARCHAR) || 'tokmix')
+                      < lpad(lower(to_hex(CAST(trunc(r.rate * 4294967296.0) AS BIGINT))),
+                             8, '0') || repeat('0', 24) END
+      GROUP BY d.lang)
+SELECT r.lang, r.m AS mass_chars, round(r.rate, 9) AS rate,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(k.kept_chars, 0) AS BIGINT) AS kept_chars
+FROM r LEFT JOIN k USING (lang)
+"""
+
+
 # ---------------------------------------------------------------------------
 # C49: end-to-end curation pipeline (operators composed, still exact)
 # ---------------------------------------------------------------------------
@@ -3206,6 +3265,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- past the gate window: oracle-registered siblings (builder sweep) --
     "unimax_mix_docs": unimax_mix_docs,
     "score_normalize_docs": score_normalize_docs,
+    "temperature_token_mix_docs": temperature_token_mix_docs,
     "multimodal_byte_stats": multimodal_byte_stats,
     "tfidf_top_terms": tfidf_top_terms,
     "kmeans_assign": kmeans_assign,
@@ -3333,6 +3393,7 @@ ORACLES: dict[str, str] = {
     "embedding_outlier_docs": EMBEDDING_OUTLIER_SQL,
     "unimax_mix_docs": UNIMAX_SQL,
     "score_normalize_docs": SCORE_NORMALIZE_SQL,
+    "temperature_token_mix_docs": TEMPERATURE_TOKEN_MIX_SQL,
     "temperature_mix_docs": TEMPERATURE_MIX_SQL,
     "curation_pipeline_docs": CURATION_PIPELINE_SQL,
     "envelope_reroute": ENVELOPE_REROUTE_SQL,

@@ -155,3 +155,44 @@ def test_temperature_rates_skip_null_groups(spark):
     )
     rates = sampling.temperature_mix_rates(df, "source", target_total=10_000)
     assert None not in rates and set(rates) == {"big", "small"}
+
+
+def test_temperature_rates_weight_col_token_budget(spark):
+    import math
+
+    from kafka_connect_jsonata_spark.operators.sampling import (
+        temperature_mix_rates,
+    )
+
+    rows = [
+        (1, "a", 100), (2, "a", 300),   # mass a = 400
+        (3, "b", 50),                   # mass b = 50
+        (4, "c", 900), (5, "c", 700),   # mass c = 1600
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, w long")
+    rates = temperature_mix_rates(df, "g", target_total=500, weight_col="w")
+    mass = {"a": 400, "b": 50, "c": 1600}
+    s = math.sqrt(400) + math.sqrt(50) + math.sqrt(1600)
+    for g, m in mass.items():
+        assert rates[g] == min(1.0, math.sqrt(m) / s * 500.0 / m)
+    # smaller sources keep a larger fraction of their mass
+    assert rates["b"] > rates["a"] > rates["c"]
+
+
+def test_temperature_mix_sample_weight_col_routes_rates(spark):
+    from kafka_connect_jsonata_spark.operators.sampling import (
+        mixture_sample,
+        temperature_mix_rates,
+        temperature_mix_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 30 else "b", (i % 7) + 1) for i in range(50)],
+        "id long, g string, w long",
+    )
+    got = temperature_mix_sample(
+        df, "id", "g", target_total=80, weight_col="w", salt="t"
+    )
+    rates = temperature_mix_rates(df, "g", 80, weight_col="w")
+    ref = mixture_sample(df, "id", "g", rates, salt="t")
+    assert {r["id"] for r in got.collect()} == {r["id"] for r in ref.collect()}
