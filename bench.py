@@ -117,6 +117,7 @@ HEADLINE = [
     "unimax_mix_docs",
     "score_normalize_docs",
     "temperature_token_mix_docs",
+    "knn_graph_edges",
 ]
 
 

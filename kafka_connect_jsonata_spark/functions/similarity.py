@@ -281,3 +281,129 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank")
     )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    strategy: str = "auto",
+    margin: int = 4,
+    n_bands: int = 16,
+    band_bits: int = 6,
+    seed: int = 42,
+    broadcast_cap_bytes: int = 256 << 20,
+    dim: int | None = None,
+) -> DataFrame:
+    """Self kNN graph: every vector's top-``k`` cosine neighbors within the
+    SAME table — the substrate for graph-based semantic clustering, label
+    propagation, and diversity-aware selection (``cosine_topk``/``lsh_topk``
+    answer external queries; this builds the corpus-internal graph).
+
+    ``strategy="gemm"`` (exact): the corpus matrix rides to executors in a
+    pandas-UDF closure (probed against ``broadcast_cap_bytes``, same
+    contract as ``embedding_dup_pairs(strategy="auto")``); one BLAS matmul
+    per Arrow batch winnows each node to ``k + margin`` candidate ids, and
+    the winnowed (n x (k+margin)) edge list is re-scored with the Catalyst
+    ``cosine`` fold — so the RANKING is the deterministic left-to-right
+    fold every oracle reproduces, not BLAS summation order; the window
+    top-k runs on the candidate edges only (never n^2 rows). ``margin``
+    guards the winnow against last-ulp GEMM/fold disagreement at the
+    cut boundary.
+
+    ``strategy="lsh"`` (the non-broadcastable-corpus path): random-
+    hyperplane band signatures (one GEMM per batch, closure-held planes),
+    a SELF equi-join on (band, sig) — the corpus shuffles on bounded
+    band keys, never cross-joins — then the same exact re-rank over
+    collision candidates. Approximate: recall depends on band geometry
+    (unit-tested against the exact tier).
+
+    ``strategy="auto"``: probe rows*dim*8 against the cap, route gemm
+    below it, lsh above — cannot OOM by construction.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if strategy not in ("auto", "gemm", "lsh"):
+        raise ValueError(f"unknown strategy: {strategy!r}")
+    base = corpus.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__v"))
+    if strategy == "auto":
+        n = base.count()
+        d = dim or len(base.select("__v").first()[0])
+        strategy = "gemm" if n * d * 8 <= broadcast_cap_bytes else "lsh"
+    if strategy == "gemm":
+        rows = base.collect()
+        ids = np.array([r[0] for r in rows])
+        mat = np.stack([np.asarray(r[1], dtype="float64") for r in rows])
+        norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-300)
+        unit = mat / norms[:, None]
+        m = min(k + margin, len(ids) - 1)
+        spark = corpus.sparkSession
+
+        def winnow(batches):
+            # id -> row lookup once per task
+            idx = {int(i): p for p, i in enumerate(ids)}
+            for pdf in batches:
+                qpos = pdf[id_col].map(idx).to_numpy()
+                sims = unit[qpos] @ unit.T                     # (b, n)
+                sims[np.arange(len(qpos)), qpos] = -np.inf     # drop self
+                top = np.argpartition(-sims, m - 1, axis=1)[:, :m]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(pdf[id_col].to_numpy(), m),
+                        "neighbor_id": ids[top].ravel(),
+                    }
+                )
+
+        edges = corpus.select(id_col).mapInPandas(
+            winnow, f"query_id long, neighbor_id long"
+        )
+        qv = base
+        nv = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+        )
+        scored = (
+            edges.join(F.broadcast(qv), "query_id")
+            .join(F.broadcast(nv), "neighbor_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine(F.col("__v"), F.col("__nv")).alias("cosine_sim"),
+            )
+        )
+    else:
+        d = dim or len(base.select("__v").first()[0])
+        sig_udf = _band_signatures_udf(_hyperplanes(d, n_bands, band_bits, seed))
+        sigs = base.select(
+            "query_id", "__v", F.posexplode(sig_udf(F.col("__v"))).alias("band", "sig")
+        )
+        other = sigs.select(
+            F.col("query_id").alias("neighbor_id"),
+            F.col("__v").alias("__nv"),
+            "band",
+            "sig",
+        )
+        cand = (
+            sigs.join(other, ["band", "sig"])
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", "__v", "__nv")
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+        scored = cand.select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__v"), F.col("__nv")).alias("cosine_sim"),
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine_sim", 4).alias("cosine_sim"),
+            "rank",
+        )
+    )

@@ -794,6 +794,34 @@ WHERE rank <= 5
 """
 
 
+def knn_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C70: corpus-internal kNN graph — every vector's top-3 cosine
+    neighbors within the same table (GEMM winnow to k+margin candidate
+    edges, Catalyst-fold re-rank so ranking is engine-exact). The oracle
+    is the full brute-force per-node window; the LSH self-join tier is
+    the non-broadcastable-corpus path (recall unit-tested)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_graph(emb, k=3, strategy="gemm")
+
+
+KNN_GRAPH_SQL = """
+WITH pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+          * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)))
+         AS sim
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id <> b.vec_id)
+SELECT query_id, neighbor_id, round(sim, 4) AS cosine_sim, rank FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM pairs) t
+WHERE rank <= 3
+"""
+
+
 def token_count_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C24 token budgeting: whitespace tokens and BPE-ish (GPT-2-style
     pre-tokenization regex) piece counts per document — the JVM-regex
@@ -3266,6 +3294,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unimax_mix_docs": unimax_mix_docs,
     "score_normalize_docs": score_normalize_docs,
     "temperature_token_mix_docs": temperature_token_mix_docs,
+    "knn_graph_edges": knn_graph_edges,
     "multimodal_byte_stats": multimodal_byte_stats,
     "tfidf_top_terms": tfidf_top_terms,
     "kmeans_assign": kmeans_assign,
@@ -3394,6 +3423,7 @@ ORACLES: dict[str, str] = {
     "unimax_mix_docs": UNIMAX_SQL,
     "score_normalize_docs": SCORE_NORMALIZE_SQL,
     "temperature_token_mix_docs": TEMPERATURE_TOKEN_MIX_SQL,
+    "knn_graph_edges": KNN_GRAPH_SQL,
     "temperature_mix_docs": TEMPERATURE_MIX_SQL,
     "curation_pipeline_docs": CURATION_PIPELINE_SQL,
     "envelope_reroute": ENVELOPE_REROUTE_SQL,

@@ -415,3 +415,79 @@ def test_pack_n_tokens_col_matches_text_path(spark, sf_dir):
     a = sorted(map(tuple, via_text.select("doc_id", "start_offset", "pack_id").collect()))
     b = sorted(map(tuple, via_col.select("doc_id", "start_offset", "pack_id").collect()))
     assert a == b
+
+
+def test_knn_graph_gemm_matches_local_reference(spark):
+    import numpy as np
+
+    from kafka_connect_jsonata_spark.functions import similarity as S
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in S.knn_graph(df, k=4, strategy="gemm").collect()
+    }
+    # reference on the float32-truncated values the table actually stores
+    v32 = vecs.astype("float32").astype("float64")
+    unit = v32 / np.linalg.norm(v32, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    np.fill_diagonal(sims, -np.inf)
+    for q in range(40):
+        order = sorted(range(40), key=lambda j: (-sims[q, j], j))[:4]
+        for rank, j in enumerate(order, 1):
+            assert got[(q, rank)] == j, (q, rank)
+    assert len(got) == 40 * 4
+
+
+def test_knn_graph_lsh_recall_and_auto_routing(spark):
+    import numpy as np
+
+    from kafka_connect_jsonata_spark.functions import similarity as S
+
+    rng = np.random.default_rng(11)
+    # 8 tight clusters: near neighbors are genuinely near
+    centers = rng.normal(size=(8, 32)) * 5
+    vecs = np.concatenate(
+        [c + rng.normal(size=(12, 32)) * 0.05 for c in centers]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.knn_graph(df, k=3, strategy="gemm").collect()
+    }
+    lsh = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.knn_graph(
+            df, k=3, strategy="lsh", n_bands=16, band_bits=4
+        ).collect()
+    }
+    assert len(lsh & exact) / len(exact) >= 0.95
+    # auto with a tiny cap must route to lsh (same result set shape)
+    routed = S.knn_graph(df, k=3, strategy="auto", broadcast_cap_bytes=64,
+                         n_bands=16, band_bits=4)
+    assert {(r["query_id"], r["neighbor_id"]) for r in routed.collect()} == lsh
+
+
+def test_knn_graph_validation(spark):
+    import pytest as _pytest
+
+    from kafka_connect_jsonata_spark.functions import similarity as S
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError):
+        S.knn_graph(df, k=0)
+    with _pytest.raises(ValueError):
+        S.knn_graph(df, k=1, strategy="hnsw")
+    # k exceeding n-1 caps gracefully at the available neighbors
+    out = S.knn_graph(df, k=5, strategy="gemm").collect()
+    assert {(r["query_id"], r["neighbor_id"]) for r in out} == {(0, 1), (1, 0)}
