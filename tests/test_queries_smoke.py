@@ -491,3 +491,29 @@ def test_knn_graph_validation(spark):
     # k exceeding n-1 caps gracefully at the available neighbors
     out = S.knn_graph(df, k=5, strategy="gemm").collect()
     assert {(r["query_id"], r["neighbor_id"]) for r in out} == {(0, 1), (1, 0)}
+
+
+def test_hash_split_on_group_key_is_leakage_safe(spark):
+    """The leakage-safe split recipe: after near-dup clustering, split on
+    the CLUSTER id (hash_split with id_col=<group key>) so every member of
+    a dup family lands in the same split — near-duplicates can never
+    straddle the train/test boundary. hash_split is already key-generic;
+    this pins the composition."""
+    from kafka_connect_jsonata_spark.operators.sampling import hash_split
+
+    rows = [(i, i // 3) for i in range(90)]  # 30 clusters of 3 near-dups
+    df = spark.createDataFrame(rows, "doc_id long, cluster_id long")
+    splits = hash_split(df, "cluster_id", {"train": 0.8, "test": 0.2}, salt="lk")
+    train = {(r["doc_id"], r["cluster_id"]) for r in splits["train"].collect()}
+    test = {(r["doc_id"], r["cluster_id"]) for r in splits["test"].collect()}
+    assert len(train) + len(test) == 90 and not (train & test)
+    train_clusters = {c for _, c in train}
+    test_clusters = {c for _, c in test}
+    assert not (train_clusters & test_clusters)  # no cluster straddles
+    # and every cluster is complete on its side
+    for side in (train, test):
+        by_c = {}
+        for d, c in side:
+            by_c.setdefault(c, set()).add(d)
+        for c, members in by_c.items():
+            assert members == {3 * c, 3 * c + 1, 3 * c + 2}
