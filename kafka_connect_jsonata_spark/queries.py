@@ -3237,15 +3237,18 @@ FROM s
 # Round-6 third rotation: embedding_outlier_docs (C67, added after the
 # second rotation) gets an in-window row; multimodal_byte_stats demoted
 # (multimodal keeps multimodal_frame_sample in-window).
+# Round-6 fourth rotation: the late C68-C70 additions (UniMax mixing,
+# score normalization, kNN graph) get in-window rows; demoted with family
+# kept represented: q5_local_supplier (equi-join: q1 TPC-H + skew_salted
+# stay), semi_join_customers (semi-join: bloom_semi_join stays),
+# udtf_explode_tokens (Python hosting: jsonata_interpreter stays).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- 1-31: relational / text / similarity / jsonata representatives --
     "q1_pricing_summary": q1_pricing_summary,
-    "q5_local_supplier": q5_local_supplier,
     "filter_project_events": filter_project_events,
     "json_props_extract": json_props_extract,
     "topk_per_group": topk_per_group,
     "rollup_lineitem": rollup_lineitem,
-    "semi_join_customers": semi_join_customers,
     "range_join_parts": range_join_parts,
     "asof_join_events_orders": asof_join_events_orders,
     "dedup_exact_docs": dedup_exact_docs,
@@ -3262,7 +3265,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_salted_join": skew_salted_join,
     "envelope_reroute": envelope_reroute,
     "jsonata_object_ops": jsonata_object_ops,
-    "udtf_explode_tokens": udtf_explode_tokens,
     "jsonata_flagship": jsonata_flagship,
     "quality_classifier_docs": quality_classifier_docs,
     "jsonata_interpreter": jsonata_interpreter,
@@ -3290,11 +3292,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_coverage_docs": vocab_coverage_docs,
     "curriculum_order_docs": curriculum_order_docs,
     "embedding_outlier_docs": embedding_outlier_docs,
-    # -- past the gate window: oracle-registered siblings (builder sweep) --
     "unimax_mix_docs": unimax_mix_docs,
     "score_normalize_docs": score_normalize_docs,
-    "temperature_token_mix_docs": temperature_token_mix_docs,
     "knn_graph_edges": knn_graph_edges,
+    # -- past the gate window: oracle-registered siblings (builder sweep) --
+    "q5_local_supplier": q5_local_supplier,
+    "semi_join_customers": semi_join_customers,
+    "udtf_explode_tokens": udtf_explode_tokens,
+    "temperature_token_mix_docs": temperature_token_mix_docs,
     "multimodal_byte_stats": multimodal_byte_stats,
     "tfidf_top_terms": tfidf_top_terms,
     "kmeans_assign": kmeans_assign,
