@@ -1054,12 +1054,20 @@ def embedding_outlier_filter(
     c_id_col: str = "cluster_id",
     c_vec_col: str = "centroid",
     exact: bool | str = "auto",
+    prune: str = "far",
 ) -> DataFrame:
     """Per-cluster embedding outlier pruning: drop the vectors whose
     distance to their assigned centroid sits in the top ``(1-q)`` tail of
     their CLUSTER — the "remove far-from-any-mode noise" companion to
     SemDeDup (the DataComp/DFN-style geometric cleaning step: near-dups
     are dropped by :func:`semantic_dedup`, junk is dropped here).
+
+    ``prune="near"`` flips the tail: drop the vectors CLOSEST to their
+    centroid — the D4 diversification step (Tirumala et al. 2023,
+    arXiv:2308.12284: after SemDeDup, the most prototypical points are
+    the most redundant; keeping the q FARTHEST per cluster preserves
+    coverage of the distribution's spread). Same machinery, negation
+    applied to the opposite side.
 
     Composition, not new machinery: zero-shuffle centroid assignment
     (:func:`~kafka_connect_jsonata_spark.functions.curation.assign_nearest_centroid`)
@@ -1081,9 +1089,15 @@ def embedding_outlier_filter(
         emb, centroids, id_col=id_col, vec_col=vec_col,
         c_id_col=c_id_col, c_vec_col=c_vec_col,
     )
-    # keep rows whose NEGATED distance is in the top-q slice == rows whose
-    # distance is in the bottom-q slice (ties broken on id, deterministic)
-    scored = assigned.withColumn("__neg_d", -F.col("dist_sq"))
+    if prune not in ("far", "near"):
+        raise ValueError(f"prune must be 'far' or 'near', got {prune!r}")
+    # prune="far": keep rows whose NEGATED distance is in the top-q slice
+    # == bottom-q by distance (ties broken on id, deterministic);
+    # prune="near": keep the top-q by distance directly
+    scored = assigned.withColumn(
+        "__neg_d",
+        -F.col("dist_sq") if prune == "far" else F.col("dist_sq"),
+    )
     kept = quantile_filter(
         scored,
         score_col="__neg_d",

@@ -3197,6 +3197,46 @@ FROM s
 """
 
 
+def embedding_diversify_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C67 D4 mode: per-cluster prototype pruning (Tirumala et al. 2023) —
+    drop the 30% of each cluster CLOSEST to its centroid (the most
+    redundant points after semantic dedup), keeping the spread. Same
+    assignment + auto-tiered quantile machinery as embedding_outlier_docs,
+    opposite tail."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cluster_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    return dedup.embedding_outlier_filter(emb, cents, q=0.7, prune="near")
+
+
+EMBEDDING_DIVERSIFY_SQL = """
+WITH c AS (
+  SELECT CAST(vec_id AS INT) AS cluster_id, embedding AS cv
+  FROM embeddings WHERE vec_id < 8),
+p AS (
+  SELECT e.vec_id, c.cluster_id,
+         list_reduce(list_transform(list_zip(e.embedding, c.cv),
+             q -> (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))
+                * (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))),
+             (x, y) -> x + y) AS d
+  FROM embeddings e CROSS JOIN c),
+a AS (
+  SELECT vec_id, cluster_id, round(d, 4) AS dist_sq FROM (
+    SELECT vec_id, cluster_id, d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster_id ASC) AS r
+    FROM p) t
+  WHERE r = 1)
+SELECT vec_id, cluster_id, dist_sq FROM (
+  SELECT vec_id, cluster_id, dist_sq,
+         percent_rank() OVER (PARTITION BY cluster_id
+                              ORDER BY dist_sq ASC, vec_id ASC) AS pr
+  FROM a) t
+WHERE pr >= (1.0 - 0.7)  -- the same IEEE double the Spark side computes
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3300,6 +3340,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semi_join_customers": semi_join_customers,
     "udtf_explode_tokens": udtf_explode_tokens,
     "temperature_token_mix_docs": temperature_token_mix_docs,
+    "embedding_diversify_docs": embedding_diversify_docs,
     "multimodal_byte_stats": multimodal_byte_stats,
     "tfidf_top_terms": tfidf_top_terms,
     "kmeans_assign": kmeans_assign,
@@ -3429,6 +3470,7 @@ ORACLES: dict[str, str] = {
     "score_normalize_docs": SCORE_NORMALIZE_SQL,
     "temperature_token_mix_docs": TEMPERATURE_TOKEN_MIX_SQL,
     "knn_graph_edges": KNN_GRAPH_SQL,
+    "embedding_diversify_docs": EMBEDDING_DIVERSIFY_SQL,
     "temperature_mix_docs": TEMPERATURE_MIX_SQL,
     "curation_pipeline_docs": CURATION_PIPELINE_SQL,
     "envelope_reroute": ENVELOPE_REROUTE_SQL,
