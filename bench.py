@@ -170,24 +170,60 @@ def main() -> None:
         one_pass(noisy)
     timings = {name: round(min(rs), 3) for name, rs in runs.items()}
     total = round(sum(timings.values()), 3)
-    line = json.dumps(
-        {
-            "metric": "headline_query_set_total",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-        }
+    result = {
+        "metric": "headline_query_set_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    line = json.dumps(result, separators=(",", ":"))
+    # Full per-query JSON always lands on disk (the durable artifact).
+    bench_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH.json"
     )
-    # Belt and braces for the driver's tail capture: persist the JSON to a
-    # file too, then emit it as the FINAL (and only payload) stdout line.
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
+        with open(bench_path, "w") as f:
             f.write(line + "\n")
     except OSError:
         pass
+    # The driver records only the LAST 2000 bytes of stdout and json-parses
+    # the final line (BENCH_r05/r06 both arrived with "parsed": null because
+    # the 94-query dict pushed the line to ~2.5 KB and the tail cut off its
+    # head). Emit the full line when it fits the capture window; otherwise
+    # emit a parseable summary whose "queries" points at the on-disk file —
+    # a non-null parse with a pointer beats a truncated unparseable dict.
+    if len(line) <= 1900:
+        final = line
+    else:
+        # Keep the slowest queries inline (they drive the BASELINE.md
+        # comparison) and note where the complete dict lives.
+        by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
+        kept: dict[str, float] = {}
+        meta = {"_full": bench_path, "_omitted": 0}
+
+        def render() -> str:
+            return json.dumps(
+                {
+                    "metric": "headline_query_set_total",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": {**kept, **meta},
+                    "sf": sf,
+                },
+                separators=(",", ":"),
+            )
+
+        for name, sec in by_cost:
+            kept[name] = sec
+            meta["_omitted"] = len(timings) - len(kept)
+            if len(render()) > 1850:
+                del kept[name]
+                meta["_omitted"] = len(timings) - len(kept)
+                break
+        final = render()
     sys.stdout.flush()
-    print(line, flush=True)
+    print(final, flush=True)
 
 
 if __name__ == "__main__":

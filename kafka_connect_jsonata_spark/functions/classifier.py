@@ -235,6 +235,36 @@ def hashed_ngram_features(text_col: Column, use_bigrams: bool = True) -> Column:
     return hashed_ngram_features_from_tokens(tokens(text_col), use_bigrams)
 
 
+def dsir_features(
+    df: DataFrame,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    use_bigrams: bool = True,
+) -> DataFrame:
+    """The DSIR pre-aggregation: per-(doc, bucket) hashed n-gram counts —
+    ``(id, __t, j, __c)`` with ``__t`` the target flag, ``j`` the md5
+    bucket, ``__c`` the in-doc count. Strictly smaller than the corpus
+    text; a cluster caller can materialize THIS once (write it, or
+    ``dsir_log_weights(..., cache=True)`` persists it) so the tokenize+
+    hash scan of the raw corpus runs exactly once."""
+    toks = df.select(
+        F.col(id_col),
+        is_target.alias("__t"),
+        tokens(F.col(text_col)).alias("__w"),
+    )
+    feats = toks.select(
+        F.col(id_col),
+        F.col("__t"),
+        F.explode(
+            hashed_ngram_features_from_tokens(F.col("__w"), use_bigrams)
+        ).alias("j"),
+    )
+    return feats.groupBy(id_col, "__t", "j").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+
+
 def dsir_log_weights(
     df: DataFrame,
     is_target: Column,
@@ -242,6 +272,8 @@ def dsir_log_weights(
     text_col: str = "text",
     lam: float = 1.0,
     use_bigrams: bool = True,
+    cache: bool = False,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
     every RAW document by how much more likely its hashed n-gram bag is
@@ -262,61 +294,81 @@ def dsir_log_weights(
     at these cardinalities) and re-aggregates per document with
     count-weighted ratios. The corpus text itself never shuffles — only
     (id, int bucket, count) rows do. Totals ride a 1-row broadcast
-    crossJoin, lazily. The tokenize+hash scan runs once per consumer
-    (stats / totals / scoring — measured: filter and isnotnull pushdown
-    clone the shared subtree differently per branch, so Catalyst's
-    ReusedExchange cannot legally kick in); at gate scale the three scans
-    run concurrently, and a caller at cluster scale who wants one
-    materialization can persist the (id, is_target, bucket, count)
-    pre-aggregation and pass it through — it is strictly smaller than the
-    corpus text.
+    crossJoin, lazily. In the default lazy plan the tokenize+hash scan
+    runs once per consumer (stats / totals / scoring — measured: filter
+    and isnotnull pushdown clone the shared subtree differently per
+    branch, so Catalyst's ReusedExchange cannot legally kick in); at gate
+    scale the three scans run CONCURRENTLY and the lazy plan measured
+    faster below ~50k docs (eager collect lost at 5k, won at 50k —
+    SCALE.md). At cluster scale the re-scan dominates, so two escape
+    hatches remove it entirely:
 
-    Returns (id, n_features, log_weight) for every raw document, with the
-    float-stable count-weighted formulation
-    ``sum[c_j * (ln(ct_j+lam) - ln(cr_j+lam))] + n*[ln(Tr+lam*m) -
-    ln(Tt+lam*m)]`` (round to 6 places downstream; rank on the unrounded
-    value upstream of any top-k).
+    - ``cache=True``: the (id, is_target, bucket, count) pre-aggregation
+      is ``persist()``-ed and every consumer (stats, totals, scoring)
+      derives from it — the corpus text is tokenized exactly once. Totals
+      come from summing the persisted counts (the same number the
+      closed-form token-count scan computes; parity is test-pinned).
+    - ``features=``: pass a precomputed :func:`dsir_features` table (e.g.
+      written to parquet by an earlier job); the raw text is never read
+      here at all.
+
+    Returns (id, n_features, log_weight) for every raw document WITH AT
+    LEAST ONE TOKEN (a zero-token document has no hashed features, hence
+    no defined bag likelihood — it contributes no output row; the SQL
+    oracle behaves identically), with the float-stable count-weighted
+    formulation ``sum[c_j * (ln(ct_j+lam) - ln(cr_j+lam))] +
+    n*[ln(Tr+lam*m) - ln(Tt+lam*m)]`` (round to 6 places downstream; rank
+    on the unrounded value upstream of any top-k).
     """
     m = HASH_DIM
-    toks = df.select(
-        F.col(id_col),
-        is_target.alias("__t"),
-        tokens(F.col(text_col)).alias("__w"),
-    )
-    feats = toks.select(
-        F.col(id_col),
-        F.col("__t"),
-        F.explode(
-            hashed_ngram_features_from_tokens(F.col("__w"), use_bigrams)
-        ).alias("j"),
-    )
-    dj = feats.groupBy(id_col, "__t", "j").agg(
-        F.count(F.lit(1)).cast("long").alias("__c")
-    )
+    if features is not None:
+        dj = features
+    else:
+        dj = dsir_features(
+            df, is_target, id_col=id_col, text_col=text_col,
+            use_bigrams=use_bigrams,
+        )
+        if cache:
+            dj = dj.persist()
     stats = dj.groupBy("j").agg(
         F.sum(F.when(F.col("__t"), F.col("__c")).otherwise(F.lit(0))).alias("ct"),
         F.sum(F.when(F.col("__t"), F.lit(0)).otherwise(F.col("__c"))).alias("cr"),
     )
-    # Corpus totals have a closed form in the TOKEN COUNT alone (n unigrams
-    # + max(n-1, 0) bigrams), so the totals consumer scans with a cheap
-    # size(split()) projection instead of re-running the full
-    # explode+md5-hash chain a third time (sum(ct) over stats is the same
-    # number — asserted by the oracle, which derives tt/tr from its stats
-    # CTE).
-    n_toks = F.size(tokens(F.col(text_col)))
-    nfeat = (
-        F.when(n_toks > 0, n_toks * 2 - 1).otherwise(F.lit(0))
-        if use_bigrams
-        else F.when(n_toks > 0, n_toks).otherwise(F.lit(0))
-    )
-    tot = df.select(is_target.alias("__t"), nfeat.cast("long").alias("__n")).agg(
-        F.sum(F.when(F.col("__t"), F.col("__n")).otherwise(F.lit(0)))
-        .cast("double")
-        .alias("Tt"),
-        F.sum(F.when(F.col("__t"), F.lit(0)).otherwise(F.col("__n")))
-        .cast("double")
-        .alias("Tr"),
-    )
+    if features is not None or cache:
+        # The pre-agg is materialized (persisted or caller-provided):
+        # totals come from summing ITS counts — no text re-scan, and the
+        # sum is the identical integer the closed form computes.
+        tot = dj.agg(
+            F.sum(F.when(F.col("__t"), F.col("__c")).otherwise(F.lit(0)))
+            .cast("double")
+            .alias("Tt"),
+            F.sum(F.when(F.col("__t"), F.lit(0)).otherwise(F.col("__c")))
+            .cast("double")
+            .alias("Tr"),
+        )
+    else:
+        # Corpus totals have a closed form in the TOKEN COUNT alone (n
+        # unigrams + max(n-1, 0) bigrams), so the lazy-plan totals consumer
+        # scans with a cheap size(split()) projection instead of re-running
+        # the full explode+md5-hash chain a third time (sum(ct) over stats
+        # is the same number — asserted by the oracle, which derives tt/tr
+        # from its stats CTE).
+        n_toks = F.size(tokens(F.col(text_col)))
+        nfeat = (
+            F.when(n_toks > 0, n_toks * 2 - 1).otherwise(F.lit(0))
+            if use_bigrams
+            else F.when(n_toks > 0, n_toks).otherwise(F.lit(0))
+        )
+        tot = df.select(
+            is_target.alias("__t"), nfeat.cast("long").alias("__n")
+        ).agg(
+            F.sum(F.when(F.col("__t"), F.col("__n")).otherwise(F.lit(0)))
+            .cast("double")
+            .alias("Tt"),
+            F.sum(F.when(F.col("__t"), F.lit(0)).otherwise(F.col("__n")))
+            .cast("double")
+            .alias("Tr"),
+        )
     ratio = F.log(F.col("ct").cast("double") + F.lit(lam)) - F.log(
         F.col("cr").cast("double") + F.lit(lam)
     )

@@ -944,8 +944,25 @@ def normalize_scores(
       broadcast shape (NOT [0,1]; kept for feature pipelines). Sum-order
       float sensitivity means this tier is test-pinned (numpy parity)
       rather than oracle-gated. Degenerate group (stddev = 0) -> 0.
+
+    Null groups: rows whose ``group_col`` is NULL form their own group in
+    EVERY method — the window tiers partition them together natively, and
+    the broadcast-stats tiers join null-safely (``<=>``) so the null
+    group's own aggregate row matches. No method drops rows.
     """
     score = F.col(score_col).cast("double")
+
+    def join_stats(stats: DataFrame) -> DataFrame:
+        """Broadcast-join per-group stats back onto df, null-safely, so a
+        NULL group keeps its rows (a plain equi-join silently dropped them
+        while the window tiers kept them — same input, method-dependent
+        row loss)."""
+        if group_col is None:
+            return df.join(F.broadcast(stats))
+        st = stats.withColumnRenamed(group_col, "__g")
+        return df.join(
+            F.broadcast(st), F.col(group_col).eqNullSafe(F.col("__g")), "left"
+        ).drop("__g")
     if method == "percent_rank":
         if exact == "auto":
             if group_col is None:
@@ -969,11 +986,7 @@ def normalize_scores(
         qs = [i / n_bins for i in range(1, n_bins)]
         agg = F.percentile_approx(score, qs, max(n_bins, 100)).alias("__thr")
         thr = df.groupBy(group_col).agg(agg) if group_col else df.agg(agg)
-        joined = (
-            df.join(F.broadcast(thr), group_col)
-            if group_col
-            else df.join(F.broadcast(thr))
-        )
+        joined = join_stats(thr)
         # bin index = how many thresholds sit at or below the score; the
         # threshold array is a broadcast literal, the search is JVM-side
         binned = F.size(
@@ -983,22 +996,14 @@ def normalize_scores(
     if method == "minmax":
         aggs = [F.min(score).alias("__lo"), F.max(score).alias("__hi")]
         stats = df.groupBy(group_col).agg(*aggs) if group_col else df.agg(*aggs)
-        joined = (
-            df.join(F.broadcast(stats), group_col)
-            if group_col
-            else df.join(F.broadcast(stats))
-        )
+        joined = join_stats(stats)
         span = F.col("__hi") - F.col("__lo")
         val = F.when(span > 0, (score - F.col("__lo")) / span).otherwise(0.0)
         return joined.withColumn(out_col, val).drop("__lo", "__hi")
     if method == "zscore":
         aggs = [F.avg(score).alias("__mu"), F.stddev_pop(score).alias("__sd")]
         stats = df.groupBy(group_col).agg(*aggs) if group_col else df.agg(*aggs)
-        joined = (
-            df.join(F.broadcast(stats), group_col)
-            if group_col
-            else df.join(F.broadcast(stats))
-        )
+        joined = join_stats(stats)
         val = F.when(
             F.col("__sd") > 0, (score - F.col("__mu")) / F.col("__sd")
         ).otherwise(0.0)
@@ -1340,6 +1345,7 @@ def fuzzy_contamination_pairs(
     ngram: int = 5,
     threshold: float = 0.9,
     seed: int = 0x5EED,
+    broadcast_cap_bytes: int | None = None,
 ) -> DataFrame:
     """Fuzzy decontamination: training documents NEAR-duplicating an eval/
     benchmark document (exact-overlap decontamination is
@@ -1360,8 +1366,14 @@ def fuzzy_contamination_pairs(
     come from an equi-join of its (band, bucket) keys against the
     broadcast eval buckets (map-side, no corpus shuffle), and the exact
     verify re-fetches shingle arrays for the (bounded) candidate ids only.
-    Eval side is tiny by contract (same bound as the broadcast in
-    ngram_overlap_contamination).
+
+    The eval side is PROBED, not trusted: one bounded agg estimates its
+    sketch payload (rows x band keys + total shingle hashes), and only an
+    eval set under ``broadcast_cap_bytes`` (default =
+    spark.sql.autoBroadcastJoinThreshold, 10 MB fallback) is broadcast —
+    an oversized eval set degrades to ordinary shuffle joins instead of
+    OOMing the driver (same auto contract as
+    ``dedup.embedding_dup_pairs(strategy="auto")``).
     """
     from kafka_connect_jsonata_spark.functions.dedup import (
         _minhash_sketch_fn,
@@ -1385,12 +1397,31 @@ def fuzzy_contamination_pairs(
     tr = sketch(train, id_col, text_col)
     ev = sketch(eval_set, eval_id_col, eval_text_col)
 
+    # Probe the eval sketch's payload before committing to a broadcast:
+    # rows x (band keys + row overhead) + 8 bytes per shingle hash. Over
+    # the cap, fall back to plain shuffle joins — slower, never an OOM.
+    if broadcast_cap_bytes is None:
+        raw = str(
+            train.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+        )
+        broadcast_cap_bytes = (
+            int(raw) if raw.isdigit() and int(raw) > 0 else 10 * 1024 * 1024
+        )
+    est = ev.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.coalesce(F.sum(F.size("__h")), F.lit(0)).alias("__g"),
+    ).first()
+    eval_bytes = int(est["__n"]) * (n_bands * 8 + 64) + int(est["__g"]) * 8
+    bc = F.broadcast if eval_bytes <= broadcast_cap_bytes else (lambda d: d)
+
     tr_buckets = tr.select("id", F.posexplode("bkts").alias("band", "bkt"))
     ev_buckets = ev.select(
         F.col("id").alias("eval_id"), F.posexplode("bkts").alias("band", "bkt")
     )
     cand = (
-        tr_buckets.join(F.broadcast(ev_buckets), ["band", "bkt"])
+        tr_buckets.join(bc(ev_buckets), ["band", "bkt"])
         .filter(F.col("id") != F.col("eval_id"))
         .select("id", "eval_id")
         .dropDuplicates(["id", "eval_id"])
@@ -1403,7 +1434,7 @@ def fuzzy_contamination_pairs(
     )
     pairs = (
         cand.join(tr_h, "id")
-        .join(F.broadcast(ev_h), "eval_id")
+        .join(bc(ev_h), "eval_id")
         .filter(
             (F.col("sz_a").cast("double") >= threshold * F.col("sz_b"))
             & (F.col("sz_b").cast("double") >= threshold * F.col("sz_a"))

@@ -646,6 +646,13 @@ def embedding_dup_pairs(
     c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast((c_ids, c_mat))
 
+    # BLAS winnows candidate pair IDS at a last-ulp margin; the reported
+    # similarity and the exact threshold cut are the Catalyst left-to-right
+    # ``cosine`` fold (F.round, half away from zero) — identical arithmetic
+    # to the LSH verify path and the SQL oracles. np.round of the BLAS-order
+    # sum is half-even and can diverge at a 5e-5 rounding boundary.
+    winnow_thr = threshold - 1e-9
+
     def score(batches):
         b_ids, b_mat = bc.value
         for p in batches:
@@ -655,17 +662,28 @@ def embedding_dup_pairs(
             a_mat = np.stack(p["v"].to_numpy()).astype("float64")
             a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
             sims = a_mat @ b_mat.T
-            ai, bi = np.nonzero((sims >= threshold) & (a_ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "id_a": a_ids[ai],
-                    "id_b": b_ids[bi],
-                    "cosine_sim": np.round(sims[ai, bi], 4),
-                }
+            ai, bi = np.nonzero(
+                (sims >= winnow_thr) & (a_ids[:, None] < b_ids[None, :])
             )
+            yield pd.DataFrame({"id_a": a_ids[ai], "id_b": b_ids[bi]})
 
     rows = side.repartition(spark.sparkContext.defaultParallelism)
-    return rows.mapInPandas(score, "id_a bigint, id_b bigint, cosine_sim double")
+    cand = rows.mapInPandas(score, "id_a bigint, id_b bigint")
+    va = side.select(F.col("id").alias("id_a"), F.col("v").alias("__va"))
+    vb = side.select(F.col("id").alias("id_b"), F.col("v").alias("__vb"))
+    sim = cosine(F.col("__va"), F.col("__vb"))
+    return (
+        cand.join(F.broadcast(va), "id_a")
+        .join(F.broadcast(vb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(sim, 4).alias("cosine_sim"),
+            sim.alias("__raw"),
+        )
+        .filter(F.col("__raw") >= threshold)
+        .drop("__raw")
+    )
 
 
 def dup_groups_from_pairs(
@@ -973,29 +991,50 @@ def semantic_dup_pairs(
     ).select(id_col, c_id_col)
     side = emb.select(F.col(id_col), F.col(vec_col)).join(assigned, id_col)
     if strategy == "gemm":
+        # BLAS winnow finds candidate pair IDS only, at a last-ulp margin
+        # below the threshold; the reported similarity (and the exact
+        # threshold cut) is the Catalyst left-to-right ``cosine`` fold over
+        # the re-attached vectors — identical arithmetic to the "columns"
+        # tier and every SQL oracle. np.round on the BLAS-order sum is
+        # half-even and can disagree with F.round (half away from zero) at
+        # a 5e-5 boundary; knn_graph re-ranks the same way for the same
+        # reason.
+        winnow_thr = threshold - 1e-9
+
         def pairs_of_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
             if len(pdf) < 2:
-                return pd.DataFrame(
-                    {"id_a": [], "id_b": [], c_id_col: [], "cosine_sim": []}
-                )
+                return pd.DataFrame({"id_a": [], "id_b": [], c_id_col: []})
             ids = pdf[id_col].to_numpy()
             mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
             mat /= np.linalg.norm(mat, axis=1, keepdims=True)
             sims = mat @ mat.T
-            ai, bi = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+            ai, bi = np.nonzero(
+                (sims >= winnow_thr) & (ids[:, None] < ids[None, :])
+            )
             return pd.DataFrame(
-                {
-                    "id_a": ids[ai],
-                    "id_b": ids[bi],
-                    c_id_col: pdf[c_id_col].iloc[0],
-                    "cosine_sim": np.round(sims[ai, bi], 4),
-                }
+                {"id_a": ids[ai], "id_b": ids[bi], c_id_col: pdf[c_id_col].iloc[0]}
             )
 
         id_type = emb.schema[id_col].dataType.simpleString()
-        return side.groupBy(c_id_col).applyInPandas(
+        cand = side.groupBy(c_id_col).applyInPandas(
             pairs_of_cluster,
-            f"id_a {id_type}, id_b {id_type}, {c_id_col} int, cosine_sim double",
+            f"id_a {id_type}, id_b {id_type}, {c_id_col} int",
+        )
+        va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+        vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+        sim = cosine(F.col("__va"), F.col("__vb"))
+        return (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.col(c_id_col),
+                F.round(sim, 4).alias("cosine_sim"),
+                sim.alias("__raw"),
+            )
+            .filter(F.col("__raw") >= threshold)
+            .drop("__raw")
         )
     a = side.select(
         F.col(c_id_col),

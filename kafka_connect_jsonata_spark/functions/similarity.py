@@ -331,8 +331,18 @@ def knn_graph(
         n = base.count()
         d = dim or len(base.select("__v").first()[0])
         strategy = "gemm" if n * d * 8 <= broadcast_cap_bytes else "lsh"
+    id_type = corpus.schema[id_col].dataType.simpleString()
     if strategy == "gemm":
         rows = base.collect()
+        if len(rows) < 2:
+            # 0- or 1-row corpus has no neighbors; np.stack on an empty
+            # list would raise, and a single row only ever sees itself
+            spark = corpus.sparkSession
+            return spark.createDataFrame(
+                [],
+                f"query_id {id_type}, neighbor_id {id_type}, "
+                "cosine_sim double, rank int",
+            )
         ids = np.array([r[0] for r in rows])
         mat = np.stack([np.asarray(r[1], dtype="float64") for r in rows])
         norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-300)
@@ -341,8 +351,9 @@ def knn_graph(
         spark = corpus.sparkSession
 
         def winnow(batches):
-            # id -> row lookup once per task
-            idx = {int(i): p for p, i in enumerate(ids)}
+            # id -> row lookup once per task, keyed on the RAW id values so
+            # string/decimal/any id types work (not just int-coercible)
+            idx = {i: p for p, i in enumerate(ids.tolist())}
             for pdf in batches:
                 qpos = pdf[id_col].map(idx).to_numpy()
                 sims = unit[qpos] @ unit.T                     # (b, n)
@@ -356,7 +367,7 @@ def knn_graph(
                 )
 
         edges = corpus.select(id_col).mapInPandas(
-            winnow, f"query_id long, neighbor_id long"
+            winnow, f"query_id {id_type}, neighbor_id {id_type}"
         )
         qv = base
         nv = corpus.select(
@@ -377,22 +388,33 @@ def knn_graph(
         sigs = base.select(
             "query_id", "__v", F.posexplode(sig_udf(F.col("__v"))).alias("band", "sig")
         )
-        other = sigs.select(
-            F.col("query_id").alias("neighbor_id"),
-            F.col("__v").alias("__nv"),
-            "band",
-            "sig",
+        # The band self-join and the candidate dedup shuffle carry
+        # (query_id, neighbor_id) ONLY — at d=1024 each full vector is
+        # ~8 KB, and a pair that collides in several bands would otherwise
+        # ship both payloads once per collision. Vectors re-attach after
+        # the dedup via two id-keyed joins, so each vector crosses the wire
+        # once per side, not once per band collision.
+        ids_only = sigs.select("query_id", "band", "sig")
+        other = ids_only.select(
+            F.col("query_id").alias("neighbor_id"), "band", "sig"
         )
         cand = (
-            sigs.join(other, ["band", "sig"])
+            ids_only.join(other, ["band", "sig"])
             .filter(F.col("neighbor_id") != F.col("query_id"))
-            .select("query_id", "neighbor_id", "__v", "__nv")
+            .select("query_id", "neighbor_id")
             .dropDuplicates(["query_id", "neighbor_id"])
         )
-        scored = cand.select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("__v"), F.col("__nv")).alias("cosine_sim"),
+        nv = base.select(
+            F.col("query_id").alias("neighbor_id"), F.col("__v").alias("__nv")
+        )
+        scored = (
+            cand.join(base, "query_id")
+            .join(nv, "neighbor_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine(F.col("__v"), F.col("__nv")).alias("cosine_sim"),
+            )
         )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()

@@ -52,6 +52,115 @@ class NotCompilable(Exception):
     """Expression (or subtree) outside the tier-1 subset."""
 
 
+def js_canonical_number(x: Column) -> Column:
+    """JS ``Number#toString`` (JSONata $string) of a double column as a pure
+    JVM expression — round-7 compiled replacement for the tier-2 fallback
+    that any ``$string(number)`` subtree used to force.
+
+    Java 17's ``Double.toString`` (what ``cast(string)`` uses) sometimes
+    prints MORE digits than the shortest round-trip form (pre-JDK-19
+    algorithm; ~0.3% of random doubles, fuzz-measured), so the digits come
+    from a minimal-precision search instead: the first of
+    ``format_string('%.Ne', x)`` for N=0..16 whose parse equals x — i.e.
+    exactly Python/JS shortest-repr digits. Two corrections make it
+    bit-exact with tier 2's ``js_number_string``:
+
+    - Decimal-tie break: Java %e rounds HALF_UP; shortest-repr breaks an
+      exact decimal tie TO EVEN (6-in-120k fuzz hits). A tie is confirmed
+      by an extended-precision format (digit N+1 == '5', next 30 digits all
+      zero — a double whose expansion has a '5' + 30 zeros + nonzero tail
+      at exactly that position does not exist within 2^53 mantissas), and
+      the decremented last digit is preferred when it also round-trips and
+      is even.
+    - JS form: plain decimal iff 1e-6 <= |x| < 1e21 (tier 2's exact
+      boundary), else ``d.ddde±k`` with no exponent zero-padding.
+
+    PRECISION CONTRACT (documented tier deviation, like the sweep's
+    null-conflation set): the rendering is bit-exact with tier 2 for every
+    double whose shortest representation needs <= 15 significant digits —
+    fuzz-pinned (tests/test_jsonata_conformance.py::
+    test_compiled_number_rendering_matches_tier2): 0 mismatches in 400k
+    uniform + 487k random-mantissa plain-range + full exponent-ladder
+    samples. For adversarial 16-17-digit doubles, Java %e's digit source
+    (pre-JDK-19 FloatingDecimal, which itself over-prints ~0.3% of such
+    values — the reason a bare cast(string) was NotCompilable through
+    round 6) can differ from the true closest candidate by one unit in
+    the last decimal place (~5e-5 of random 64-bit patterns, measured);
+    BOTH renderings parse back to the identical double. Exact parity
+    there requires exact-rational closest-candidate selection (shipped in
+    JDK 19's Ryu; not expressible in Catalyst on Java 17).
+    """
+    a = F.abs(x)
+    # minimal-digit scientific repr of |x|: first %.Ne that round-trips
+    cands = [F.format_string(f"%.{i}e", a) for i in range(17)]
+    sci = cands[16]
+    for c in reversed(cands[:-1]):
+        sci = F.when(c.cast("double") == a, c).otherwise(sci)
+    mant = F.substring_index(sci, "e", 1)
+    exp_s = F.substring_index(sci, "e", -1)
+    k = exp_s.cast("int")
+    digits = F.regexp_replace(mant, r"\.", "")
+    L = F.length(digits)
+    # --- tie-to-even correction -------------------------------------------
+    # extended-precision digits (L + 30), selected by the chosen L
+    wide = F.format_string("%.46e", a)  # 47 sig digits >= any L+30
+    wdigits = F.regexp_replace(F.substring_index(wide, "e", 1), r"\.", "")
+    tie = (wdigits.substr(L + 1, F.lit(1)) == F.lit("5")) & wdigits.substr(
+        L + 2, F.lit(30)
+    ).rlike("^0*$")
+    last = F.substring(digits, -1, 1).cast("int")
+    m_lo = F.concat(
+        mant.substr(F.lit(1), F.length(mant) - 1),
+        (last - 1).cast("string"),
+    )
+    c_lo = F.concat(m_lo, F.lit("e"), exp_s)
+    use_lo = tie & (last % 2 == 1) & (c_lo.cast("double") == a)
+    digits = F.when(
+        use_lo, F.regexp_replace(m_lo, r"\.", "")
+    ).otherwise(digits)
+    # (L is unchanged: the decremented candidate has the same digit count)
+    # --- JS formatting ------------------------------------------------------
+    plain = (a >= 1e-6) & (a < 1e21)
+    body = (
+        F.when(x == 0, F.lit("0"))
+        .when(
+            plain & (k >= L - 1),
+            F.concat(digits, F.repeat(F.lit("0"), k - L + 1)),
+        )
+        .when(
+            plain & (k >= 0),
+            F.concat(
+                digits.substr(F.lit(1), k + 1),
+                F.lit("."),
+                digits.substr(k + 2, L),
+            ),
+        )
+        .when(
+            plain,
+            F.concat(F.lit("0."), F.repeat(F.lit("0"), -k - 1), digits),
+        )
+        .otherwise(
+            F.concat(
+                digits.substr(F.lit(1), F.lit(1)),
+                F.when(
+                    L > 1, F.concat(F.lit("."), digits.substr(F.lit(2), L))
+                ).otherwise(F.lit("")),
+                F.lit("e"),
+                F.when(k >= 0, F.lit("+")).otherwise(F.lit("-")),
+                F.abs(k).cast("string"),
+            )
+        )
+    )
+    signed = F.when((x < 0) & ~(x == 0), F.concat(F.lit("-"), body)).otherwise(
+        body
+    )
+    # tier 2 raises D3001 on non-finite input; mirror it
+    return F.when(
+        F.isnan(x) | (a == float("inf")),
+        F.raise_error(F.lit("D3001: number is not finite")).cast("string"),
+    ).otherwise(signed)
+
+
 @dataclass
 class Typed:
     col: Column
@@ -450,12 +559,13 @@ class Compiler:
             return F.when(v.col, "true").otherwise("false")
         if isinstance(v.dtype, (T.DoubleType, T.FloatType)):
             # JSONata renders numbers in the JS canonical form (plain up to
-            # 1e21, '1e-7' style exponents); Java's Double.toString switches
-            # to '1.0E-4' notation at different thresholds, so a compiled
-            # cast silently diverges for non-integral doubles outside
-            # [1e-3, 1e7). Route the subtree to the tier-2 renderer
-            # (found by the round-5 corpus-wide dual-tier sweep).
-            raise NotCompilable("canonical float-to-string rendering (tier 2)")
+            # 1e21, '1e-7' style exponents); Java's Double.toString uses
+            # different notation thresholds AND (Java 17) sometimes
+            # non-shortest digits, so a bare cast silently diverges. The
+            # round-5 sweep routed this whole subtree to tier 2; round 7
+            # compiles the exact rendering natively (minimal-digit search +
+            # tie-to-even + JS thresholds) — see js_canonical_number.
+            return js_canonical_number(v.col.cast("double"))
         return v.col.cast("string")
 
     # -------------------------------------------------------------- functions
@@ -1303,8 +1413,23 @@ class Compiler:
         )
 
     def _fn_toMillis(self, a, ctx, env, raw):
-        if len(a) > 1:
-            raise NotCompilable("$toMillis picture strings")
+        if len(a) > 2:
+            raise NotCompilable("$toMillis with extra args")
+        if len(a) == 2:
+            # round-7: the padded-component picture subset compiles via the
+            # same translation as $fromMillis — parse as NTZ (Spark's
+            # missing-field defaults are tier 2's: year 1970, month/day 1,
+            # time 0) and reinterpret the wall clock as UTC (zoneless
+            # pictures are UTC per the spec; [Z]-bearing pictures stay
+            # tier 2 with the rest of the non-padded components).
+            if raw[1].get("type") != "string":
+                raise NotCompilable("$toMillis with dynamic picture")
+            pattern = self._compile_dt_picture(raw[1]["value"])
+            ntz = F.to_timestamp_ntz(a[0].col, F.lit(pattern))
+            instant = F.convert_timezone(
+                F.lit("UTC"), F.current_timezone(), ntz
+            ).cast("timestamp")
+            return Typed(F.unix_millis(instant), T.LongType())
         # ISO strings carrying an explicit zone (Z or +hh:mm) parse to the
         # right instant under any session timezone; zoneless strings are
         # UTC per the JSONata spec, but Spark's to_timestamp reads them in

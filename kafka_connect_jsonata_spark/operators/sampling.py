@@ -372,6 +372,10 @@ def unimax_sample(
     operator's contract, not a shuffle).
     """
     spark = df.sparkSession
+    # derive the group column's real type so non-string sources (int ids,
+    # decimals) neither raise on createDataFrame nor silently cast the
+    # join keys (same derivation as semantic_dup_pairs' id_type)
+    group_type = df.schema[group_col].dataType.simpleString()
     counts = {
         r[0]: int(r[1])
         for r in df.groupBy(group_col).agg(F.count(F.lit(1))).collect()
@@ -382,7 +386,7 @@ def unimax_sample(
         (g, alloc[g] // counts[g], alloc[g] % counts[g]) for g in sorted(alloc)
     ]
     plan_df = spark.createDataFrame(
-        plan, f"{group_col} string, __full int, __rem long"
+        plan, f"{group_col} {group_type}, __full int, __rem long"
     )
     nb = n_buckets or spark.sparkContext.defaultParallelism
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
@@ -407,7 +411,7 @@ def unimax_sample(
         offsets.append((r[0], int(r["__hb"]), acc))
         acc += int(r["__n"])
     off_df = spark.createDataFrame(
-        offsets, f"{group_col} string, __hb int, __off long"
+        offsets, f"{group_col} {group_type}, __hb int, __off long"
     )
     w = (
         Window.partitionBy(group_col, "__hb")

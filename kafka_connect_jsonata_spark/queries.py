@@ -3112,7 +3112,10 @@ SELECT vec_id, cluster_id, dist_sq FROM (
          percent_rank() OVER (PARTITION BY cluster_id
                               ORDER BY -dist_sq ASC, vec_id ASC) AS pr
   FROM a) t
-WHERE pr >= 0.2
+WHERE pr >= 0.19999999999999996
+-- ^ the exact IEEE double Python computes for 1.0 - 0.8 (the engine's
+-- quantile_filter threshold); a bare 0.2 literal is the *next* double up
+-- and would exclude a boundary row the engine keeps.
 """
 
 
@@ -3233,7 +3236,11 @@ SELECT vec_id, cluster_id, dist_sq FROM (
          percent_rank() OVER (PARTITION BY cluster_id
                               ORDER BY dist_sq ASC, vec_id ASC) AS pr
   FROM a) t
-WHERE pr >= (1.0 - 0.7)  -- the same IEEE double the Spark side computes
+WHERE pr >= 0.30000000000000004
+-- ^ the exact IEEE double Python computes for 1.0 - 0.7 (the engine's
+-- quantile_filter threshold). DuckDB's bare `1.0 - 0.7` is DECIMAL
+-- arithmetic (exactly 0.3 -> double 0.29999999999999999), which admits a
+-- boundary row the engine excludes — the round-6 348-vs-349 red row.
 """
 
 
@@ -3282,6 +3289,10 @@ WHERE pr >= (1.0 - 0.7)  -- the same IEEE double the Spark side computes
 # kept represented: q5_local_supplier (equi-join: q1 TPC-H + skew_salted
 # stay), semi_join_customers (semi-join: bloom_semi_join stays),
 # udtf_explode_tokens (Python hosting: jsonata_interpreter stays).
+# Round-7 rotation: embedding_diversify_docs (C67 prune="near", the round-6
+# red oracle row — fixed + unit-tested this round) takes the in-window slot
+# of its sibling embedding_outlier_docs (same assignment+quantile machinery;
+# the far mode stays oracle-registered in the builder/judge sweep).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- 1-31: relational / text / similarity / jsonata representatives --
     "q1_pricing_summary": q1_pricing_summary,
@@ -3331,7 +3342,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zipf_fit_docs": zipf_fit_docs,
     "vocab_coverage_docs": vocab_coverage_docs,
     "curriculum_order_docs": curriculum_order_docs,
-    "embedding_outlier_docs": embedding_outlier_docs,
+    "embedding_diversify_docs": embedding_diversify_docs,
     "unimax_mix_docs": unimax_mix_docs,
     "score_normalize_docs": score_normalize_docs,
     "knn_graph_edges": knn_graph_edges,
@@ -3340,7 +3351,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semi_join_customers": semi_join_customers,
     "udtf_explode_tokens": udtf_explode_tokens,
     "temperature_token_mix_docs": temperature_token_mix_docs,
-    "embedding_diversify_docs": embedding_diversify_docs,
+    "embedding_outlier_docs": embedding_outlier_docs,
     "multimodal_byte_stats": multimodal_byte_stats,
     "tfidf_top_terms": tfidf_top_terms,
     "kmeans_assign": kmeans_assign,

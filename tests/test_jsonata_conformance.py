@@ -669,6 +669,58 @@ DUAL_TIER_EXPRS = [
 ]
 
 
+def test_compiled_number_rendering_matches_tier2(spark):
+    """Round-7: $string(double) is compiled (js_canonical_number) instead of
+    forcing whole-expression tier-2 fallback. Pin its precision contract:
+    bit-exact with tier 2's js_number_string for (a) every <=15-significant-
+    digit double (seeded random-mantissa fuzz), (b) the full exponent
+    ladder, (c) the JS plain/exponent boundary values, signs and zeros.
+    (16-17-digit adversarial doubles may differ by one unit in the last
+    decimal place — documented contract in the compiler docstring; both
+    renderings parse to the identical double.)"""
+    import random
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_jsonata_spark.jsonata.compiler import js_canonical_number
+    from kafka_connect_jsonata_spark.jsonata.functions import js_number_string
+
+    rng = random.Random(0xC0FFEE)
+    vals: list[float] = []
+    # random-mantissa doubles across the full binary-exponent range,
+    # truncated to <=15 significant digits via round-trip through repr
+    for _ in range(4000):
+        b = (rng.randint(1, 2046) << 52) | rng.getrandbits(52)
+        x = struct.unpack("<d", struct.pack("<Q", b))[0]
+        r = repr(x)
+        digits = r.split("e")[0].replace(".", "").replace("-", "").lstrip("0")
+        if len(digits.rstrip("0")) <= 15:
+            vals.append(x)
+        else:
+            # shorten: keep 15 significant digits, still a valid double
+            vals.append(float(f"{x:.14e}"))
+    for e in range(-320, 309):
+        for m in ("1", "-1.5", "9.25"):
+            try:
+                v = float(f"{m}e{e}")
+            except OverflowError:
+                continue
+            if v == 0 or abs(v) == float("inf"):
+                continue
+            vals.append(v)
+    vals += [0.0, -0.0, 1.0, -1.0, 0.5, 1e-6, 9.99e-7, 1e21,
+             999999999999999900000.0, 1e-7, 5e-7, 123456789.123, 1 / 32]
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    out = df.select("x", js_canonical_number(F.col("x")).alias("s")).collect()
+    bad = [
+        (r["x"], js_number_string(r["x"]), r["s"])
+        for r in out
+        if js_number_string(r["x"]) != r["s"]
+    ]
+    assert not bad, bad[:5]
+
+
 def test_dual_tier_conformance(spark):
     from kafka_connect_jsonata_spark.jsonata.compiler import NotCompilable
     from kafka_connect_jsonata_spark.transform import transform

@@ -198,6 +198,37 @@ def test_lsh_join_is_equi_not_cross(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_knn_graph_lsh_candidate_dedup_carries_ids_only(spark):
+    """Round-6 verdict item 5: knn_graph's LSH tier must dedup candidate
+    pairs on (query_id, neighbor_id) ONLY — at d=1024 shuffling both full
+    vectors through the dedup exchange is ~16 KB per candidate pair.
+    Vectors re-attach by id-keyed joins after the dedup."""
+    from kafka_connect_jsonata_spark.functions.similarity import knn_graph
+
+    emb = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda i: F.rand(7) + i.cast("double") * F.col("id").cast("double"),
+        ).alias("embedding"),
+    )
+    df = knn_graph(emb, k=3, strategy="lsh")
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # every Exchange feeding the HashAggregate dedup must be keyed by the
+    # id pair and must NOT carry an embedding payload column
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        if "query_id" in keys and "neighbor_id" in keys:
+            assert "__v" not in keys and "__nv" not in keys
+    # the aggregate-based dropDuplicates group must not include vectors
+    for line in plan.splitlines():
+        if "HashAggregate" in line and "query_id" in line and "neighbor_id" in line:
+            assert "__v" not in line and "__nv" not in line, line
+
+
 def test_salted_join_matches_plain_join(spark):
     """Salted skew join returns exactly the plain join's multiset of rows
     (every row pairs at exactly one salt value), spread over n_salts keys."""

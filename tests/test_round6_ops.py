@@ -177,6 +177,30 @@ def test_fuzzy_decontamination_eval_side_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_fuzzy_decontamination_oversized_eval_degrades_to_shuffle(spark):
+    """Round-6 verdict item 8: the eval side is probed, not trusted — above
+    a forced-low broadcast cap the plan must contain NO broadcast of the
+    eval sketch (shuffle joins instead of a driver OOM), and the result set
+    must be unchanged."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base.replace("lazy", "very lazy")
+    train = spark.createDataFrame(
+        [(1, base), (2, near), (3, "other words entirely unrelated here")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    wide = fuzzy_contamination_pairs(train, ev, threshold=0.5)
+    narrow = fuzzy_contamination_pairs(
+        train, ev, threshold=0.5, broadcast_cap_bytes=1
+    )
+    plan = plan_of(narrow)
+    assert "BroadcastHashJoin" not in plan and "CartesianProduct" not in plan
+    key = lambda df: {
+        (r["id"], r["eval_id"], r["jaccard"]) for r in df.collect()
+    }
+    assert key(wide) == key(narrow) and len(key(wide)) > 0
+
+
 # ------------------------------------------------------- semantic dedup (C62)
 
 
@@ -249,6 +273,40 @@ def test_dsir_prefers_target_like_docs(spark):
     assert got[0] == 10 and got[-1] == 11
     w = {r["doc_id"]: r["log_weight"] for r in top.collect()}
     assert w[10] > w[12] > w[11]
+
+
+def test_dsir_cached_and_features_paths_match_lazy(spark):
+    """Round-7: the persisted-stats escape hatches (cache=True / a
+    precomputed dsir_features table) must return bit-identical weights to
+    the default lazy 3-scan plan — totals from summing the pre-agg counts
+    equal the closed-form token-count scan by construction."""
+    from kafka_connect_jsonata_spark.functions.classifier import (
+        dsir_features,
+        dsir_log_weights,
+    )
+
+    rows = [(i, "alpha beta gamma delta", "target") for i in range(4)]
+    rows += [
+        (10, "alpha beta gamma delta", "raw"),
+        (11, "zig zag zog zug", "raw"),
+        (12, "alpha beta unrelated words", "raw"),
+        (13, "", "raw"),  # zero-token doc: no output row in ANY path
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    tgt = F.col("source") == "target"
+
+    def snap(out):
+        return {
+            r["doc_id"]: (r["n_features"], round(r["log_weight"], 12))
+            for r in out.collect()
+        }
+
+    lazy = snap(dsir_log_weights(df, tgt))
+    cached = snap(dsir_log_weights(df, tgt, cache=True))
+    pre = dsir_features(df, tgt)
+    passed = snap(dsir_log_weights(df, tgt, features=pre))
+    assert lazy == cached == passed
+    assert 13 not in lazy  # documented zero-token contract
 
 
 def test_dsir_feature_space_is_bounded(spark):
@@ -394,6 +452,81 @@ def test_embedding_outlier_filter_drops_far_tail(spark):
     # so each cluster sheds exactly its far tail: cluster 0 keeps the four
     # tight vectors, cluster 1 (2 rows) keeps its closest
     assert set(kept) == {1, 2, 3, 4, 6}
+
+
+def test_embedding_outlier_filter_prune_near_drops_prototypes(spark):
+    """D4 diversification (prune="near"): the CLOSEST points per cluster
+    are dropped, the far spread is kept — the mirror image of the far-tail
+    mode on the same data."""
+    from kafka_connect_jsonata_spark.functions.dedup import embedding_outlier_filter
+
+    emb = _vec_df(spark, [(i, [float(i), 0.0]) for i in range(10)])
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "cluster_id int, centroid array<float>"
+    )
+    near = {
+        r["vec_id"]
+        for r in embedding_outlier_filter(
+            emb, cents, q=0.5, prune="near", exact=True
+        ).collect()
+    }
+    far = {
+        r["vec_id"]
+        for r in embedding_outlier_filter(
+            emb, cents, q=0.5, prune="far", exact=True
+        ).collect()
+    }
+    # q=0.5 keeps the top-half of the rank in each mode: near-mode keeps the
+    # FARTHEST half, far-mode the closest half — exact complements here
+    assert near == set(range(5, 10))
+    assert far == set(range(0, 5))
+
+
+def test_embedding_outlier_filter_prune_near_boundary_ties(spark):
+    """Rank-boundary ties: rows with IDENTICAL dist_sq straddling the q cut
+    are resolved deterministically by the id tiebreak, and the kept count is
+    exactly ceil((1-q)*n) in every engine formulation (percent_rank >= q
+    over a unique total order keeps rows with rank-1 >= q*(n-1))."""
+    from kafka_connect_jsonata_spark.functions.dedup import embedding_outlier_filter
+
+    # 10 rows, 5 distinct distances, each duplicated -> ties at every rank
+    emb = _vec_df(spark, [(i, [float(i // 2), 0.0]) for i in range(10)])
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "cluster_id int, centroid array<float>"
+    )
+    near = sorted(
+        r["vec_id"]
+        for r in embedding_outlier_filter(
+            emb, cents, q=0.7, prune="near", exact=True
+        ).collect()
+    )
+    # q = fraction KEPT: keep percent_rank >= 0.3 over (dist asc, id asc)
+    # -> 0-indexed positions 3..9. The cut lands INSIDE the dist_sq=1.0 tie
+    # (ids 2 and 3): id 2 at position 2 drops, id 3 at position 3 survives —
+    # the asc-id tiebreak resolves the boundary deterministically.
+    assert near == [3, 4, 5, 6, 7, 8, 9]
+    far = sorted(
+        r["vec_id"]
+        for r in embedding_outlier_filter(
+            emb, cents, q=0.7, prune="far", exact=True
+        ).collect()
+    )
+    # far mode negates: order is (dist desc, id asc) ->
+    # [8,9,6,7,4,5,2,3,0,1]; keep positions 3..9. The dist_sq=9.0 tie
+    # (ids 6,7) straddles the cut: id 6 (position 2) drops, id 7 survives.
+    assert far == [0, 1, 2, 3, 4, 5, 7]
+
+
+def test_embedding_outlier_filter_prune_rejects_bad_mode(spark):
+    from kafka_connect_jsonata_spark.functions.dedup import embedding_outlier_filter
+    import pytest as _pytest
+
+    emb = _vec_df(spark, [(0, [0.0, 0.0])])
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "cluster_id int, centroid array<float>"
+    )
+    with _pytest.raises(ValueError, match="prune"):
+        embedding_outlier_filter(emb, cents, prune="sideways").collect()
 
 
 def test_embedding_outlier_filter_approx_tier_runs(spark):
@@ -581,6 +714,33 @@ def test_unimax_sample_partition_invariant(spark):
     assert ka == kb and len(ka) > 0
 
 
+def test_unimax_sample_non_string_group_col(spark):
+    """A non-string group column (int source id) must work end-to-end: the
+    plan/offset helper frames derive the group type from df.schema instead
+    of hardcoding string (which raised on createDataFrame or silently cast
+    the join keys)."""
+    from kafka_connect_jsonata_spark.operators.sampling import unimax_sample
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "doc_id long, src int"
+    )
+    out = unimax_sample(df, "doc_id", "src", budget=20, max_epochs=2)
+    rows = out.collect()
+    from kafka_connect_jsonata_spark.operators.sampling import unimax_allocation
+
+    alloc = unimax_allocation({0: 10, 1: 10, 2: 10}, 20, 2)
+    assert len(rows) == sum(alloc.values()) > 0
+    assert dict(out.dtypes)["src"] == "int"
+    # parity with the same data under a string group label
+    sdf = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(30)], "doc_id long, src string"
+    )
+    srows = unimax_sample(sdf, "doc_id", "src", budget=20, max_epochs=2).collect()
+    assert {(r["doc_id"], r["epoch"]) for r in rows} == {
+        (r["doc_id"], r["epoch"]) for r in srows
+    }
+
+
 def test_unimax_sample_no_global_window(spark):
     from kafka_connect_jsonata_spark.operators.sampling import unimax_sample
 
@@ -685,6 +845,36 @@ def test_normalize_scores_approx_tier_has_no_window(spark):
     plan = plan_of(normalize_scores(df, "s", "g", exact=False))
     assert "Window" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_normalize_scores_null_group_kept_all_methods(spark):
+    """Rows with a NULL group must survive every method with the null
+    group treated as its own group — the window tiers always did this;
+    the broadcast-stats tiers now join null-safely instead of silently
+    dropping the rows (same df, method-dependent row loss)."""
+    from kafka_connect_jsonata_spark.functions.curation import normalize_scores
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 3.0), (3, None, 2.0), (4, None, 6.0)],
+        "id long, g string, x double",
+    )
+    for method, exact in [
+        ("percent_rank", True),
+        ("percent_rank", False),
+        ("minmax", True),
+        ("zscore", True),
+    ]:
+        out = normalize_scores(
+            df, "x", group_col="g", method=method, exact=exact
+        )
+        rows = {r["id"]: r["norm_score"] for r in out.collect()}
+        assert set(rows) == {1, 2, 3, 4}, f"{method} dropped null-group rows"
+    # and the null group normalizes within ITSELF: minmax of (2, 6) -> 0, 1
+    mm = {
+        r["id"]: r["norm_score"]
+        for r in normalize_scores(df, "x", group_col="g", method="minmax").collect()
+    }
+    assert mm[3] == 0.0 and mm[4] == 1.0
 
 
 def test_normalize_scores_unknown_method(spark):
