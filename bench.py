@@ -118,6 +118,11 @@ HEADLINE = [
     "score_normalize_docs",
     "temperature_token_mix_docs",
     "knn_graph_edges",
+    # round 7 additions
+    "dsir_gumbel_docs",
+    "char_entropy_docs",
+    "semantic_clusters_vecs",
+    "resample_gapfill_events",
 ]
 
 

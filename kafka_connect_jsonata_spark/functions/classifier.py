@@ -408,3 +408,62 @@ def dsir_select(
         .limit(k)
         .select(id_col, "n_features", F.round("log_weight", 6).alias("log_weight"))
     )
+
+
+def dsir_gumbel_select(
+    df: DataFrame,
+    is_target: Column,
+    k: int,
+    temperature: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "",
+    **kw,
+) -> DataFrame:
+    """C71: the DSIR paper's actual resampling step — Gumbel top-k over the
+    importance log-weights (Xie et al. 2023 use Gumbel-top-k to draw k
+    documents WITHOUT replacement with probability proportional to
+    ``exp(log_weight / temperature)``; plain :func:`dsir_select` is the
+    deterministic argmax flavor). The Gumbel noise comes from the row's
+    md5 position (same content-hash discipline as
+    ``operators.sampling.weighted_sample`` — the draw is a pure function
+    of content + ``salt``, reproducible on any cluster and partitioning):
+
+        g = log_weight / temperature - ln(-ln(u)),   u = md5-position
+
+    Scale shape: the key is map-side Column arithmetic on top of the
+    bounded DSIR stats; the top-k is a distributed TakeOrderedAndProject
+    (k rows cross the wire, never the corpus). Temperature sweeps
+    (diversity knob) reuse the same weights — pass ``cache=True`` through
+    ``**kw`` to tokenize once.
+
+    Returns (id, n_features, log_weight, gumbel_key), both scores rounded
+    to 6 places for hash-stable output; ordering uses unrounded keys.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    from kafka_connect_jsonata_spark.operators.sampling import (
+        _HEX_SPACE,
+        hash_position,
+    )
+
+    w = dsir_log_weights(df, is_target, id_col=id_col, text_col=text_col, **kw)
+    u = (
+        F.conv(F.substring(hash_position(F.col(id_col), salt), 1, 8), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / float(_HEX_SPACE)
+    g = F.col("log_weight") / float(temperature) - F.log(-F.log(u))
+    return (
+        w.withColumn("__g", g)
+        .orderBy(F.col("__g").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            F.col(id_col),
+            F.col("n_features"),
+            F.round("log_weight", 6).alias("log_weight"),
+            F.round("__g", 6).alias("gumbel_key"),
+        )
+    )

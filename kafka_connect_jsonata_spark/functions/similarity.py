@@ -429,3 +429,48 @@ def knn_graph(
             "rank",
         )
     )
+
+
+def semantic_clusters(
+    corpus: DataFrame,
+    k: int = 5,
+    threshold: float = 0.85,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 20,
+    **kw,
+) -> DataFrame:
+    """C73: graph-based semantic clustering — connected components over the
+    thresholded corpus kNN graph. This is what the :func:`knn_graph`
+    substrate is FOR: topic/near-domain grouping for diversity-aware
+    selection and per-cluster budgeting (cf. SemDeDup's k-means stage, but
+    density-following instead of centroid-shaped: chains of pairwise-similar
+    documents cluster together even when no single centroid covers them).
+
+    Pipeline (all existing machinery, no new physical shapes):
+    ``knn_graph`` (auto GEMM/LSH tier) -> keep edges with
+    ``cosine_sim >= threshold`` -> undirected min-label propagation
+    (:func:`~kafka_connect_jsonata_spark.functions.dedup.dup_groups_from_pairs`,
+    the O(diameter)-round component search with per-round lineage
+    truncation). Vectors with no qualifying neighbor are singleton
+    clusters of themselves.
+
+    Returns (id, cluster_id) for EVERY corpus row, cluster_id = the
+    minimum id reachable through threshold-passing kNN edges.
+    """
+    edges = knn_graph(
+        corpus, k=k, id_col=id_col, vec_col=vec_col, **kw
+    ).filter(F.col("cosine_sim") >= threshold)
+    from kafka_connect_jsonata_spark.functions.dedup import dup_groups_from_pairs
+
+    groups = dup_groups_from_pairs(
+        edges, id_a="query_id", id_b="neighbor_id", max_iter=max_iter
+    ).withColumnRenamed("doc_id", id_col)
+    return (
+        corpus.select(F.col(id_col))
+        .join(groups, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("group_id"), F.col(id_col)).alias("cluster_id"),
+        )
+    )

@@ -563,3 +563,50 @@ def vocab_coverage(
             (F.col("total_types") - F.col("vocab_types")).alias("oov_types"),
         )
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C72: per-document Shannon entropy (bits) of the character
+    distribution — the cheap "is this text-shaped?" signal quality
+    pipelines use next to the rule battery: boilerplate/template spam and
+    single-char runs sit in the LOW-entropy tail, base64/binary-garbage
+    and symbol soup in the HIGH tail (English prose lands ~3.5-4.5 bits).
+    Entropy is computed with the sum-splitting identity
+
+        H = log2(n) - (1/n) * sum_c[count_c * log2(count_c)]
+
+    so the only float accumulation is one bounded per-doc sum over
+    distinct characters (~dozens of terms; rounded to 6 places for the
+    gate hash, the same convention as the bigram/DSIR scores).
+
+    Scale shape: one (doc, char) pre-aggregation keyed by the doc — the
+    shuffle carries (id, char, count) rows bounded by ~distinct-chars per
+    doc, never raw text; skew is bounded by document length (the same
+    contract as dup_ngram_coverage). No broadcast, no window.
+
+    Returns (id, n_chars_counted, char_entropy). Empty/null text yields
+    no row (no characters — no distribution), matching the oracle.
+    """
+    chars = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), ""), lambda c: c != "")
+        ).alias("__c"),
+    )
+    counts = chars.groupBy(id_col, "__c").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    per = counts.groupBy(id_col).agg(
+        F.sum("__n").alias("n_chars_counted"),
+        F.sum(F.col("__n").cast("double") * F.log2("__n")).alias("__s"),
+    )
+    n = F.col("n_chars_counted").cast("double")
+    return per.select(
+        F.col(id_col),
+        F.col("n_chars_counted"),
+        F.round(F.log2(n) - F.col("__s") / n, 6).alias("char_entropy"),
+    )

@@ -523,3 +523,88 @@ def skew_split_join(
     else:
         hot = salted_join(l_hot, r_hot, keys, n_salts, how)
     return cold.unionByName(hot)
+
+
+def resample_gapfill(
+    df: DataFrame,
+    ts_col: str,
+    entity_col: str,
+    value_col: str,
+    interval_sec: int = 3600,
+    agg: str = "avg",
+) -> DataFrame:
+    """C74: fixed-interval time-series resampling with gap fill — the
+    hypertable/"time_bucket + locf" rollup of timescale-style analytics:
+    per entity, aggregate the value into ``interval_sec`` buckets from the
+    entity's first to its last observation, emit a row for EVERY bucket in
+    that span, and forward-fill empty buckets with the last observed
+    aggregate (classic last-observation-carried-forward).
+
+    Scale shape: (1) the bucket aggregation is one keyed hash agg
+    (map-side combined); (2) the dense bucket axis comes from a per-entity
+    min/max agg (one row per entity) exploded map-side with ``sequence()``
+    — the explode's output is the operator's contract (the resampled
+    grid), not a shuffle; (3) the gap join is an equi-join on (entity,
+    bucket); (4) the forward fill is one ``last(ignorenulls)`` window
+    keyed per entity — skew bounded by an entity's bucket span, never the
+    corpus. No global window, no cross join.
+
+    ``agg``: "avg" | "sum" | "min" | "max" | "count". Returns
+    (entity, bucket_start timestamp, value double, filled boolean).
+    Value sums round to 6 places for hash-stable output (float-sum
+    convention of the score operators); avg = decimal-free sum/count.
+    """
+    aggs = {
+        "avg": lambda c: F.avg(c),
+        "sum": lambda c: F.sum(c),
+        "min": lambda c: F.min(c),
+        "max": lambda c: F.max(c),
+        "count": lambda c: F.count(c),
+    }
+    if agg not in aggs:
+        raise ValueError(f"agg must be one of {sorted(aggs)}, got {agg!r}")
+    step = int(interval_sec)
+    ent = F.col(entity_col)
+    # session-timezone-independent epoch: NTZ columns (events.ts on
+    # Spark 4.1+) are UTC wall clocks — reinterpret via the cancelling
+    # two-step (sources.readers._ntz_to_instant); LTZ columns are already
+    # instants. unix_millis on the instant is exact.
+    c = F.col(ts_col)
+    if df.schema[ts_col].dataType.simpleString() == "timestamp_ntz":
+        from kafka_connect_jsonata_spark.sources.readers import _ntz_to_instant
+
+        inst = _ntz_to_instant(c)
+    else:
+        inst = c
+    bucket = F.floor(F.unix_millis(inst) / F.lit(step * 1000)).cast("long")
+    val = F.col(value_col).cast("double")
+    per_bucket = (
+        df.select(ent.alias("__e"), bucket.alias("__b"), val.alias("__v"))
+        .groupBy("__e", "__b")
+        .agg(aggs[agg]("__v").alias("__agg"))
+    )
+    span = per_bucket.groupBy("__e").agg(
+        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
+    )
+    grid = span.select(
+        "__e", F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("__b")
+    )
+    joined = grid.join(per_bucket, ["__e", "__b"], "left")
+    w = (
+        Window.partitionBy("__e")
+        .orderBy(F.col("__b").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = F.last("__agg", ignorenulls=True).over(w)
+    # bucket_start goes out as the UTC wall clock (TIMESTAMP_NTZ) so the
+    # rendered value is session-timezone independent — the repo-wide
+    # convention for every epoch/ISO output path
+    start = F.convert_timezone(
+        None, F.lit("UTC"), F.timestamp_seconds(F.col("__b") * step)
+    )
+    return joined.select(
+        F.col("__e").alias(entity_col),
+        start.alias("bucket_start"),
+        F.round(filled, 6).alias("value"),
+        F.col("__agg").isNull().alias("filled"),
+    )

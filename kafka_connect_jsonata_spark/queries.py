@@ -3244,6 +3244,163 @@ WHERE pr >= 0.30000000000000004
 """
 
 
+def dsir_gumbel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C71: DSIR Gumbel top-k resampling (the paper's actual sampling step;
+    dsir_select is the argmax flavor) — 25 raw docs drawn without
+    replacement with probability ∝ exp(log_weight / 2) via the
+    deterministic md5-position Gumbel key. The oracle reruns the identical
+    DSIR stats AND the identical key arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return classifier.dsir_gumbel_select(
+        docs, F.col("source").isin("src0", "src1"), k=25, temperature=2.0
+    )
+
+
+def _dsir_gumbel_sql() -> str:
+    hexv = "+".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return rf"""
+WITH w AS (
+  SELECT doc_id, source IN ('src0', 'src1') AS t,
+         regexp_extract_all(trim(text), '\S+') AS ws
+  FROM documents),
+uni AS (SELECT doc_id, t, unnest(ws) AS g FROM w),
+bi AS (
+  SELECT doc_id, t,
+         ws[CAST(i AS INT) + 1] || ' ' || ws[CAST(i AS INT) + 2] AS g
+  FROM w, unnest(range(len(ws) - 1)) u(i)
+  WHERE len(ws) >= 2),
+f AS (
+  SELECT doc_id, t,
+         (strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 256
+       + (strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(md5(g), 3, 1)) - 1) AS j
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+dj AS (
+  SELECT doc_id, t, j, CAST(count(*) AS BIGINT) AS c
+  FROM f GROUP BY doc_id, t, j),
+s AS (
+  SELECT j, sum(CASE WHEN t THEN c ELSE 0 END) AS ct,
+         sum(CASE WHEN t THEN 0 ELSE c END) AS cr
+  FROM dj GROUP BY j),
+tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS tt, CAST(sum(cr) AS DOUBLE) AS tr FROM s),
+per AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_features,
+         sum(c * (ln(ct + 1.0) - ln(cr + 1.0))) AS ss
+  FROM dj JOIN s USING (j) WHERE NOT t GROUP BY doc_id),
+lw AS (
+  SELECT doc_id, n_features,
+         ss + n_features * (ln(tr + 4096.0) - ln(tt + 4096.0)) AS l
+  FROM per CROSS JOIN tot),
+g AS (
+  SELECT doc_id, n_features, l,
+         l / 2.0 - ln(-ln(({hexv} + 1.0) / 4294967296.0)) AS gk
+  FROM (SELECT *, md5(CAST(doc_id AS VARCHAR)) AS h FROM lw))
+SELECT doc_id, n_features, round(l, 6) AS log_weight, round(gk, 6) AS gumbel_key
+FROM g ORDER BY gk DESC, doc_id ASC LIMIT 25
+"""
+
+
+DSIR_GUMBEL_SQL = _dsir_gumbel_sql()
+
+
+def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C72: per-document character-distribution Shannon entropy (bits) —
+    the cheap gibberish/boilerplate tail signal. One (doc, char) count
+    shuffle bounded by distinct chars per doc; the float sum is per-doc
+    over ~dozens of terms, rounded to 6 (the bigram/DSIR convention)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.char_entropy(docs)
+
+
+CHAR_ENTROPY_SQL = """
+WITH c AS (
+  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+  WHERE ch <> '' GROUP BY doc_id, ch),
+p AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars_counted,
+         sum(CAST(n AS DOUBLE) * log2(n)) AS s
+  FROM c GROUP BY doc_id)
+SELECT doc_id, n_chars_counted,
+       round(log2(n_chars_counted) - s / n_chars_counted, 6) AS char_entropy
+FROM p
+"""
+
+
+def semantic_clusters_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C73: graph-based semantic clustering — connected components over the
+    corpus kNN graph thresholded at cosine >= 0.4 (k=3). The oracle reruns
+    the brute-force kNN, the same rounded threshold cut, and the component
+    closure as a recursive CTE (same pattern as dedup_group_ids)."""
+    from kafka_connect_jsonata_spark.functions.similarity import semantic_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_clusters(emb, k=3, threshold=0.4)
+
+
+SEMANTIC_CLUSTERS_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+              * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))) DESC,
+             b.vec_id ASC) AS rank,
+           round(list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+              * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))), 4) AS sim
+    FROM embeddings a CROSS JOIN embeddings b
+    WHERE a.vec_id <> b.vec_id) t
+  WHERE rank <= 3 AND sim >= 0.4),
+edges AS (
+  SELECT query_id AS src, neighbor_id AS dst FROM pairs
+  UNION
+  SELECT neighbor_id AS src, query_id AS dst FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+grp AS (SELECT src AS id, LEAST(src, MIN(dst)) AS gid FROM reach GROUP BY src)
+SELECT e.vec_id, CAST(COALESCE(g.gid, e.vec_id) AS BIGINT) AS cluster_id
+FROM embeddings e LEFT JOIN grp g ON e.vec_id = g.id
+"""
+
+
+def resample_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C74: hypertable-style fixed-interval resample + gap fill — per-user
+    hourly average of ``value`` from each user's first to last event,
+    empty hours forward-filled (LOCF). Oracle: identical bucket/grid/
+    window in SQL (generate_series + last_value IGNORE NULLS)."""
+    from kafka_connect_jsonata_spark.operators.relational import resample_gapfill
+
+    ev = load_table(spark, sf_dir, "events")
+    return resample_gapfill(ev, "ts", "user_id", "value", interval_sec=3600)
+
+
+RESAMPLE_GAPFILL_SQL = """
+WITH b AS (
+  SELECT user_id, CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) AS b,
+         avg(value) AS a
+  FROM events GROUP BY 1, 2),
+span AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM b GROUP BY 1),
+grid AS (SELECT user_id, CAST(unnest(range(lo, hi + 1)) AS BIGINT) AS b FROM span),
+j AS (SELECT g.user_id, g.b, bb.a FROM grid g LEFT JOIN b bb USING (user_id, b))
+SELECT user_id,
+       make_timestamp(b * 3600 * 1000000) AS bucket_start,
+       round(last_value(a IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value,
+       a IS NULL AS filled
+FROM j
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3401,6 +3558,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "dup_ngram_coverage_docs": dup_ngram_coverage_docs,
     "weighted_sample_docs": weighted_sample_docs,
+    # -- round-7 additions (C71-C74) --
+    "dsir_gumbel_docs": dsir_gumbel_docs,
+    "char_entropy_docs": char_entropy_docs,
+    "semantic_clusters_vecs": semantic_clusters_vecs,
+    "resample_gapfill_events": resample_gapfill_events,
     # -- rows-only (driver-side eigh / iterative / rng payloads) --
     "quality_classifier_train": quality_classifier_train,
     "bpe_encode_docs": bpe_encode_docs,
@@ -3522,4 +3684,8 @@ ORACLES: dict[str, str] = {
     "pca_project_fixed": PCA_FIXED_SQL,
     "mixture_sample_docs": MIXTURE_SAMPLE_SQL,
     "pack_token_budget_docs": PACK_TOKEN_BUDGET_SQL,
+    "dsir_gumbel_docs": DSIR_GUMBEL_SQL,
+    "char_entropy_docs": CHAR_ENTROPY_SQL,
+    "semantic_clusters_vecs": SEMANTIC_CLUSTERS_SQL,
+    "resample_gapfill_events": RESAMPLE_GAPFILL_SQL,
 }
