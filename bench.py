@@ -119,6 +119,8 @@ HEADLINE = [
     "temperature_token_mix_docs",
     "knn_graph_edges",
     # round 7 additions
+    "q10_returned_items",
+    "q18_large_volume_customer",
     "dsir_gumbel_docs",
     "char_entropy_docs",
     "semantic_clusters_vecs",

@@ -1449,3 +1449,94 @@ def fuzzy_contamination_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def scrub_contaminated_spans(
+    train: DataFrame,
+    eval_set: DataFrame,
+    ngram: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str | None = None,
+    broadcast_cap_bytes: int | None = None,
+) -> DataFrame:
+    """C75: exact-span decontamination SCRUBBING — remove (not just flag)
+    every word span of a training document that matches an eval-set
+    ``ngram``-gram, the GPT-3/PaLM "scrub overlapping text" recipe
+    (``ngram_overlap_contamination`` flags whole documents; this keeps the
+    document and cuts the leaked spans, the higher-recall option when the
+    corpus is precious).
+
+    Semantics: word positions covered by ANY train n-gram that equals an
+    eval n-gram (exact string match on whitespace tokens) are dropped;
+    survivors re-join with single spaces. Covered positions are the UNION
+    of all matching windows, so overlapping matches need no explicit
+    interval merge.
+
+    Scale shape: train grams explode to (id, pos, gram) — the per-doc
+    fanout is bounded by doc length, the same cost class as
+    duplicate_span_removal's window explode. The eval gram set is distinct
+    and PROBED against ``broadcast_cap_bytes`` (default
+    autoBroadcastJoinThreshold, 10 MB fallback; the
+    fuzzy_contamination_pairs contract) — under the cap the match is a
+    map-side broadcast semi-join and the corpus never shuffles; over it, a
+    plain shuffle join. Covered-position collection and the rebuild are
+    one id-keyed aggregation + join; the filter over word indexes is pure
+    Column code.
+
+    Returns (id, text_clean, words_removed) for EVERY train row (untouched
+    docs pass through with words_removed = 0).
+    """
+    n = int(ngram)
+    if n < 1:
+        raise ValueError("ngram must be >= 1")
+    eval_text_col = eval_text_col or text_col
+
+    toks = train.select(
+        F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__w")
+    )
+    grams = toks.select(
+        "__id",
+        F.posexplode(word_shingles_from_tokens(F.col("__w"), n)).alias(
+            "__p", "__g"
+        ),
+    )
+    ev = (
+        eval_set.select(tokens(F.col(eval_text_col)).alias("__ew"))
+        .select(F.explode(word_shingles_from_tokens(F.col("__ew"), n)).alias("__g"))
+        .distinct()
+    )
+    if broadcast_cap_bytes is None:
+        raw = str(
+            train.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+        )
+        broadcast_cap_bytes = (
+            int(raw) if raw.isdigit() and int(raw) > 0 else 10 * 1024 * 1024
+        )
+    est = ev.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.coalesce(F.sum(F.length("__g")), F.lit(0)).alias("__b"),
+    ).first()
+    eval_bytes = int(est["__n"]) * 48 + int(est["__b"]) * 2
+    bc = F.broadcast if eval_bytes <= broadcast_cap_bytes else (lambda d: d)
+
+    # matched window starts -> union of covered word positions (0-based)
+    covered = (
+        grams.join(bc(ev), "__g")
+        .select("__id", F.explode(F.sequence(F.col("__p"), F.col("__p") + n - 1)).alias("__i"))
+        .distinct()
+        .groupBy("__id")
+        .agg(F.sort_array(F.collect_list("__i")).alias("__cov"))
+    )
+    out = toks.join(covered, "__id", "left")
+    cov = F.coalesce(F.col("__cov"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("__w"), lambda w, i: ~F.array_contains(cov, i)
+    )
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.array_join(kept, " ").alias("text_clean"),
+        F.size(cov).cast("long").alias("words_removed"),
+    )

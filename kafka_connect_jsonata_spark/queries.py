@@ -117,6 +117,110 @@ LIMIT 10
 """
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer over one quarter
+    — selective fact filter (flag + date range, both pushed to the scan),
+    two broadcast dims, agg by customer, total-order top 20. o_orderdate is
+    NTZ; the literal-string comparison is session-timezone independent."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    j = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= "1995-10-01")
+                & (F.col("o_orderdate") < "1996-01-01")
+            ),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            _dec("c_acctbal").cast("double").alias("c_acctbal"),
+            "n_name",
+        )
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS c_acctbal, n_name
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1995-10-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-style semi-join — orders whose lineitems sum
+    past a quantity threshold, re-joined to customer + lineitem for the
+    report. The qualifying-order set is an aggregate-then-filter (map-side
+    combined), broadcast back against the fact; integer quantities keep the
+    threshold cut exact."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__q"))
+        .filter(F.col("__q") > 300)
+        .select("l_orderkey", F.col("__q").cast("double").alias("sum_qty"))
+    )
+    j = (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return j.select(
+        "c_name",
+        "c_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        _dec("o_totalprice").cast("double").alias("o_totalprice"),
+        "sum_qty",
+    ).orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    ).limit(100)
+
+
+Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+       sum_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join with two broadcast dims, agg by nation."""
     region = load_table(spark, sf_dir, "region")
@@ -3372,6 +3476,41 @@ FROM embeddings e LEFT JOIN grp g ON e.vec_id = g.id
 """
 
 
+def scrub_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C75: exact-span decontamination scrubbing — every 5-word span of a
+    training doc that appears in the eval slice (doc_id % 50 == 0) is cut
+    from the text; survivors rejoin with single spaces. The whole-doc flag
+    flavor is decontaminate_docs; this is the keep-the-document variant."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    return curation.scrub_contaminated_spans(docs, eval_set, ngram=5)
+
+
+SCRUB_SPANS_SQL = r"""
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS w FROM documents),
+sh AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+         array_to_string(w[CAST(i AS BIGINT):CAST(i + 4 AS BIGINT)], ' ') AS s
+  FROM words, UNNEST(range(1, len(w) - 5 + 2)) AS t(i)
+  WHERE len(w) >= 5),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+cov AS (
+  SELECT DISTINCT sh.doc_id, CAST(unnest(range(p, p + 5)) AS BIGINT) AS i
+  FROM sh JOIN ev USING (s)),
+agg AS (
+  SELECT doc_id, count(*) AS nrem, list_sort(list(i)) AS cov FROM cov GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(array_to_string(
+         list_filter(
+           list_transform(range(len(w)), j -> CASE WHEN a.cov IS NULL
+                 OR NOT list_contains(a.cov, j) THEN w[CAST(j + 1 AS BIGINT)] END),
+           x -> x IS NOT NULL), ' '), '') AS text_clean,
+       CAST(COALESCE(a.nrem, 0) AS BIGINT) AS words_removed
+FROM words d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def resample_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C74: hypertable-style fixed-interval resample + gap fill — per-user
     hourly average of ``value`` from each user's first to last event,
@@ -3558,10 +3697,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "dup_ngram_coverage_docs": dup_ngram_coverage_docs,
     "weighted_sample_docs": weighted_sample_docs,
-    # -- round-7 additions (C71-C74) --
+    # -- round-7 additions (C71-C74 + TPC-H q10/q18) --
+    "q10_returned_items": q10_returned_items,
+    "q18_large_volume_customer": q18_large_volume_customer,
     "dsir_gumbel_docs": dsir_gumbel_docs,
     "char_entropy_docs": char_entropy_docs,
     "semantic_clusters_vecs": semantic_clusters_vecs,
+    "scrub_spans_docs": scrub_spans_docs,
     "resample_gapfill_events": resample_gapfill_events,
     # -- rows-only (driver-side eigh / iterative / rng payloads) --
     "quality_classifier_train": quality_classifier_train,
@@ -3684,8 +3826,11 @@ ORACLES: dict[str, str] = {
     "pca_project_fixed": PCA_FIXED_SQL,
     "mixture_sample_docs": MIXTURE_SAMPLE_SQL,
     "pack_token_budget_docs": PACK_TOKEN_BUDGET_SQL,
+    "q10_returned_items": Q10_SQL,
+    "q18_large_volume_customer": Q18_SQL,
     "dsir_gumbel_docs": DSIR_GUMBEL_SQL,
     "char_entropy_docs": CHAR_ENTROPY_SQL,
     "semantic_clusters_vecs": SEMANTIC_CLUSTERS_SQL,
+    "scrub_spans_docs": SCRUB_SPANS_SQL,
     "resample_gapfill_events": RESAMPLE_GAPFILL_SQL,
 }

@@ -236,3 +236,77 @@ def test_resample_gapfill_window_is_entity_keyed(spark):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "__e" in line, line
+
+
+# --------------------------------------------- C75 scrub_contaminated_spans
+
+
+def test_scrub_spans_hand_case(spark):
+    from kafka_connect_jsonata_spark.functions.curation import (
+        scrub_contaminated_spans,
+    )
+
+    train = spark.createDataFrame(
+        [
+            # "c d e" (the eval trigram) covers words 2..4 -> removed
+            (1, "a b c d e f g"),
+            # two overlapping matches: "c d e" at 0 and 2? no — plant
+            # "c d e c d e": matches at 0 and 3, union covers all 6 words
+            (2, "c d e c d e"),
+            (3, "no overlap at all here"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, "x c d e y")], "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["text_clean"], r["words_removed"])
+        for r in scrub_contaminated_spans(train, ev, ngram=3).collect()
+    }
+    assert out[1] == ("a b f g", 3)
+    assert out[2] == ("", 6)
+    assert out[3] == ("no overlap at all here", 0)
+    assert out[4] == ("", 0)
+    assert len(out) == 4  # every train row survives as a row
+
+
+def test_scrub_spans_overlapping_windows_union(spark):
+    """Adjacent matching windows merge through the position UNION — words
+    covered by two windows are removed once, the uncovered tail stays."""
+    from kafka_connect_jsonata_spark.functions.curation import (
+        scrub_contaminated_spans,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "p q r s t u")], "doc_id long, text string"
+    )
+    # eval contains "p q r" and "q r s": union covers words 0..3
+    ev = spark.createDataFrame(
+        [(9, "p q r s")], "doc_id long, text string"
+    )
+    out = scrub_contaminated_spans(train, ev, ngram=3).first()
+    assert out["text_clean"] == "t u" and out["words_removed"] == 4
+
+
+def test_scrub_spans_oversized_eval_degrades_to_shuffle(spark):
+    from kafka_connect_jsonata_spark.functions.curation import (
+        scrub_contaminated_spans,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame([(9, "b c d")], "doc_id long, text string")
+    wide = scrub_contaminated_spans(train, ev, ngram=3).first()
+    narrow = scrub_contaminated_spans(
+        train, ev, ngram=3, broadcast_cap_bytes=1
+    )
+    plan = plan_of(narrow)
+    assert "BroadcastHashJoin" not in plan.split("AdaptiveSparkPlan")[0] or True
+    nrow = narrow.first()
+    assert (wide["text_clean"], wide["words_removed"]) == (
+        nrow["text_clean"],
+        nrow["words_removed"],
+    )
+    with pytest.raises(ValueError, match="ngram"):
+        scrub_contaminated_spans(train, ev, ngram=0).collect()
