@@ -414,6 +414,14 @@ class Compiler:
                     "pos": node["pos"],
                 }
                 return self._call(synthetic, ctx, env)
+            if rhs["type"] == "lambda":
+                # x ~> function($v){...}  — inline-apply the literal lambda
+                # (round 7; same substitution as bound-lambda invocation)
+                if not rhs["args"]:
+                    raise NotCompilable("~> into a zero-arg lambda")
+                child = dict(env)
+                child[rhs["args"][0]] = self._c(node["lhs"], ctx, env)
+                return self._c(rhs["body"], ctx, child)
             raise NotCompilable("~> with non-call rhs")
         raise NotCompilable(f"node type {t!r}")
 
@@ -899,6 +907,32 @@ class Compiler:
         if len(a) != 2 or raw[1].get("type") != "string":
             raise NotCompilable("$formatNumber with options/dynamic picture")
         pic = raw[1]["value"]
+        mz = re.fullmatch(r"([0-9]+)(?:\.([0-9]+))?(%)?", pic)
+        if mz is not None:
+            # zero-pad family (round 7): '00.000', '01%' — every decimal
+            # digit 0-9 is a MANDATORY-digit position in an XPath picture
+            # (the round-5 conformance fix), so width = digit count.
+            # bround (HALF_EVEN, the XPath/DecimalFormat rule) the exact
+            # decimal of the shortest repr, then pad the integer digits.
+            # lpad TRUNCATES overlong input, so pad only when shorter.
+            i_w = len(mz.group(1))
+            f_w = len(mz.group(2) or "")
+            val = self._num(a[0]).cast("string").cast("decimal(38,15)")
+            if mz.group(3):
+                val = val * 100
+            q = F.bround(val, f_w).cast(f"decimal(38,{f_w})")
+            s = F.abs(q).cast("string")
+            ip = F.substring_index(s, ".", 1)
+            ip = F.when(F.length(ip) < i_w, F.lpad(ip, i_w, "0")).otherwise(ip)
+            body = (
+                F.concat(ip, F.lit("."), F.substring_index(s, ".", -1))
+                if f_w
+                else ip
+            )
+            out = F.when(q < 0, F.concat(F.lit("-"), body)).otherwise(body)
+            if mz.group(3):
+                out = F.concat(out, F.lit("%"))
+            return Typed(out, T.StringType())
         m = re.fullmatch(r"#,##0(?:\.(0+))?", pic)
         if m is None:
             raise NotCompilable(f"$formatNumber picture {pic!r}")
@@ -914,6 +948,55 @@ class Compiler:
             F.format_number(as_decimal, len(m.group(1) or "")),
             T.StringType(),
         )
+
+    # --- URL functions (round 7) -------------------------------------------
+    # Spark's url_encode/url_decode are java.net form-encoding; the fixups
+    # below translate exactly to/from the JS encodeURIComponent/encodeURI
+    # conventions tier 2 implements with urllib.parse.quote (space = %20
+    # not '+'; ! ~ ' ( ) unescaped; encodeURI additionally keeps the
+    # reserved set). Every '%' in url_encode output starts a full %XX
+    # triple, so triple-string replacement cannot corrupt other sequences.
+    _URL_COMPONENT_FIXES = (
+        ("%21", "!"), ("%27", "'"), ("%28", "("), ("%29", ")"), ("%7E", "~"),
+    )
+    _URL_RESERVED_FIXES = (
+        ("%3B", ";"), ("%2F", "/"), ("%3F", "?"), ("%3A", ":"), ("%40", "@"),
+        ("%26", "&"), ("%3D", "="), ("%2B", "+"), ("%24", "$"), ("%2C", ","),
+        ("%23", "#"),
+    )
+
+    def _url_encoded(self, col: Column, fixes) -> Column:
+        s = F.replace(F.url_encode(col), F.lit("+"), F.lit("%20"))
+        for pat, ch in fixes:
+            s = F.replace(s, F.lit(pat), F.lit(ch))
+        return s
+
+    def _fn_encodeUrlComponent(self, a, ctx, env, raw):
+        v = a[0] if a else ctx
+        return Typed(
+            self._url_encoded(v.col, self._URL_COMPONENT_FIXES), T.StringType()
+        )
+
+    def _fn_encodeUrl(self, a, ctx, env, raw):
+        v = a[0] if a else ctx
+        return Typed(
+            self._url_encoded(
+                v.col, self._URL_COMPONENT_FIXES + self._URL_RESERVED_FIXES
+            ),
+            T.StringType(),
+        )
+
+    def _url_decoded(self, col: Column) -> Column:
+        # '+' is NOT form-decoded in JS/tier 2 — shield it first
+        return F.url_decode(F.replace(col, F.lit("+"), F.lit("%2B")))
+
+    def _fn_decodeUrlComponent(self, a, ctx, env, raw):
+        v = a[0] if a else ctx
+        return Typed(self._url_decoded(v.col), T.StringType())
+
+    def _fn_decodeUrl(self, a, ctx, env, raw):
+        v = a[0] if a else ctx
+        return Typed(self._url_decoded(v.col), T.StringType())
 
     def _fn_sum(self, a, ctx, env, raw):
         return Typed(
@@ -1196,6 +1279,13 @@ class Compiler:
         idiom, JsonataTransformationTest.java:77-88). Compiles when the
         argument is a literal array of struct-typed expressions: the output
         schema is the field-by-field overlay, derived statically."""
+        if len(raw) == 1 and raw[0]["type"] != "array":
+            # $merge(obj) — a single object is a singleton sequence; the
+            # merge of one object is itself (round 7)
+            v = self._c(raw[0], ctx, env)
+            if isinstance(v.dtype, (T.StructType, T.MapType)):
+                return v
+            raise NotCompilable("$merge over a non-object argument")
         if len(raw) != 1 or raw[0]["type"] != "array":
             raise NotCompilable("$merge with non-literal array argument")
         elems = [self._c(e, ctx, env) for e in raw[0]["expressions"]]
@@ -1349,6 +1439,19 @@ class Compiler:
         "m01": "mm",
         "s01": "ss",
         "f001": "SSS",
+        # XPath DEFAULT presentations (round 7): Y/M/D/H default to the
+        # unpadded decimal '1' (Java's single letter prints minimum
+        # digits); minutes/seconds default to the padded '01'
+        "Y": "y",
+        "Y1": "y",
+        "M": "M",
+        "M1": "M",
+        "D": "d",
+        "D1": "d",
+        "H": "H",
+        "H1": "H",
+        "m": "mm",
+        "s": "ss",
     }
 
     def _compile_dt_picture(self, pic: str) -> str:
@@ -1490,7 +1593,15 @@ class Compiler:
         params, body, base_env = self._resolve_lambda(raw[1], env)
         arr = a[0]
         if not isinstance(arr.dtype, T.ArrayType):
-            raise NotCompilable("$map over non-array")
+            # singleton sequence: $map(v, f) == f(v) after the unwrap
+            # (round 7; index arg = 0 for the single element)
+            child = dict(base_env)
+            child[params[0]] = arr
+            if len(params) > 1:
+                child[params[1]] = Typed(F.lit(0), T.IntegerType())
+            if len(params) > 2:
+                child[params[2]] = Typed(F.array(arr.col), T.ArrayType(arr.dtype))
+            return self._c(body, arr, child)
         et = arr.dtype.elementType
         out_t = [None]
 
@@ -1515,7 +1626,16 @@ class Compiler:
         params, body, base_env = self._resolve_lambda(raw[1], env)
         arr = a[0]
         if not isinstance(arr.dtype, T.ArrayType):
-            raise NotCompilable("$filter over non-array")
+            # singleton sequence: keep the value iff the predicate holds,
+            # else undefined (NULL in the typed tier) — round 7
+            child = dict(base_env)
+            child[params[0]] = arr
+            if len(params) > 1:
+                child[params[1]] = Typed(F.lit(0), T.IntegerType())
+            if len(params) > 2:
+                child[params[2]] = Typed(F.array(arr.col), T.ArrayType(arr.dtype))
+            pred = self._truthy(self._c(body, arr, child))
+            return Typed(F.when(pred, arr.col), arr.dtype)
         et = arr.dtype.elementType
 
         def fn(x, i=None):

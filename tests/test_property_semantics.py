@@ -194,11 +194,13 @@ def test_picture_string_fallbacks_not_compilable(spark):
         [T.StructField("x", T.DoubleType()), T.StructField("ms", T.LongType())]
     )
     for expr in (
-        "$formatNumber(x, '00.0')",        # exotic min-int padding
+        # (round 7 moved '00.0' zero-pad pictures and unpadded [M]/[D]/[Y]
+        # components INTO the compiled subset — dual-tier sweep covers them)
         "$formatNumber(x, '#,##0.00;(#,##0.00)')",  # pos;neg split
+        "$formatNumber(x, '0.0e0')",       # exponent picture
         "$formatNumber(x, '#,##0%', {})",  # options argument
-        "$fromMillis(ms, '[M]/[D]/[Y]')",  # unpadded components
         "$fromMillis(ms, '[F0]')",         # unsupported component
+        "$fromMillis(ms, '[D1o] [MNn]')",  # ordinal/name components
         "$fromMillis(ms, '[Y0001]', 'America/New_York')",  # timezone
     ):
         with pytest.raises(NotCompilable):
