@@ -691,20 +691,64 @@ def dup_groups_from_pairs(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    strategy: str = "auto",
+    collect_cap: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair list: every document gets
     the MINIMUM id reachable through pair edges as its ``group_id`` (the
     canonical representative a dedup pipeline keeps).
 
-    Iterative min-label propagation: each round every vertex takes the min
-    of its own label and its neighbors' labels; converges in O(diameter)
-    rounds (near-dup clusters are shallow — a handful of rounds in
-    practice, ``max_iter`` bounds adversarial chains). Each round is one
-    join + groupBy; lineage is truncated per round with an eager
-    localCheckpoint so the plan stays constant-size — the standard Spark
-    shape for iterative graph algorithms (large-star/small-star
-    optimizations plug in here for web-scale graphs).
+    ``strategy="distributed"``: iterative min-label propagation — each
+    round every vertex takes the min of its own label and its neighbors'
+    labels; converges in O(diameter) rounds (near-dup clusters are shallow
+    — a handful of rounds in practice, ``max_iter`` bounds adversarial
+    chains). Each round is one join + groupBy; lineage is truncated per
+    round with an eager localCheckpoint so the plan stays constant-size —
+    the standard Spark shape for iterative graph algorithms (large-star/
+    small-star optimizations plug in here for web-scale graphs).
+
+    ``strategy="driver"``: union-find over a collected edge list — exact
+    same labels, microseconds instead of one Spark job per round. Correct
+    only while the EDGE LIST (not the corpus) fits the driver; near-dup
+    edge lists are output-sized, usually tiny relative to the corpus.
+
+    ``strategy="auto"`` (default): one count probe routes driver below
+    ``collect_cap`` edges, distributed above — the same probed-cap
+    contract as ``embedding_dup_pairs(strategy="auto")``. At 100 TB an
+    above-cap pair list takes the iterative path untouched; a gate-scale
+    caller stops paying 3-5 Spark jobs of fixed overhead per round.
+    (Round 7; driver ≡ distributed parity is test-pinned.)
     """
+    if strategy not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "auto":
+        strategy = "driver" if pairs.count() <= int(collect_cap) else "distributed"
+    if strategy == "driver":
+        rows = pairs.select(F.col(id_a), F.col(id_b)).collect()  # probe-bounded
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in rows:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN so the root is the minimum reachable id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        labels = [(v, find(v)) for v in parent]
+        spark = pairs.sparkSession
+        id_type = pairs.schema[id_a].dataType.simpleString()
+        return spark.createDataFrame(
+            labels, f"doc_id {id_type}, group_id {id_type}"
+        )
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))

@@ -458,10 +458,20 @@ def semantic_clusters(
     Returns (id, cluster_id) for EVERY corpus row, cluster_id = the
     minimum id reachable through threshold-passing kNN edges.
     """
-    edges = knn_graph(
-        corpus, k=k, id_col=id_col, vec_col=vec_col, **kw
-    ).filter(F.col("cosine_sim") >= threshold)
-    from kafka_connect_jsonata_spark.functions.dedup import dup_groups_from_pairs
+    from kafka_connect_jsonata_spark.functions.dedup import (
+        barrier,
+        dup_groups_from_pairs,
+    )
+
+    # materialize the (tiny, k-bounded) thresholded edge list ONCE: the
+    # component search references it several times (count probe + collect
+    # or per-round joins) and would otherwise recompute the kNN winnow per
+    # action
+    edges = (
+        knn_graph(corpus, k=k, id_col=id_col, vec_col=vec_col, **kw)
+        .filter(F.col("cosine_sim") >= threshold)
+        .transform(barrier)
+    )
 
     groups = dup_groups_from_pairs(
         edges, id_a="query_id", id_b="neighbor_id", max_iter=max_iter

@@ -310,3 +310,59 @@ def test_scrub_spans_oversized_eval_degrades_to_shuffle(spark):
     )
     with pytest.raises(ValueError, match="ngram"):
         scrub_contaminated_spans(train, ev, ngram=0).collect()
+
+
+# ------------------------------------- dup_groups_from_pairs driver tier
+
+
+def test_dup_groups_driver_tier_matches_distributed(spark):
+    """Round-7 auto-tier: union-find over the collected edge list must
+    produce the identical min-reachable-id labels as the iterative
+    propagation, including chains (transitivity across rounds) and
+    multi-component graphs."""
+    import random
+
+    from kafka_connect_jsonata_spark.functions.dedup import dup_groups_from_pairs
+
+    rng = random.Random(7)
+    edges = set()
+    # three deliberate chains + random noise edges
+    for base in (100, 200, 300):
+        for i in range(7):
+            edges.add((base + i, base + i + 1))
+    for _ in range(60):
+        a, b = rng.randrange(400, 460), rng.randrange(400, 460)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    drv = {
+        r["doc_id"]: r["group_id"]
+        for r in dup_groups_from_pairs(pairs, strategy="driver").collect()
+    }
+    dist = {
+        r["doc_id"]: r["group_id"]
+        for r in dup_groups_from_pairs(pairs, strategy="distributed").collect()
+    }
+    assert drv == dist and len(drv) > 20
+    # chains collapse to the minimum id
+    assert all(drv[100 + i] == 100 for i in range(8))
+    auto = {
+        r["doc_id"]: r["group_id"]
+        for r in dup_groups_from_pairs(pairs).collect()
+    }
+    assert auto == dist
+    with pytest.raises(ValueError, match="strategy"):
+        dup_groups_from_pairs(pairs, strategy="magic")
+
+
+def test_dup_groups_forced_low_cap_routes_distributed(spark):
+    from kafka_connect_jsonata_spark.functions.dedup import dup_groups_from_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {
+        r["doc_id"]: r["group_id"]
+        for r in dup_groups_from_pairs(pairs, collect_cap=0).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
