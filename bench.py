@@ -125,6 +125,9 @@ HEADLINE = [
     "char_entropy_docs",
     "semantic_clusters_vecs",
     "resample_gapfill_events",
+    "scrub_spans_docs",
+    "cluster_balanced_docs",
+    "funnel_events",
 ]
 
 

@@ -608,3 +608,78 @@ def resample_gapfill(
         F.round(filled, 6).alias("value"),
         F.col("__agg").isNull().alias("filled"),
     )
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: Sequence[str],
+    ts_col: str,
+    user_col: str,
+    type_col: str,
+    max_gap_sec: int | None = None,
+) -> DataFrame:
+    """C77: ordered funnel analysis — how many users complete each prefix
+    of an event-type sequence (``['signup', 'purchase', 'refund']``), where
+    every step must occur strictly AFTER the user's completion of the
+    previous one and, with ``max_gap_sec``, within that many seconds of it.
+    The conversion-funnel primitive of product analytics, expressed as a
+    chain of k bounded per-user min-aggregations (first-touch semantics:
+    each step binds to the user's EARLIEST qualifying occurrence, the
+    standard deterministic convention).
+
+    Scale shape: step i is one type-pushed scan slice joined to the
+    previous step's (user, ts) — k user-keyed joins + aggs, no window, no
+    ordering of the event stream; the per-step result is one row per
+    surviving user (monotonically shrinking). The final output is k
+    single-row aggregates unioned — k is the parameter, not data.
+
+    Returns (step int 1-based, event_type, n_users), one row per step.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    c = F.col(ts_col)
+    if df.schema[ts_col].dataType.simpleString() == "timestamp_ntz":
+        from kafka_connect_jsonata_spark.sources.readers import _ntz_to_instant
+
+        inst = _ntz_to_instant(c)
+    else:
+        inst = c
+    ev = df.select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("__k"),
+        F.unix_millis(inst).alias("__t"),
+    )
+    cur = (
+        ev.filter(F.col("__k") == steps[0])
+        .groupBy("__u")
+        .agg(F.min("__t").alias("__ts"))
+    )
+    outs = [
+        cur.agg(
+            F.lit(1).alias("step"),
+            F.lit(steps[0]).alias("event_type"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+    ]
+    for i, s in enumerate(steps[1:], start=2):
+        nxt = (
+            ev.filter(F.col("__k") == s)
+            .join(cur, "__u")
+            .filter(F.col("__t") > F.col("__ts"))
+        )
+        if max_gap_sec is not None:
+            nxt = nxt.filter(
+                F.col("__t") - F.col("__ts") <= int(max_gap_sec) * 1000
+            )
+        cur = nxt.groupBy("__u").agg(F.min("__t").alias("__ts"))
+        outs.append(
+            cur.agg(
+                F.lit(i).alias("step"),
+                F.lit(s).alias("event_type"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

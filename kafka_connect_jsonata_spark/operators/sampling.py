@@ -526,3 +526,62 @@ def curriculum_order(
         .withColumn("curriculum_pos", F.count(F.lit(1)).over(w) - 1 + F.col("__off"))
         .drop("__h", "__hb", "__off")
     )
+
+
+def cluster_balanced_select(
+    df: DataFrame,
+    cluster_col: str,
+    score_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    max_per_cluster: int | None = None,
+) -> DataFrame:
+    """C76: cluster-balanced selection — spread a global ``budget`` of rows
+    across clusters as uniformly as possible (UniMax waterfilling over the
+    cluster sizes, optionally capped at ``max_per_cluster``), then take
+    each cluster's TOP rows by ``score_col`` (ties broken on id). The
+    DataComp/DFN-style "budget per semantic cluster, best-of within"
+    recipe: semantic clusters (C73) or k-means cells supply ``cluster_col``,
+    a quality signal (classifier margin, perplexity, entropy) supplies
+    ``score_col`` — selection stops any single over-represented topic from
+    eating the whole budget.
+
+    Scale shape: per-cluster counts are a bounded aggregation feeding the
+    closed-form waterfilling (driver holds one row per cluster); the
+    within-cluster top-a_g is one per-cluster rank window — skew bounded
+    by cluster population, never the corpus; the allocation joins back as
+    a broadcast. Returns the selected rows with ``sel_rank`` (0-based
+    within-cluster quality rank).
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    counts = {
+        r[0]: int(r[1])
+        for r in df.groupBy(cluster_col).agg(F.count(F.lit(1))).collect()
+        if r[0] is not None
+    }
+    if not counts:
+        raise ValueError("no non-null clusters")
+    # epoch cap 1 = never take more than a cluster HAS; a tighter
+    # max_per_cluster caps the waterfilling the same way
+    capped = {
+        g: min(n, max_per_cluster) if max_per_cluster else n
+        for g, n in counts.items()
+    }
+    alloc = unimax_allocation(capped, min(budget, sum(capped.values())), 1)
+    spark = df.sparkSession
+    group_type = df.schema[cluster_col].dataType.simpleString()
+    alloc_df = spark.createDataFrame(
+        sorted(alloc.items()), f"{cluster_col} {group_type}, __a long"
+    )
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    ranked = df.join(F.broadcast(alloc_df), cluster_col).withColumn(
+        "__r", F.row_number().over(w) - 1
+    )
+    return (
+        ranked.filter(F.col("__r") < F.col("__a"))
+        .withColumn("sel_rank", F.col("__r").cast("long"))
+        .drop("__r", "__a")
+    )

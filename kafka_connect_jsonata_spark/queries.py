@@ -3540,6 +3540,94 @@ FROM j
 """
 
 
+def cluster_balanced_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C76: cluster-balanced selection — a 300-doc budget spread uniformly
+    across ``lang`` clusters (waterfilling, 80-per-cluster cap), each
+    cluster contributing its LONGEST documents first. The oracle reruns
+    the identical closed-form allocation + per-cluster rank in SQL."""
+    from kafka_connect_jsonata_spark.operators.sampling import (
+        cluster_balanced_select,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = cluster_balanced_select(
+        docs, "lang", "n_chars", budget=300, max_per_cluster=80
+    )
+    return out.select("doc_id", "lang", "n_chars", "sel_rank")
+
+
+CLUSTER_BALANCED_SQL = """
+WITH cnt AS (
+  SELECT lang, LEAST(CAST(count(*) AS BIGINT), 80) AS cap FROM documents GROUP BY lang),
+ord AS (
+  SELECT lang, cap,
+         row_number() OVER (ORDER BY cap ASC, lang ASC) AS j,
+         count(*) OVER () AS k,
+         coalesce(sum(cap) OVER (ORDER BY cap ASC, lang ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+  FROM cnt),
+flg AS (
+  SELECT *, (cap * (k - j + 1) <= 300 - pfx) AS binding FROM ord),
+fin AS (
+  SELECT lang,
+         CASE WHEN binding THEN cap
+              ELSE CAST(floor((300 - (SELECT coalesce(sum(cap), 0)
+                                      FROM flg WHERE binding))
+                   / (SELECT nullif(count(*), 0) FROM flg WHERE NOT binding))
+                   AS BIGINT) END AS a
+  FROM flg),
+ranked AS (
+  SELECT d.doc_id, d.lang, d.n_chars, f.a,
+         row_number() OVER (PARTITION BY d.lang
+             ORDER BY d.n_chars DESC, d.doc_id ASC) - 1 AS r
+  FROM documents d JOIN fin f USING (lang))
+SELECT doc_id, lang, n_chars, CAST(r AS BIGINT) AS sel_rank
+FROM ranked WHERE r < a
+"""
+
+
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C77: ordered conversion funnel over the events stream — users whose
+    first signup is followed by a purchase and then an error, each step
+    strictly after the previous and within 7 days of it (first-touch
+    semantics: every step binds to the earliest qualifying occurrence)."""
+    from kafka_connect_jsonata_spark.operators.relational import funnel_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts(
+        ev,
+        ["signup", "purchase", "error"],
+        "ts",
+        "user_id",
+        "event_type",
+        max_gap_sec=7 * 86400,
+    )
+
+
+FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(epoch_ms(ts)) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, min(epoch_ms(e.ts)) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > s1.t
+    AND epoch_ms(e.ts) - s1.t <= 604800000
+  GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, min(epoch_ms(e.ts)) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'error' AND epoch_ms(e.ts) > s2.t
+    AND epoch_ms(e.ts) - s2.t <= 604800000
+  GROUP BY e.user_id)
+SELECT 1 AS step, 'signup' AS event_type, (SELECT count(*) FROM s1) AS n_users
+UNION ALL
+SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+UNION ALL
+SELECT 3, 'error', (SELECT count(*) FROM s3)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3705,6 +3793,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_clusters_vecs": semantic_clusters_vecs,
     "scrub_spans_docs": scrub_spans_docs,
     "resample_gapfill_events": resample_gapfill_events,
+    "cluster_balanced_docs": cluster_balanced_docs,
+    "funnel_events": funnel_events,
     # -- rows-only (driver-side eigh / iterative / rng payloads) --
     "quality_classifier_train": quality_classifier_train,
     "bpe_encode_docs": bpe_encode_docs,
@@ -3833,4 +3923,6 @@ ORACLES: dict[str, str] = {
     "semantic_clusters_vecs": SEMANTIC_CLUSTERS_SQL,
     "scrub_spans_docs": SCRUB_SPANS_SQL,
     "resample_gapfill_events": RESAMPLE_GAPFILL_SQL,
+    "cluster_balanced_docs": CLUSTER_BALANCED_SQL,
+    "funnel_events": FUNNEL_SQL,
 }

@@ -366,3 +366,115 @@ def test_dup_groups_forced_low_cap_routes_distributed(spark):
         for r in dup_groups_from_pairs(pairs, collect_cap=0).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+# -------------------------------------------- C76 cluster_balanced_select
+
+
+def test_cluster_balanced_select_hand_case(spark):
+    """Small cluster binds at its size, the rest split the remainder; each
+    cluster contributes its top-scoring rows."""
+    from kafka_connect_jsonata_spark.operators.sampling import (
+        cluster_balanced_select,
+    )
+
+    rows = []
+    rows += [(i, "small", float(i)) for i in range(3)]          # 3 docs
+    rows += [(100 + i, "big_a", float(i)) for i in range(20)]   # 20 docs
+    rows += [(200 + i, "big_b", float(i)) for i in range(20)]   # 20 docs
+    df = spark.createDataFrame(rows, "doc_id long, cl string, score double")
+    out = cluster_balanced_select(df, "cl", "score", budget=13, id_col="doc_id")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["cl"], []).append((r["sel_rank"], r["doc_id"]))
+    # waterfilling over sizes (3, 20, 20) at budget 13: small binds at 3,
+    # remaining 10 split 5/5
+    assert len(got["small"]) == 3
+    assert len(got["big_a"]) == len(got["big_b"]) == 5
+    # top scores selected: big_a keeps its 5 highest (ids 115..119)
+    assert sorted(d for _, d in got["big_a"]) == [115, 116, 117, 118, 119]
+    assert sorted(r for r, _ in got["big_a"]) == [0, 1, 2, 3, 4]
+
+
+def test_cluster_balanced_select_cap_and_validation(spark):
+    from kafka_connect_jsonata_spark.operators.sampling import (
+        cluster_balanced_select,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "only", float(i)) for i in range(10)],
+        "doc_id long, cl string, score double",
+    )
+    out = cluster_balanced_select(
+        df, "cl", "score", budget=100, max_per_cluster=4
+    ).collect()
+    assert len(out) == 4  # cap wins over budget
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        cluster_balanced_select(df, "cl", "score", budget=0)
+
+
+# ------------------------------------------------------ C77 funnel_counts
+
+
+def test_funnel_counts_hand_case(spark):
+    from datetime import datetime
+
+    from kafka_connect_jsonata_spark.operators.relational import funnel_counts
+
+    d = lambda day, h=0: datetime(2024, 1, day, h)
+    rows = [
+        # user 1 completes all three in order
+        (1, "signup", d(1)), (1, "purchase", d(2)), (1, "refund", d(3)),
+        # user 2: purchase BEFORE signup -> stops at step 1
+        (2, "purchase", d(1)), (2, "signup", d(2)),
+        # user 3: signup + purchase, no refund -> stops at step 2
+        (3, "signup", d(1)), (3, "purchase", d(1, 5)),
+        # user 4: never signs up -> not in the funnel at all
+        (4, "purchase", d(1)),
+        # user 5: gap too large (purchase 10 days after signup, gap 7d)
+        (5, "signup", d(1)), (5, "purchase", d(11)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {
+        r["step"]: (r["event_type"], r["n_users"])
+        for r in funnel_counts(
+            df, ["signup", "purchase", "refund"], "ts", "user_id",
+            "event_type", max_gap_sec=7 * 86400,
+        ).collect()
+    }
+    assert out[1] == ("signup", 4)   # users 1, 2, 3, 5
+    assert out[2] == ("purchase", 2)  # users 1, 3 (2 out of order, 5 gap)
+    assert out[3] == ("refund", 1)   # user 1
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        funnel_counts(df, [], "ts", "user_id", "event_type")
+
+
+def test_funnel_counts_first_touch_binding(spark):
+    """Each step binds to the EARLIEST qualifying occurrence: a user whose
+    first purchase follows signup but whose second is closer to the refund
+    still counts by the first (deterministic first-touch)."""
+    from datetime import datetime
+
+    from kafka_connect_jsonata_spark.operators.relational import funnel_counts
+
+    rows = [
+        (1, "signup", datetime(2024, 1, 1)),
+        (1, "purchase", datetime(2024, 1, 2)),
+        (1, "purchase", datetime(2024, 1, 20)),
+        # refund within gap of the SECOND purchase only — must NOT count,
+        # the funnel bound to the first purchase (Jan 2) and 7d passed
+        (1, "refund", datetime(2024, 1, 21)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(
+            df, ["signup", "purchase", "refund"], "ts", "user_id",
+            "event_type", max_gap_sec=7 * 86400,
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 0}
