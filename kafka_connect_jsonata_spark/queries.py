@@ -3677,6 +3677,16 @@ SELECT 3, 'error', (SELECT count(*) FROM s3)
 # red oracle row — fixed + unit-tested this round) takes the in-window slot
 # of its sibling embedding_outlier_docs (same assignment+quantile machinery;
 # the far mode stays oracle-registered in the builder/judge sweep).
+# Round-7 second rotation: the two genuinely NEW-family round-7 gates get
+# in-window rows — resample_gapfill_events (C74 time-series rollup) and
+# funnel_events (C77 sequence analytics); demoted with family kept
+# represented: jsonata_object_ops (jsonata keeps flagship + interpreter
+# in-window, picture/string/datetime gates in the sweep) and
+# decontaminate_docs (decontamination keeps fuzzy_decontaminate_docs
+# in-window, plus the new scrub_spans_docs in the sweep). The other
+# round-7 additions (q10/q18, C71 gumbel, C72 entropy, C73 clusters, C75
+# scrub, C76 balanced-select) stay in the sweep: each extends a family
+# that already holds an in-window representative.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- 1-31: relational / text / similarity / jsonata representatives --
     "q1_pricing_summary": q1_pricing_summary,
@@ -3699,7 +3709,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": bm25_search,
     "skew_salted_join": skew_salted_join,
     "envelope_reroute": envelope_reroute,
-    "jsonata_object_ops": jsonata_object_ops,
+    "resample_gapfill_events": resample_gapfill_events,
     "jsonata_flagship": jsonata_flagship,
     "quality_classifier_docs": quality_classifier_docs,
     "jsonata_interpreter": jsonata_interpreter,
@@ -3710,7 +3720,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality_docs": gopher_quality_docs,
     "embedding_dup_pairs": embedding_dup_pairs_q,
     "multimodal_frame_sample": multimodal_frame_sample,
-    "decontaminate_docs": decontaminate_docs,
+    "funnel_events": funnel_events,
     "pii_redact_docs": pii_redact_docs,
     "repetition_quality": repetition_quality,
     "embedding_covariance_stats": embedding_covariance_stats,
@@ -3792,9 +3802,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "char_entropy_docs": char_entropy_docs,
     "semantic_clusters_vecs": semantic_clusters_vecs,
     "scrub_spans_docs": scrub_spans_docs,
-    "resample_gapfill_events": resample_gapfill_events,
     "cluster_balanced_docs": cluster_balanced_docs,
-    "funnel_events": funnel_events,
+    "jsonata_object_ops": jsonata_object_ops,
+    "decontaminate_docs": decontaminate_docs,
     # -- rows-only (driver-side eigh / iterative / rng payloads) --
     "quality_classifier_train": quality_classifier_train,
     "bpe_encode_docs": bpe_encode_docs,
