@@ -52,6 +52,14 @@ class NotCompilable(Exception):
     """Expression (or subtree) outside the tier-1 subset."""
 
 
+class StaticallyUndefined(NotCompilable):
+    """A path step that is PROVABLY undefined from the static schema (field
+    absent from a struct). Handlers that have a defined JSONata semantics
+    for undefined inputs — object constructors omit the pair, $count is 0,
+    $exists is false — catch this and fold the constant (round 7); any
+    other context falls through to tier 2 like plain NotCompilable."""
+
+
 def js_canonical_number(x: Column) -> Column:
     """JS ``Number#toString`` (JSONata $string) of a double column as a pure
     JVM expression — round-7 compiled replacement for the tier-2 fallback
@@ -356,9 +364,23 @@ class Compiler:
                     # old code compiled them as literals)
                     raise NotCompilable("computed object keys")
                 key = kexpr["value"]
-                val = self._c(vexpr, ctx, env)
+                try:
+                    val = self._c(vexpr, ctx, env)
+                except StaticallyUndefined:
+                    # a pair whose value is PROVABLY undefined (schema-absent
+                    # field) is omitted from the constructed object — the
+                    # JSONata rule, foldable at compile time because the
+                    # absence holds for every row (round 7)
+                    continue
                 fields.append(val.col.alias(key))
                 dts.append(T.StructField(key, val.dtype or T.StringType()))
+            if not fields:
+                # all pairs undefined -> the empty object; no struct() form
+                # for zero fields, so emit an empty map rendered as {}
+                return Typed(
+                    F.create_map().cast("map<string,string>"),
+                    T.MapType(T.StringType(), T.StringType()),
+                )
             return Typed(F.struct(*fields), T.StructType(dts))
         if t == "array":
             # range elements SPLICE into the constructor ([1..3, 5] ->
@@ -430,7 +452,7 @@ class Compiler:
         dt = ctx.dtype
         if isinstance(dt, T.StructType):
             if name not in dt.fieldNames():
-                raise NotCompilable(f"unknown field {name!r}")
+                raise StaticallyUndefined(f"unknown field {name!r}")
             return Typed(ctx.col.getField(name), dt[name].dataType)
         if isinstance(dt, T.MapType):
             return Typed(ctx.col.getItem(name), dt.valueType)
@@ -438,7 +460,7 @@ class Compiler:
             # implicit mapping over array of structs -> array of field values
             inner = dt.elementType
             if name not in inner.fieldNames():
-                raise NotCompilable(f"unknown field {name!r}")
+                raise StaticallyUndefined(f"unknown field {name!r}")
             out_t = inner[name].dataType
             if isinstance(out_t, T.ArrayType):
                 raise NotCompilable("nested-array flatten in implicit mapping")
@@ -627,12 +649,21 @@ class Compiler:
         # ArrayType can hold
         if name == "merge":
             return self._fn_merge([], ctx, env, args)
-        typed_args = [
-            None
-            if a["type"] in ("lambda", "regex") or self._is_fn_ref(a, env)
-            else self._c(a, ctx, env)
-            for a in args
-        ]
+
+        def arg_of(a):
+            if a["type"] in ("lambda", "regex") or self._is_fn_ref(a, env):
+                return None
+            try:
+                return self._c(a, ctx, env)
+            except StaticallyUndefined:
+                # $count/$exists have defined constants for a provably
+                # undefined argument (round 7): fold instead of falling to
+                # tier 2. Everything else re-raises (tier 2 handles it).
+                if name in ("count", "exists"):
+                    return Typed(F.lit(None), T.NullType())
+                raise
+
+        typed_args = [arg_of(a) for a in args]
         return handler(typed_args, ctx, env, args)
 
     # each handler: (typed_args, ctx, env, raw_arg_nodes) -> Typed
