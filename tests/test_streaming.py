@@ -335,3 +335,42 @@ def test_curation_ops_stream_batch_parity(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, spark.table("t_curation_parity").collect()))
     exp = sorted(map(tuple, chain(load_table(spark, sf_dir, "documents")).collect()))
     assert got == exp and len(got) > 0
+
+
+def test_scrub_spans_stream_foreachbatch_parity(spark, sf_dir, tmp_path):
+    """Round-7 C75 in a streaming pipeline: the scrub's covered-position
+    aggregation is per-document (not windowed), so append mode rejects it
+    ([STREAMING_OUTPUT_MODE] aggregation-without-watermark) — the sanctioned
+    Structured Streaming shape for such ops is ``foreachBatch``, applying
+    the batch operator to each micro-batch (documents are self-contained,
+    so micro-batch boundaries cannot split a unit of work). Output must be
+    row-exact with the one-shot batch run."""
+    from kafka_connect_jsonata_spark.functions.curation import (
+        scrub_contaminated_spans,
+    )
+
+    d = tmp_path / "docs_stream_scrub"
+    d.mkdir()
+    (d / "documents.parquet").symlink_to(f"{sf_dir}/documents.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    batch_docs = load_table(spark, sf_dir, "documents")
+    eval_set = batch_docs.filter(F.col("doc_id") % 50 == 0)
+
+    got: list[tuple] = []
+
+    def sink(batch_df, _batch_id):
+        got.extend(
+            map(
+                tuple,
+                scrub_contaminated_spans(batch_df, eval_set, ngram=5).collect(),
+            )
+        )
+
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    q = stream.writeStream.foreachBatch(sink).start()
+    q.processAllAvailable()
+    q.stop()
+    exp = sorted(
+        map(tuple, scrub_contaminated_spans(batch_docs, eval_set, ngram=5).collect())
+    )
+    assert sorted(got) == exp and len(got) > 0
