@@ -450,10 +450,14 @@ def dsir_gumbel_select(
     )
 
     w = dsir_log_weights(df, is_target, id_col=id_col, text_col=text_col, **kw)
+    # u strictly INSIDE (0, 1): the +0.5 midpoint keeps both log() calls
+    # finite — u = 1.0 (an 'ffffffff' md5 prefix, p = 2^-32 per row) would
+    # make F.log(-F.log(1.0)) NULL in Spark and silently sort the row LAST
+    # while SQL's ln(0) = -inf ranks it first (round-7 review fix)
     u = (
         F.conv(F.substring(hash_position(F.col(id_col), salt), 1, 8), 16, 10)
         .cast("double")
-        + 1.0
+        + 0.5
     ) / float(_HEX_SPACE)
     g = F.col("log_weight") / float(temperature) - F.log(-F.log(u))
     return (

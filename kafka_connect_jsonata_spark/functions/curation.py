@@ -1400,15 +1400,13 @@ def fuzzy_contamination_pairs(
     # Probe the eval sketch's payload before committing to a broadcast:
     # rows x (band keys + row overhead) + 8 bytes per shingle hash. Over
     # the cap, fall back to plain shuffle joins — slower, never an OOM.
-    if broadcast_cap_bytes is None:
-        raw = str(
-            train.sparkSession.conf.get(
-                "spark.sql.autoBroadcastJoinThreshold", "10485760"
-            )
-        )
-        broadcast_cap_bytes = (
-            int(raw) if raw.isdigit() and int(raw) > 0 else 10 * 1024 * 1024
-        )
+    from kafka_connect_jsonata_spark.functions.dedup import (
+        broadcast_cap_bytes_of,
+    )
+
+    broadcast_cap_bytes = broadcast_cap_bytes_of(
+        train.sparkSession, broadcast_cap_bytes
+    )
     est = ev.agg(
         F.count(F.lit(1)).alias("__n"),
         F.coalesce(F.sum(F.size("__h")), F.lit(0)).alias("__g"),
@@ -1506,15 +1504,13 @@ def scrub_contaminated_spans(
         .select(F.explode(word_shingles_from_tokens(F.col("__ew"), n)).alias("__g"))
         .distinct()
     )
-    if broadcast_cap_bytes is None:
-        raw = str(
-            train.sparkSession.conf.get(
-                "spark.sql.autoBroadcastJoinThreshold", "10485760"
-            )
-        )
-        broadcast_cap_bytes = (
-            int(raw) if raw.isdigit() and int(raw) > 0 else 10 * 1024 * 1024
-        )
+    from kafka_connect_jsonata_spark.functions.dedup import (
+        broadcast_cap_bytes_of,
+    )
+
+    broadcast_cap_bytes = broadcast_cap_bytes_of(
+        train.sparkSession, broadcast_cap_bytes
+    )
     est = ev.agg(
         F.count(F.lit(1)).alias("__n"),
         F.coalesce(F.sum(F.length("__g")), F.lit(0)).alias("__b"),
@@ -1537,6 +1533,9 @@ def scrub_contaminated_spans(
     )
     return out.select(
         F.col("__id").alias(id_col),
-        F.array_join(kept, " ").alias("text_clean"),
+        # null text -> null token array -> null join; the oracle (and the
+        # "every train row passes through" contract) say '' (round-7
+        # review fix)
+        F.coalesce(F.array_join(kept, " "), F.lit("")).alias("text_clean"),
         F.size(cov).cast("long").alias("words_removed"),
     )

@@ -59,6 +59,20 @@ def barrier(df: DataFrame, eager: bool = True) -> DataFrame:
     return df.localCheckpoint(eager=eager)
 
 
+def broadcast_cap_bytes_of(spark, override: int | None = None) -> int:
+    """The byte cap a probed broadcast must fit: the caller's ``override``,
+    else spark.sql.autoBroadcastJoinThreshold when it is a plain positive
+    byte count, else the 10 MB default. "10MB"-style strings and -1
+    (join-broadcast disabled) fall back to the default — the cap guards an
+    explicit broadcast/collect decision, not a join hint. One shared
+    implementation for embedding_dup_pairs / fuzzy_contamination_pairs /
+    scrub_contaminated_spans (round-7 review consolidation)."""
+    if override is not None:
+        return int(override)
+    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    return int(raw) if raw.isdigit() and int(raw) > 0 else 10 * 1024 * 1024
+
+
 def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of exact (normalized) duplicates: fingerprint -> groupBy ->
     keep groups of size > 1. Returns (fingerprint, n_dups, min_doc_id)."""
@@ -622,16 +636,7 @@ def embedding_dup_pairs(
     if strategy not in ("auto", "broadcast", "lsh"):
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy == "auto":
-        if broadcast_bytes_cap is None:
-            raw = str(
-                spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-            )
-            # plain byte counts only; "10MB"-style or -1 (join-broadcast
-            # disabled) fall back to the 10 MB default for THIS cap — it
-            # guards a sparkContext.broadcast, not a join
-            broadcast_bytes_cap = (
-                int(raw) if raw.isdigit() and int(raw) > 0 else 10 * 1024 * 1024
-            )
+        broadcast_bytes_cap = broadcast_cap_bytes_of(spark, broadcast_bytes_cap)
         first = side.select(F.size("v").alias("d")).first()
         dim = int(first["d"]) if first else 0
         n = side.count()
@@ -722,6 +727,10 @@ def dup_groups_from_pairs(
     if strategy not in ("auto", "driver", "distributed"):
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy == "auto":
+        # materialize the pair list before probing: the count action and
+        # the subsequent collect/edge-build would otherwise each recompute
+        # the (often expensive) upstream near-dup join (round-7 review fix)
+        pairs = barrier(pairs)
         strategy = "driver" if pairs.count() <= int(collect_cap) else "distributed"
     if strategy == "driver":
         rows = pairs.select(F.col(id_a), F.col(id_b)).collect()  # probe-bounded

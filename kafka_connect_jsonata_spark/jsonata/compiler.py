@@ -57,7 +57,62 @@ class StaticallyUndefined(NotCompilable):
     absent from a struct). Handlers that have a defined JSONata semantics
     for undefined inputs — object constructors omit the pair, $count is 0,
     $exists is false — catch this and fold the constant (round 7); any
-    other context falls through to tier 2 like plain NotCompilable."""
+    other context falls through to tier 2 like plain NotCompilable.
+
+    Catch sites MUST gate on :func:`_pure_path_node`: undefined propagates
+    through path steps, but NOT through most operators (``b = 1`` is false,
+    ``b & 'x'`` is ``'x'``, ``b ? 1 : 2`` is 2) — folding an expression
+    whose undefined-ness passed through such an operator would be wrong
+    (review finding, round 7)."""
+
+
+def _pure_path_node(node: dict) -> bool:
+    """True when the raw AST node is a bare path (name / name.name...) —
+    the only shape whose static absence implies the VALUE of the whole
+    node is undefined."""
+    t = node.get("type")
+    if t == "name":
+        return True
+    if t == "path_op":
+        return _pure_path_node(node["lhs"]) and node["rhs"].get("type") == "name"
+    return False
+
+
+def shortest_repr_parts(a: Column) -> tuple[Column, Column, Column]:
+    """Shortest round-trip decimal digits of a NON-NEGATIVE double column:
+    returns ``(digits, k, L)`` — the digit string (no point, no trailing
+    zeros), the decimal exponent (value = 0.digits x 10^(k+1), i.e. the
+    point sits after the first digit at 10^k), and the digit count. The
+    minimal-precision %e search + tie-to-even correction documented on
+    :func:`js_canonical_number`; shared by the zero-pad $formatNumber
+    big-magnitude path (round-7 review fix)."""
+    cands = [F.format_string(f"%.{i}e", a) for i in range(17)]
+    sci = cands[16]
+    for c in reversed(cands[:-1]):
+        sci = F.when(c.cast("double") == a, c).otherwise(sci)
+    mant = F.substring_index(sci, "e", 1)
+    exp_s = F.substring_index(sci, "e", -1)
+    k = exp_s.cast("int")
+    digits = F.regexp_replace(mant, r"\.", "")
+    L = F.length(digits)
+    # tie-to-even correction: extended-precision digits (L + 30)
+    wide = F.format_string("%.46e", a)  # 47 sig digits >= any L+30
+    wdigits = F.regexp_replace(F.substring_index(wide, "e", 1), r"\.", "")
+    tie = (wdigits.substr(L + 1, F.lit(1)) == F.lit("5")) & wdigits.substr(
+        L + 2, F.lit(30)
+    ).rlike("^0*$")
+    last = F.substring(digits, -1, 1).cast("int")
+    m_lo = F.concat(
+        mant.substr(F.lit(1), F.length(mant) - 1),
+        (last - 1).cast("string"),
+    )
+    c_lo = F.concat(m_lo, F.lit("e"), exp_s)
+    use_lo = tie & (last % 2 == 1) & (c_lo.cast("double") == a)
+    digits = F.when(
+        use_lo, F.regexp_replace(m_lo, r"\.", "")
+    ).otherwise(digits)
+    # (L is unchanged: the decremented candidate has the same digit count)
+    return digits, k, L
 
 
 def js_canonical_number(x: Column) -> Column:
@@ -98,35 +153,8 @@ def js_canonical_number(x: Column) -> Column:
     there requires exact-rational closest-candidate selection (shipped in
     JDK 19's Ryu; not expressible in Catalyst on Java 17).
     """
+    digits, k, L = shortest_repr_parts(F.abs(x))
     a = F.abs(x)
-    # minimal-digit scientific repr of |x|: first %.Ne that round-trips
-    cands = [F.format_string(f"%.{i}e", a) for i in range(17)]
-    sci = cands[16]
-    for c in reversed(cands[:-1]):
-        sci = F.when(c.cast("double") == a, c).otherwise(sci)
-    mant = F.substring_index(sci, "e", 1)
-    exp_s = F.substring_index(sci, "e", -1)
-    k = exp_s.cast("int")
-    digits = F.regexp_replace(mant, r"\.", "")
-    L = F.length(digits)
-    # --- tie-to-even correction -------------------------------------------
-    # extended-precision digits (L + 30), selected by the chosen L
-    wide = F.format_string("%.46e", a)  # 47 sig digits >= any L+30
-    wdigits = F.regexp_replace(F.substring_index(wide, "e", 1), r"\.", "")
-    tie = (wdigits.substr(L + 1, F.lit(1)) == F.lit("5")) & wdigits.substr(
-        L + 2, F.lit(30)
-    ).rlike("^0*$")
-    last = F.substring(digits, -1, 1).cast("int")
-    m_lo = F.concat(
-        mant.substr(F.lit(1), F.length(mant) - 1),
-        (last - 1).cast("string"),
-    )
-    c_lo = F.concat(m_lo, F.lit("e"), exp_s)
-    use_lo = tie & (last % 2 == 1) & (c_lo.cast("double") == a)
-    digits = F.when(
-        use_lo, F.regexp_replace(m_lo, r"\.", "")
-    ).otherwise(digits)
-    # (L is unchanged: the decremented candidate has the same digit count)
     # --- JS formatting ------------------------------------------------------
     plain = (a >= 1e-6) & (a < 1e21)
     body = (
@@ -370,8 +398,13 @@ class Compiler:
                     # a pair whose value is PROVABLY undefined (schema-absent
                     # field) is omitted from the constructed object — the
                     # JSONata rule, foldable at compile time because the
-                    # absence holds for every row (round 7)
-                    continue
+                    # absence holds for every row (round 7). Only a BARE
+                    # path's absence implies the value is undefined;
+                    # operators over the absent field (b = 1, b & 'x')
+                    # have defined non-undefined results -> tier 2.
+                    if _pure_path_node(vexpr):
+                        continue
+                    raise
                 fields.append(val.col.alias(key))
                 dts.append(T.StructField(key, val.dtype or T.StringType()))
             if not fields:
@@ -657,9 +690,10 @@ class Compiler:
                 return self._c(a, ctx, env)
             except StaticallyUndefined:
                 # $count/$exists have defined constants for a provably
-                # undefined argument (round 7): fold instead of falling to
-                # tier 2. Everything else re-raises (tier 2 handles it).
-                if name in ("count", "exists"):
+                # undefined BARE-PATH argument (round 7): fold instead of
+                # falling to tier 2. An operator over the absent field
+                # ($count(b = 1) = 1) re-raises — tier 2 handles it.
+                if name in ("count", "exists") and _pure_path_node(a):
                     return Typed(F.lit(None), T.NullType())
                 raise
 
@@ -948,19 +982,39 @@ class Compiler:
             # lpad TRUNCATES overlong input, so pad only when shorter.
             i_w = len(mz.group(1))
             f_w = len(mz.group(2) or "")
-            val = self._num(a[0]).cast("string").cast("decimal(38,15)")
+            x = self._num(a[0])
+            # sign from the INPUT, not the rounded decimal: -0.004 at '0.00'
+            # prints '-0.00' in tier 2 (Decimal keeps the signed zero;
+            # Spark decimals do not), and so does a literal -0.0 (detected
+            # via 1/x = -Infinity) — round-7 review fix
+            neg = (x < 0) | ((x == 0) & (F.lit(1.0) / x < 0))
+            val = x.cast("string").cast("decimal(38,15)")
             if mz.group(3):
                 val = val * 100
             q = F.bround(val, f_w).cast(f"decimal(38,{f_w})")
             s = F.abs(q).cast("string")
             ip = F.substring_index(s, ".", 1)
             ip = F.when(F.length(ip) < i_w, F.lpad(ip, i_w, "0")).otherwise(ip)
-            body = (
+            small = (
                 F.concat(ip, F.lit("."), F.substring_index(s, ".", -1))
                 if f_w
                 else ip
             )
-            out = F.when(q < 0, F.concat(F.lit("-"), body)).otherwise(body)
+            # |x| >= 1e22 overflows decimal(38,15) (ANSI error / NULL) —
+            # such doubles are integral (spacing >= 2048 past 2^53), so
+            # their full digit string is shortest-digits + zeros; the %
+            # scaling appends two more zeros exactly (round-7 review fix)
+            digs, kk, ll = shortest_repr_parts(F.abs(x))
+            k_eff = kk + (2 if mz.group(3) else 0)
+            ibig = F.concat(digs, F.repeat(F.lit("0"), k_eff - ll + 1))
+            ibig = F.when(F.length(ibig) < i_w, F.lpad(ibig, i_w, "0")).otherwise(
+                ibig
+            )
+            big = (
+                F.concat(ibig, F.lit("."), F.lit("0" * f_w)) if f_w else ibig
+            )
+            body = F.when(F.abs(x) < 1e22, small).otherwise(big)
+            out = F.when(neg, F.concat(F.lit("-"), body)).otherwise(body)
             if mz.group(3):
                 out = F.concat(out, F.lit("%"))
             return Typed(out, T.StringType())
@@ -1017,17 +1071,12 @@ class Compiler:
             T.StringType(),
         )
 
-    def _url_decoded(self, col: Column) -> Column:
-        # '+' is NOT form-decoded in JS/tier 2 — shield it first
-        return F.url_decode(F.replace(col, F.lit("+"), F.lit("%2B")))
-
-    def _fn_decodeUrlComponent(self, a, ctx, env, raw):
-        v = a[0] if a else ctx
-        return Typed(self._url_decoded(v.col), T.StringType())
-
-    def _fn_decodeUrl(self, a, ctx, env, raw):
-        v = a[0] if a else ctx
-        return Typed(self._url_decoded(v.col), T.StringType())
+    # $decodeUrl/$decodeUrlComponent are deliberately NOT compiled:
+    # java.net.URLDecoder (F.url_decode) THROWS on a malformed
+    # percent-sequence ("100% organic" aborts the whole job), while tier 2's
+    # urllib.parse.unquote decodes the valid sequences and passes invalid
+    # ones through — partial-decode semantics Catalyst string functions
+    # cannot replicate. Decode routes to tier 2 (review finding, round 7).
 
     def _fn_sum(self, a, ctx, env, raw):
         return Typed(

@@ -555,6 +555,8 @@ def cluster_balanced_select(
     """
     if budget < 1:
         raise ValueError("budget must be >= 1")
+    if max_per_cluster is not None and max_per_cluster < 1:
+        raise ValueError("max_per_cluster must be >= 1 when given")
     counts = {
         r[0]: int(r[1])
         for r in df.groupBy(cluster_col).agg(F.count(F.lit(1))).collect()
@@ -565,7 +567,7 @@ def cluster_balanced_select(
     # epoch cap 1 = never take more than a cluster HAS; a tighter
     # max_per_cluster caps the waterfilling the same way
     capped = {
-        g: min(n, max_per_cluster) if max_per_cluster else n
+        g: min(n, max_per_cluster) if max_per_cluster is not None else n
         for g, n in counts.items()
     }
     alloc = unimax_allocation(capped, min(budget, sum(capped.values())), 1)

@@ -3400,7 +3400,7 @@ lw AS (
   FROM per CROSS JOIN tot),
 g AS (
   SELECT doc_id, n_features, l,
-         l / 2.0 - ln(-ln(({hexv} + 1.0) / 4294967296.0)) AS gk
+         l / 2.0 - ln(-ln(({hexv} + 0.5) / 4294967296.0)) AS gk
   FROM (SELECT *, md5(CAST(doc_id AS VARCHAR)) AS h FROM lw))
 SELECT doc_id, n_features, round(l, 6) AS log_weight, round(gk, 6) AS gumbel_key
 FROM g ORDER BY gk DESC, doc_id ASC LIMIT 25

@@ -932,3 +932,41 @@ def test_out_of_range_group_ref_not_compilable():
     # in-range refs and literal dollars still compile
     c.compile("$replace('abc', /(b)/, '[$1]')")
     c.compile("$replace('a-b', /-/, ' $ ')")
+
+
+def test_undefined_folding_limited_to_pure_paths(spark):
+    """Round-7 review fix: a PROVABLY-undefined bare path folds (object
+    pair omitted, $count = 0, $exists = false), but an OPERATOR over the
+    absent field has a defined non-undefined result (b = 1 is false,
+    b & 'x' is 'x', b ? 1 : 2 is 2) and must route to tier 2 instead of
+    being folded away."""
+    from kafka_connect_jsonata_spark.jsonata.compiler import NotCompilable
+    from kafka_connect_jsonata_spark.transform import transform
+
+    df = spark.createDataFrame([("v",)], "a string")
+    # pure paths fold
+    assert transform(df, "$count(nothing)", force_tier="compiled").first()[0] == 0
+    assert (
+        transform(df, "$exists(nothing)", force_tier="compiled").first()[0]
+        is False
+    )
+    row = transform(
+        df, "{'keep': a, 'gone': missing.field}", force_tier="compiled"
+    ).first()
+    assert row.asDict() == {"keep": "v"}
+    # operators over the absent field must NOT fold — tier 2 handles them
+    for expr in (
+        "{'r': b = 1}",
+        "{'r': b & 'x'}",
+        "{'r': b ? 1 : 2}",
+        "$count(b = 1)",
+        "$exists(b = 1)",
+    ):
+        with pytest.raises(NotCompilable):
+            transform(df, expr, force_tier="compiled")
+    # and through the default two-tier transform they give the JSONata
+    # values (the interpreter path renders JSON)
+    import json
+
+    out = transform(df, "{'r': b ? 1 : 2}").first().asDict()
+    assert json.loads(next(iter(out.values()))) == {"r": 2}

@@ -46,7 +46,7 @@ def test_dsir_gumbel_matches_local_reference(spark):
 
     def gumbel(doc_id):
         h = hashlib.md5(str(doc_id).encode()).hexdigest()
-        u = (int(h[:8], 16) + 1.0) / 2**32
+        u = (int(h[:8], 16) + 0.5) / 2**32
         return w[doc_id] / tau - math.log(-math.log(u))
 
     expect = sorted(w, key=lambda d: (-gumbel(d), d))[:3]
@@ -255,6 +255,7 @@ def test_scrub_spans_hand_case(spark):
             (2, "c d e c d e"),
             (3, "no overlap at all here"),
             (4, ""),
+            (5, None),  # null text passes through as '' (oracle contract)
         ],
         "doc_id long, text string",
     )
@@ -267,7 +268,8 @@ def test_scrub_spans_hand_case(spark):
     assert out[2] == ("", 6)
     assert out[3] == ("no overlap at all here", 0)
     assert out[4] == ("", 0)
-    assert len(out) == 4  # every train row survives as a row
+    assert out[5] == ("", 0)
+    assert len(out) == 5  # every train row survives as a row
 
 
 def test_scrub_spans_overlapping_windows_union(spark):
