@@ -128,6 +128,7 @@ HEADLINE = [
     "scrub_spans_docs",
     "cluster_balanced_docs",
     "funnel_events",
+    "curation_pipeline_v2_docs",
 ]
 
 

@@ -3628,6 +3628,93 @@ SELECT 3, 'error', (SELECT count(*) FROM s3)
 """
 
 
+def curation_pipeline_v2_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed round-6/7 curation pipeline as ONE lazy Spark plan —
+    line-level cleaning (C58) -> character-entropy gate (C72, keep
+    H >= 3.0) -> exact-span eval decontamination scrubbing (C75, 5-grams
+    vs the doc_id % 50 slice of the CLEANED corpus) -> post-scrub length
+    floor (>= 40 words) -> per-lang rollup. Value-exact against the same
+    chain composed as SQL CTEs — the composability proof for the new
+    operators (the round-5 pipeline gate covers gopher/classifier/dedup/
+    sample)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = text.clean_lines(
+        docs, delimiter=" the ", min_words=4, badwords=("spark",)
+    ).select("doc_id", F.col("cleaned").alias("text"))
+    cleaned = cleaned.join(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id"
+    )
+    ent = text.char_entropy(cleaned).filter(F.col("char_entropy") >= 3.0)
+    survivors = cleaned.join(ent.select("doc_id"), "doc_id")
+    eval_set = survivors.filter(F.col("doc_id") % 50 == 0)
+    scrubbed = curation.scrub_contaminated_spans(survivors, eval_set, ngram=5)
+    kept = scrubbed.filter(
+        F.size(F.split(F.trim(F.col("text_clean")), r"\s+")) >= 40
+    )
+    final = kept.join(survivors.select("doc_id", "lang"), "doc_id")
+    return (
+        final.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("words_removed").alias("total_scrubbed"),
+        )
+        .orderBy("lang")
+    )
+
+
+CURATION_PIPELINE_V2_SQL = r"""
+WITH cleaned AS (
+  SELECT d.doc_id, d.lang,
+         coalesce(array_to_string(
+           list_filter(str_split(d.text, ' the '), x ->
+              len(list_filter(str_split(trim(x), ' '), w -> w <> '')) >= 4
+              AND NOT contains(lower(x), 'spark')), ' the '), '') AS text
+  FROM documents d),
+chars AS (
+  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM cleaned)
+  WHERE ch <> '' GROUP BY doc_id, ch),
+ent AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           log2(sum(n)) - sum(CAST(n AS DOUBLE) * log2(n)) / sum(n) AS h
+    FROM chars GROUP BY doc_id) t
+  WHERE h >= 3.0),
+surv AS (SELECT c.* FROM cleaned c JOIN ent USING (doc_id)),
+words AS (
+  SELECT doc_id, lang, regexp_extract_all(trim(text), '\S+') AS w FROM surv),
+sh AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+         array_to_string(w[CAST(i AS BIGINT):CAST(i + 4 AS BIGINT)], ' ') AS s
+  FROM words, UNNEST(range(1, len(w) - 5 + 2)) AS t(i)
+  WHERE len(w) >= 5),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+cov AS (
+  SELECT DISTINCT sh.doc_id, CAST(unnest(range(p, p + 5)) AS BIGINT) AS i
+  FROM sh JOIN ev USING (s)),
+agg AS (
+  SELECT doc_id, count(*) AS nrem, list_sort(list(i)) AS cov
+  FROM cov GROUP BY 1),
+scrubbed AS (
+  SELECT d.doc_id, d.lang,
+         coalesce(array_to_string(
+           list_filter(
+             list_transform(range(len(w)), j -> CASE WHEN a.cov IS NULL
+                   OR NOT list_contains(a.cov, j)
+                 THEN w[CAST(j + 1 AS BIGINT)] END),
+             x -> x IS NOT NULL), ' '), '') AS text_clean,
+         CAST(coalesce(a.nrem, 0) AS BIGINT) AS words_removed
+  FROM words d LEFT JOIN agg a USING (doc_id)),
+kept AS (
+  SELECT * FROM scrubbed
+  WHERE len(list_filter(regexp_split_to_array(trim(text_clean), '\s+'),
+            w -> w <> '')) >= 40)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(words_removed) AS BIGINT) AS total_scrubbed
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3805,6 +3892,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_balanced_docs": cluster_balanced_docs,
     "jsonata_object_ops": jsonata_object_ops,
     "decontaminate_docs": decontaminate_docs,
+    "curation_pipeline_v2_docs": curation_pipeline_v2_docs,
     # -- rows-only (driver-side eigh / iterative / rng payloads) --
     "quality_classifier_train": quality_classifier_train,
     "bpe_encode_docs": bpe_encode_docs,
@@ -3935,4 +4023,5 @@ ORACLES: dict[str, str] = {
     "resample_gapfill_events": RESAMPLE_GAPFILL_SQL,
     "cluster_balanced_docs": CLUSTER_BALANCED_SQL,
     "funnel_events": FUNNEL_SQL,
+    "curation_pipeline_v2_docs": CURATION_PIPELINE_V2_SQL,
 }
