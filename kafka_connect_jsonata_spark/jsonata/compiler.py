@@ -982,6 +982,15 @@ class Compiler:
             # lpad TRUNCATES overlong input, so pad only when shorter.
             i_w = len(mz.group(1))
             f_w = len(mz.group(2) or "")
+            # the intermediate decimal caps at scale 15 (scale drops to 11
+            # after the % *100 — Spark decimal multiplication semantics),
+            # so deeper fractional pictures would silently zero-fill digits
+            # tier 2 formats exactly -> route them to tier 2 (round-7
+            # second-review fix)
+            if f_w > (10 if mz.group(3) else 14):
+                raise NotCompilable(
+                    f"$formatNumber picture {pic!r} fraction too deep (tier 2)"
+                )
             x = self._num(a[0])
             # sign from the INPUT, not the rounded decimal: -0.004 at '0.00'
             # prints '-0.00' in tier 2 (Decimal keeps the signed zero;

@@ -3629,23 +3629,28 @@ SELECT 3, 'error', (SELECT count(*) FROM s3)
 
 
 def curation_pipeline_v2_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composed round-6/7 curation pipeline as ONE lazy Spark plan —
-    line-level cleaning (C58) -> character-entropy gate (C72, keep
-    H >= 3.0) -> exact-span eval decontamination scrubbing (C75, 5-grams
-    vs the doc_id % 50 slice of the CLEANED corpus) -> post-scrub length
-    floor (>= 40 words) -> per-lang rollup. Value-exact against the same
-    chain composed as SQL CTEs — the composability proof for the new
-    operators (the round-5 pipeline gate covers gopher/classifier/dedup/
-    sample)."""
+    """Composed round-6/7 curation pipeline — line-level cleaning (C58) ->
+    character-entropy gate (C72, keep H >= 3.0) -> exact-span eval
+    decontamination scrubbing (C75, 5-grams vs the doc_id % 50 slice of
+    the CLEANED corpus) -> post-scrub length floor (>= 40 words) ->
+    per-lang rollup. Value-exact against the same chain composed as SQL
+    CTEs — the composability proof for the new operators (the round-5
+    pipeline gate covers gopher/classifier/dedup/sample).
+
+    The survivor set feeds FOUR downstream references (eval slice, scrub
+    tokens, scrub grams, lang re-join) and the scrub's eval probe, so it
+    is materialized once behind a lineage barrier — without it the
+    clean+entropy subtree re-executes per reference (round-7 second-review
+    fix)."""
+    from kafka_connect_jsonata_spark.functions.dedup import barrier
+
     docs = load_table(spark, sf_dir, "documents")
     cleaned = text.clean_lines(
         docs, delimiter=" the ", min_words=4, badwords=("spark",)
     ).select("doc_id", F.col("cleaned").alias("text"))
-    cleaned = cleaned.join(
-        load_table(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id"
-    )
+    cleaned = cleaned.join(docs.select("doc_id", "lang"), "doc_id")
     ent = text.char_entropy(cleaned).filter(F.col("char_entropy") >= 3.0)
-    survivors = cleaned.join(ent.select("doc_id"), "doc_id")
+    survivors = barrier(cleaned.join(ent.select("doc_id"), "doc_id"))
     eval_set = survivors.filter(F.col("doc_id") % 50 == 0)
     scrubbed = curation.scrub_contaminated_spans(survivors, eval_set, ngram=5)
     kept = scrubbed.filter(
@@ -3679,7 +3684,7 @@ ent AS (
     SELECT doc_id,
            log2(sum(n)) - sum(CAST(n AS DOUBLE) * log2(n)) / sum(n) AS h
     FROM chars GROUP BY doc_id) t
-  WHERE h >= 3.0),
+  WHERE round(h, 6) >= 3.0),
 surv AS (SELECT c.* FROM cleaned c JOIN ent USING (doc_id)),
 words AS (
   SELECT doc_id, lang, regexp_extract_all(trim(text), '\S+') AS w FROM surv),
