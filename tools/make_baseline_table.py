@@ -38,10 +38,15 @@ NOTES = {
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
-    spark_out = subprocess.run(
+    subprocess.run(
         [sys.executable, "bench.py"], capture_output=True, text=True, env=env
-    ).stdout.strip().splitlines()[-1]
-    spark_q = json.loads(spark_out)["queries"]
+    )
+    # read the durable artifact, NOT stdout: bench.py's final stdout line is
+    # truncated to the driver's 2000-byte tail window when the full dict no
+    # longer fits (round-7 change) — BENCH.json always holds every query
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH.json")) as f:
+        spark_q = json.load(f)["queries"]
     env["DUCKDB_BENCH_SKIP"] = "ngram_jaccard_dups"
     duck_out = subprocess.run(
         [sys.executable, "tools/duckdb_bench.py", sf_dir],
