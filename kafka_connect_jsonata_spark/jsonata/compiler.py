@@ -1308,10 +1308,33 @@ class Compiler:
             return Typed(F.array(*cols), T.ArrayType(dts[0]))
         raise NotCompilable("$each over non-object")
 
+    @staticmethod
+    def _struct_as_map(v: Typed) -> Typed | None:
+        """Bridge a HOMOGENEOUS struct (every field the same type) to
+        map<string, T> — lets map-shaped handlers ($spread, value-dependent
+        $sift) compile struct inputs whose output field set is only known
+        per row (round 7). Heterogeneous structs return None (tier 2)."""
+        dt = v.dtype
+        if not isinstance(dt, T.StructType) or not dt.fields:
+            return None
+        if len({f.dataType.simpleString() for f in dt.fields}) != 1:
+            return None
+        col = F.map_from_arrays(
+            F.array(*[F.lit(f.name) for f in dt.fields]),
+            F.array(*[v.col.getField(f.name) for f in dt.fields]),
+        )
+        return Typed(col, T.MapType(T.StringType(), dt.fields[0].dataType))
+
     def _fn_spread(self, a, ctx, env, raw):
-        """$spread(map) -> array of single-entry maps. (Struct inputs would
-        need per-element schemas — tier 2.)"""
+        """$spread(obj) -> array of single-entry maps. Struct inputs bridge
+        through _struct_as_map when homogeneous; heterogeneous structs
+        would need per-element schemas — tier 2."""
         v = a[0] if a else ctx
+        if isinstance(v.dtype, T.StructType):
+            bridged = self._struct_as_map(v)
+            if bridged is None:
+                raise NotCompilable("$spread over heterogeneous struct")
+            v = bridged
         if isinstance(v.dtype, T.MapType):
             col = F.transform(
                 F.map_entries(v.col),
@@ -1345,6 +1368,24 @@ class Compiler:
             return Typed(F.map_filter(obj.col, pred), obj.dtype)
         if isinstance(obj.dtype, T.StructType):
             if len(params) < 2 or _mentions_var(lam["body"], params[0]):
+                # value-dependent predicate: the surviving field set varies
+                # per row, so no static struct exists — but a HOMOGENEOUS
+                # struct bridges to a map and compiles via map_filter
+                # (round 7)
+                bridged = self._struct_as_map(obj)
+                if bridged is not None:
+                    vt = bridged.dtype.valueType
+
+                    def pred(k, v):
+                        child = dict(env)
+                        child[params[0]] = Typed(v, vt)
+                        if len(params) > 1:
+                            child[params[1]] = Typed(k, T.StringType())
+                        return self._truthy(
+                            self._c(lam["body"], Typed(v, vt), child)
+                        )
+
+                    return Typed(F.map_filter(bridged.col, pred), bridged.dtype)
                 raise NotCompilable("$sift over struct with value-dependent predicate")
             from kafka_connect_jsonata_spark.jsonata.functions import boolean_of
             from kafka_connect_jsonata_spark.jsonata.interpreter import Jsonata
