@@ -184,9 +184,11 @@ def wrap_as_envelope(
             # NTZ carries a UTC wall clock in this engine; a bare
             # cast('timestamp') would reinterpret it through the session
             # zone and shift the envelope epoch-millis under non-UTC
-            # sessions (round-3 advice). Same cancelling two-step as
-            # sources/readers._ntz_to_instant.
-            src = F.convert_timezone(F.lit("UTC"), F.current_timezone(), src)
+            # sessions (round-3 advice). Same DST-safe epoch arithmetic
+            # as sources/readers._ntz_to_instant.
+            from kafka_connect_jsonata_spark.sources.readers import _ntz_to_instant
+
+            src = _ntz_to_instant(src)
         ts = src.cast("timestamp").cast("double") * 1000
     else:
         ts = F.lit(None).cast("double")

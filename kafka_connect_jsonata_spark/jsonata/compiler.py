@@ -994,13 +994,34 @@ class Compiler:
             x = self._num(a[0])
             # sign from the INPUT, not the rounded decimal: -0.004 at '0.00'
             # prints '-0.00' in tier 2 (Decimal keeps the signed zero;
-            # Spark decimals do not), and so does a literal -0.0 (detected
-            # via 1/x = -Infinity) — round-7 review fix
-            neg = (x < 0) | ((x == 0) & (F.lit(1.0) / x < 0))
-            val = x.cast("string").cast("decimal(38,15)")
+            # Spark decimals do not), and so does a literal -0.0 — detected
+            # via Java toString's leading '-' (the former 1/x = -Infinity
+            # probe raised ANSI DIVIDE_BY_ZERO on any 0.0 in the data;
+            # round-8 fix)
+            neg = (x < 0) | ((x == 0) & x.cast("string").startswith("-"))
+            # ONE rounding step (round-8 advisor fix): the old
+            # cast(decimal(38,15)) HALF_UP-rounded a >15-fraction-digit
+            # shortest repr before the picture-scale HALF_EVEN bround
+            # (0.3499999999999999 at '0.0' -> 0.35 -> "0.4"; tier 2 says
+            # "0.3").  Shortest reprs carry <=17 significant digits, so
+            # scale 37 is EXACT for |x|<1 (frac digits <= 16+16+5 margin,
+            # and below 1e-21 any truncation is >=20 positions past any
+            # f_w<=14 tie — unreachable within 17 sig digits) and scale 16
+            # is EXACT for 1<=|x|<1e22 (frac digits <= 16, int digits <=
+            # 22, 38 total).  bround is then the only rounding.
+            val_lo = x.cast("string").cast("decimal(38,37)")
+            val_hi = x.cast("string").cast("decimal(38,16)")
             if mz.group(3):
-                val = val * 100
-            q = F.bround(val, f_w).cast(f"decimal(38,{f_w})")
+                # round ONCE at f_w+2 (== rounding x*100 at f_w), then
+                # shift by 100 exactly: decimal(34,f_w+2)*100 fits p38
+                q_lo = F.bround(val_lo, f_w + 2).cast(f"decimal(34,{f_w + 2})")
+                q_hi = F.bround(val_hi, f_w + 2).cast(f"decimal(34,{f_w + 2})")
+                q = F.when(F.abs(x) < 1, q_lo).otherwise(q_hi) * 100
+            else:
+                q = F.when(
+                    F.abs(x) < 1, F.bround(val_lo, f_w)
+                ).otherwise(F.bround(val_hi, f_w))
+            q = q.cast(f"decimal(38,{f_w})")
             s = F.abs(q).cast("string")
             ip = F.substring_index(s, ".", 1)
             ip = F.when(F.length(ip) < i_w, F.lpad(ip, i_w, "0")).otherwise(ip)
@@ -1319,9 +1340,15 @@ class Compiler:
             return None
         if len({f.dataType.simpleString() for f in dt.fields}) != 1:
             return None
-        col = F.map_from_arrays(
-            F.array(*[F.lit(f.name) for f in dt.fields]),
-            F.array(*[v.col.getField(f.name) for f in dt.fields]),
+        # NULL struct row must stay NULL (undefined in tier 2) — a bare
+        # map_from_arrays over literal keys is never null and would
+        # fabricate {k: null, ...} entries (round-8 advisor fix).
+        col = F.when(
+            v.col.isNotNull(),
+            F.map_from_arrays(
+                F.array(*[F.lit(f.name) for f in dt.fields]),
+                F.array(*[v.col.getField(f.name) for f in dt.fields]),
+            ),
         )
         return Typed(col, T.MapType(T.StringType(), dt.fields[0].dataType))
 
@@ -1625,11 +1652,18 @@ class Compiler:
         # JSONata renders datetimes in UTC (unless an explicit zone arg,
         # which we don't compile). date_format on a plain TIMESTAMP uses
         # the SESSION timezone — wrong under any non-UTC harness session —
-        # so shift to the UTC wall clock as TIMESTAMP_NTZ first
-        # (convert_timezone with sourceTz=None is session-tz-independent
-        # for LTZ input: instant -> UTC wall clock; verified under
-        # America/New_York).
-        return F.convert_timezone(None, F.lit("UTC"), ts)
+        # so shift to the UTC wall clock as TIMESTAMP_NTZ first. Pure
+        # epoch arithmetic (NTZ epoch + unix_micros), NOT
+        # convert_timezone(None, UTC, ts): that round-trips through the
+        # session zone's wall clock, which is AMBIGUOUS in the DST
+        # fall-back overlap and collapsed the two overlap instants to one
+        # UTC rendering (round-8 advisor fix, verified under
+        # America/New_York 2024-11-03).
+        return F.timestamp_add(
+            "MICROSECOND",
+            F.unix_micros(ts),
+            F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"),
+        )
 
     def _fn_fromMillis(self, a, ctx, env, raw):
         if len(a) > 2:
@@ -1659,15 +1693,14 @@ class Compiler:
                 raise NotCompilable("$toMillis with dynamic picture")
             pattern = self._compile_dt_picture(raw[1]["value"])
             ntz = F.to_timestamp_ntz(a[0].col, F.lit(pattern))
-            instant = F.convert_timezone(
-                F.lit("UTC"), F.current_timezone(), ntz
-            ).cast("timestamp")
-            return Typed(F.unix_millis(instant), T.LongType())
+            from kafka_connect_jsonata_spark.sources.readers import _ntz_to_instant
+
+            return Typed(F.unix_millis(_ntz_to_instant(ntz)), T.LongType())
         # ISO strings carrying an explicit zone (Z or +hh:mm) parse to the
         # right instant under any session timezone; zoneless strings are
         # UTC per the JSONata spec, but Spark's to_timestamp reads them in
         # the SESSION zone — parse those as NTZ and reinterpret (the same
-        # cancelling two-step as sources/readers._ntz_to_instant).
+        # DST-safe epoch arithmetic as sources/readers._ntz_to_instant).
         s = a[0].col
         # Zone designators count only when they FOLLOW a time component:
         # minutes are optional in ISO-8601 offsets (+05 == +05:00, round-3
@@ -1678,9 +1711,9 @@ class Compiler:
         zoned = s.rlike(
             r"[0-9]{2}:[0-9]{2}(:[0-9]{2}(\.[0-9]+)?)?([Zz]|[+-][0-9]{2}(:?[0-9]{2})?)$"
         )
-        ntz_instant = F.convert_timezone(
-            F.lit("UTC"), F.current_timezone(), F.to_timestamp_ntz(s)
-        ).cast("timestamp")
+        from kafka_connect_jsonata_spark.sources.readers import _ntz_to_instant
+
+        ntz_instant = _ntz_to_instant(F.to_timestamp_ntz(s))
         return Typed(
             F.when(zoned, F.unix_millis(F.to_timestamp(s))).otherwise(
                 F.unix_millis(ntz_instant)

@@ -598,9 +598,12 @@ def resample_gapfill(
     filled = F.last("__agg", ignorenulls=True).over(w)
     # bucket_start goes out as the UTC wall clock (TIMESTAMP_NTZ) so the
     # rendered value is session-timezone independent — the repo-wide
-    # convention for every epoch/ISO output path
-    start = F.convert_timezone(
-        None, F.lit("UTC"), F.timestamp_seconds(F.col("__b") * step)
+    # convention for every epoch/ISO output path. Pure epoch arithmetic
+    # (NTZ epoch + seconds), not convert_timezone: the latter round-trips
+    # through the session zone and mis-renders bucket starts landing in
+    # the DST fall-back overlap (round-8 advisor fix).
+    start = F.timestamp_add(
+        "SECOND", F.col("__b") * step, F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'")
     )
     return joined.select(
         F.col("__e").alias(entity_col),

@@ -552,6 +552,11 @@ def cluster_balanced_select(
     by cluster population, never the corpus; the allocation joins back as
     a broadcast. Returns the selected rows with ``sel_rank`` (0-based
     within-cluster quality rank).
+
+    NULL ``cluster_col`` rows are DROPPED — they are excluded from the
+    cluster counts and fall out of the inner allocation join, matching
+    ``unimax_sample``'s convention (an unassigned row has no cluster to
+    balance against; assign a sentinel cluster upstream to include them).
     """
     if budget < 1:
         raise ValueError("budget must be >= 1")

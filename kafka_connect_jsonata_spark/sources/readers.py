@@ -55,18 +55,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Normalize the legacy (Spark <=4.0) path all the way to
         # TIMESTAMP_NTZ holding the UTC wall clock — the same type the 4.1+
         # native nanos read produces — so every downstream consumer sees ONE
-        # type and _ntz_to_instant's NTZ assumption always holds. The
-        # convert_timezone(session, UTC, ltz) form is session-independent:
-        # the implicit LTZ->NTZ cast goes through the session zone, and
-        # declaring sourceTz = session zone cancels it exactly (round-3
-        # advice: the previous LTZ passthrough shifted epoch values under a
-        # non-UTC session on the legacy path).
+        # type and _ntz_to_instant's NTZ assumption always holds. Pure
+        # epoch arithmetic (NTZ epoch + micros), no zone functions at all:
+        # the former convert_timezone(session, UTC, ltz) two-step resolved
+        # the session wall clock, which is ambiguous in the DST fall-back
+        # overlap (round-8 advisor fix).
         df = df.withColumn(
             "ts",
-            F.convert_timezone(
-                F.current_timezone(),
-                F.lit("UTC"),
-                F.timestamp_micros(F.expr("ts div 1000")),
+            F.timestamp_add(
+                "MICROSECOND",
+                F.expr("ts div 1000"),
+                F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"),
             ),
         )
     return df
@@ -74,19 +73,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _ntz_to_instant(col):
     """NTZ (UTC wall clock) -> TIMESTAMP instant, independent of the
-    session timezone: convert the UTC wall clock to the session zone's
-    wall clock, then let the session-zone cast turn it into an instant —
-    the two session-zone steps cancel exactly.
+    session timezone: epoch microseconds straight off the NTZ value
+    (``timestamp_diff`` against the NTZ epoch — pure wall-clock
+    arithmetic, no zone involved), reinterpreted as an instant with
+    ``timestamp_micros``.
 
     NOTE: the tempting one-step ``to_utc_timestamp(ntz, 'UTC')`` is WRONG
     under a non-UTC session — Spark first casts NTZ->LTZ through the
     session zone, silently shifting the value (verified: off by the zone
-    offset under America/New_York). Input here is always NTZ:
+    offset under America/New_York). The previous cancelling two-step
+    ``convert_timezone(UTC, session, ntz).cast('timestamp')`` was also
+    subtly wrong (round-8 advisor): the NTZ->LTZ cast resolves the
+    session-zone wall clock AMBIGUOUSLY in the DST fall-back overlap, so
+    the two UTC instants whose session rendering lands in that hour
+    collapsed to one epoch (verified under America/New_York,
+    2024-11-03 05:30Z vs 06:30Z). Input here is always NTZ:
     ``load_table`` normalizes the legacy long-nanos path to NTZ too.
     """
     from pyspark.sql import functions as F
 
-    return F.convert_timezone(F.lit("UTC"), F.current_timezone(), col).cast("timestamp")
+    return F.timestamp_micros(
+        F.timestamp_diff(
+            "MICROSECOND", F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"), col
+        )
+    )
 
 
 def ts_micros(col):

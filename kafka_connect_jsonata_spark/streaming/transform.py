@@ -45,15 +45,12 @@ def ensure_event_time(stream_df: DataFrame, ts_col: str) -> DataFrame:
     from pyspark.sql.types import TimestampNTZType
 
     if isinstance(stream_df.schema[ts_col].dataType, TimestampNTZType):
-        # session-tz-independent NTZ->instant (same cancelling two-step as
-        # sources/readers._ntz_to_instant; a bare to_utc_timestamp shifts
-        # the value under non-UTC sessions)
-        return stream_df.withColumn(
-            ts_col,
-            F.convert_timezone(F.lit("UTC"), F.current_timezone(), F.col(ts_col)).cast(
-                "timestamp"
-            ),
-        )
+        # session-tz-independent NTZ->instant (the DST-safe epoch
+        # arithmetic of sources/readers._ntz_to_instant; a bare
+        # to_utc_timestamp shifts the value under non-UTC sessions)
+        from kafka_connect_jsonata_spark.sources.readers import _ntz_to_instant
+
+        return stream_df.withColumn(ts_col, _ntz_to_instant(F.col(ts_col)))
     return stream_df
 
 

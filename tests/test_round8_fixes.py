@@ -1,0 +1,161 @@
+"""Round-8 advisor fixes, pinned:
+
+1. compiler _struct_as_map null-guards the struct->map bridge — a NULL
+   struct compiles to NULL (tier-2 undefined), not a fabricated map of
+   null values, for $spread and value-dependent $sift.
+2. compiler $formatNumber zero-pad pictures round ONCE (HALF_EVEN at the
+   picture scale over the exact shortest-repr decimal) — no HALF_UP
+   pre-rounding at an intermediate scale.
+3. every NTZ<->instant bridge uses pure epoch arithmetic — instants whose
+   session-zone rendering lands in the DST fall-back overlap keep their
+   distinct epochs / UTC wall clocks under a non-UTC session timezone.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_connect_jsonata_spark.jsonata.compiler import compile_expression
+from kafka_connect_jsonata_spark.jsonata.interpreter import Jsonata
+
+
+# ------------------------------------------------- 1. null-struct bridge
+
+
+def _homog_struct_df(spark):
+    schema = T.StructType(
+        [
+            T.StructField(
+                "o",
+                T.StructType(
+                    [
+                        T.StructField("a", T.LongType()),
+                        T.StructField("b", T.LongType()),
+                    ]
+                ),
+            )
+        ]
+    )
+    return spark.createDataFrame([({"a": 1, "b": 2},), (None,)], schema), schema
+
+
+def test_spread_null_struct_is_null(spark):
+    df, schema = _homog_struct_df(spark)
+    c = compile_expression("$spread(o)", schema)
+    got = [r[0] for r in df.select(c.col.alias("v")).collect()]
+    assert got[0] == [{"a": 1}, {"b": 2}]
+    assert got[1] is None  # was [{'a': None}, {'b': None}] before the fix
+    assert Jsonata("$spread(o)").evaluate({"o": None}) is None
+
+
+def test_value_dependent_sift_null_struct_is_null(spark):
+    df, schema = _homog_struct_df(spark)
+    c = compile_expression("$sift(o, function($v){$v > 1})", schema)
+    got = [r[0] for r in df.select(c.col.alias("v")).collect()]
+    assert got[0] == {"b": 2}
+    assert got[1] is None  # was {} before the fix
+
+
+# ------------------------------------- 2. $formatNumber single rounding
+
+
+@pytest.mark.parametrize("pic", ["0.0", "0.00", "00.0", "0%", "0.0%"])
+def test_format_number_zero_pad_single_rounding(spark, pic):
+    """0.3499999999999999 (16 fraction digits) is the advisor's witness:
+    the old decimal(38,15) intermediate HALF_UP-rounded it to 0.35 before
+    the picture-scale bround said '0.4'; one rounding says '0.3'."""
+    vals = [
+        0.3499999999999999,
+        0.35,
+        0.25,
+        -0.004,
+        1e21,
+        0.0051,
+        123.456,
+        1.23e-20,
+        0.049999999999999996,
+        -0.0,
+    ]
+    schema = T.StructType([T.StructField("x", T.DoubleType())])
+    df = spark.createDataFrame([(v,) for v in vals], schema)
+    expr = f'$formatNumber(x, "{pic}")'
+    c = compile_expression(expr, schema)
+    got = [r[0] for r in df.select(c.col.alias("v")).collect()]
+    want = [Jsonata(expr).evaluate({"x": v}) for v in vals]
+    assert got == want
+
+
+# --------------------------------------------- 3. DST fall-back overlap
+
+# 2024-11-03 05:30:00Z and 06:30:00Z both render 01:30 under
+# America/New_York (EDT then EST) — the ambiguous pair.
+OVERLAP_US = (1730611800000000, 1730615400000000)
+
+
+@pytest.fixture
+def ny_session(spark):
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    yield spark
+    spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_ntz_to_instant_keeps_overlap_instants_distinct(ny_session):
+    from kafka_connect_jsonata_spark.sources.readers import _ntz_to_instant
+
+    spark = ny_session
+    df = spark.sql(
+        "SELECT TIMESTAMP_NTZ '2024-11-03 05:30:00' AS ntz "
+        "UNION ALL SELECT TIMESTAMP_NTZ '2024-11-03 06:30:00'"
+    )
+    got = sorted(
+        r[0] for r in df.select(F.unix_micros(_ntz_to_instant(F.col("ntz")))).collect()
+    )
+    assert got == list(OVERLAP_US)
+
+
+def test_utc_wall_renders_overlap_instants_distinct(ny_session):
+    """$fromMillis of the two overlap instants must render distinct UTC
+    wall clocks under a non-UTC session (compiler._utc_wall fix)."""
+    spark = ny_session
+    schema = T.StructType([T.StructField("ms", T.LongType())])
+    df = spark.createDataFrame([(us // 1000,) for us in OVERLAP_US], schema)
+    c = compile_expression("$fromMillis(ms)", schema)
+    got = sorted(r[0] for r in df.select(c.col.alias("v")).collect())
+    assert got == ["2024-11-03T05:30:00.000Z", "2024-11-03T06:30:00.000Z"]
+
+
+def test_to_millis_zoneless_roundtrip_overlap(ny_session):
+    """$toMillis of the zoneless ISO strings for the overlap wall clocks
+    must give back the exact epochs under a non-UTC session."""
+    spark = ny_session
+    schema = T.StructType([T.StructField("s", T.StringType())])
+    df = spark.createDataFrame(
+        [("2024-11-03T05:30:00",), ("2024-11-03T06:30:00",)], schema
+    )
+    c = compile_expression("$toMillis(s)", schema)
+    got = sorted(r[0] for r in df.select(c.col.alias("v")).collect())
+    assert got == [us // 1000 for us in OVERLAP_US]
+
+
+def test_resample_gapfill_bucket_start_overlap(ny_session):
+    """bucket_start NTZ rendering is pure epoch arithmetic: a bucket
+    landing in the NY fall-back overlap keeps its true UTC wall clock."""
+    from kafka_connect_jsonata_spark.operators.relational import resample_gapfill
+
+    spark = ny_session
+    df = spark.sql(
+        "SELECT 'e1' AS entity, TIMESTAMP_NTZ '2024-11-03 05:30:00' AS ts, "
+        "1.0 AS v UNION ALL "
+        "SELECT 'e1', TIMESTAMP_NTZ '2024-11-03 06:30:00', 3.0"
+    )
+    out = resample_gapfill(df, "ts", "entity", "v", interval_sec=3600)
+    rows = sorted(
+        (str(r["bucket_start"]), r["value"]) for r in out.collect()
+    )
+    assert rows == [
+        ("2024-11-03 05:00:00", 1.0),
+        ("2024-11-03 06:00:00", 3.0),
+    ]
