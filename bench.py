@@ -129,6 +129,8 @@ HEADLINE = [
     "cluster_balanced_docs",
     "funnel_events",
     "curation_pipeline_v2_docs",
+    # round 8 additions
+    "minhash_dedup_docs",
 ]
 
 

@@ -798,6 +798,58 @@ def dup_groups_from_pairs(
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("group_id"))
 
 
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    n_bands: int = 16,
+    ngram: int = 5,
+    threshold: float = 0.9,
+    seed: int = 0x5EED,
+    strategy: str = "auto",
+    collect_cap: int = 2_000_000,
+) -> DataFrame:
+    """C79: document-level fuzzy dedup, composed end-to-end — THE most-run
+    job on a production curation cluster (the Lee et al. 2021 / RefinedWeb
+    / FineWeb recipe): MinHash signatures -> banded LSH candidate pairs ->
+    exact shingle-Jaccard verify at ``threshold`` -> connected components
+    over the surviving pair graph -> keep each component's MINIMUM id,
+    drop the rest. Returns the KEPT corpus with ``df``'s full schema.
+
+    Composition of the individually-gated pieces: ``minhash_lsh_pairs``
+    (banded (band, bucket) equi-join — never all-pairs),
+    ``dup_groups_from_pairs`` (auto driver/distributed connected
+    components, probed at ``collect_cap`` edges), and one id-keyed
+    LEFT ANTI join against the loser set.
+
+    Scale shape at 100 TB: the corpus is scanned once for signatures
+    (Arrow-batched numpy), the LSH shuffle moves (id, band, bucket) rows
+    only, the pair graph is output-sized (dup pairs, not the corpus), the
+    component labels are graph-sized, and the final anti-join ships only
+    the LOSER ids (strictly fewer than dup-pair endpoints) against the
+    corpus — AQE broadcasts it when small, shuffles on the id key when
+    not. No stage is quadratic in the corpus.
+    """
+    pairs = minhash_lsh_pairs(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        n_bands=n_bands,
+        ngram=ngram,
+        threshold=threshold,
+        seed=seed,
+    )
+    groups = dup_groups_from_pairs(
+        pairs, strategy=strategy, collect_cap=collect_cap
+    )
+    losers = groups.filter(F.col("doc_id") != F.col("group_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def embedding_dup_pairs_lsh(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -94,7 +94,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
     j = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+        # customer grows with the fact — no forced broadcast hint; the
+        # optimizer/AQE broadcasts it from size stats while it fits the
+        # threshold and degrades to a shuffled join at scale (round-8 fix:
+        # a hardcoded hint overrides AQE and OOMs at the 100-TB point)
+        .join(cust.filter(F.col("c_mktsegment") == "BUILDING"),
               F.col("o_custkey") == F.col("c_custkey"))
     )
     return (
@@ -138,7 +142,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             li.l_orderkey == orders.o_orderkey,
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        # customer is sf-proportional: no forced hint (AQE broadcasts it
+        # while small, shuffles at scale); nation is constant-size (25
+        # rows at every sf) — the hint stays
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     )
     return (
@@ -188,9 +195,13 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__q") > 300)
         .select("l_orderkey", F.col("__q").cast("double").alias("sum_qty"))
     )
+    # both the qualifying-order aggregate and customer grow with sf — no
+    # forced hints; AQE sees the agg's actual runtime size (tiny: HAVING
+    # > 300 is selective) and broadcast-converts at every realistic scale,
+    # without the OOM cliff a hardcoded hint buys at 100 TB (round-8 fix)
     j = (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
     )
     return j.select(
         "c_name",
@@ -232,8 +243,10 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
     j = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # supplier/customer are sf-proportional — no forced hints
+        # (round-8 fix); nation/region are constant-size, hints stay
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
@@ -1669,6 +1682,56 @@ FROM sized a JOIN sized b
  AND a.sz >= 0.9 * b.sz AND b.sz >= 0.9 * a.sz
 WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
       (a.sz + b.sz - len(list_intersect(a.grams, b.grams))) >= 0.9
+"""
+
+
+def minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C79 end-to-end composed fuzzy dedup: MinHash -> banded LSH ->
+    exact-Jaccard verify -> connected components -> keep-min-id, as ONE
+    operator call returning the kept corpus (the canonical 100-TB curation
+    job). Same LSH parameters as the minhash_lsh_dups gate, whose recall
+    on this corpus is exact (J >= 0.92 vs < 0.5 margin, miss p ~= 4e-5 —
+    see that gate's docstring), so the brute-force SQL closure is an exact
+    value oracle for the whole composition: any error in signatures,
+    banding, verify, component labels, or the anti-join changes the kept
+    id set and the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = dedup.minhash_dedup(docs, num_hashes=32, n_bands=8, threshold=0.9)
+    return kept.select("doc_id", "lang", F.length("text").alias("text_len"))
+
+
+# Brute-force oracle for the composed dedup: exact J >= 0.9 pairs (the
+# MINHASH_LSH_SQL core), undirected transitive closure (recursive CTE),
+# drop every doc that can reach a smaller id (== keep the component
+# minimum), then project the kept rows.
+MINHASH_DEDUP_SQL = """
+WITH RECURSIVE g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(s)-4,1)+1),
+                                      i -> s[i:i+4])) AS grams
+  FROM (SELECT doc_id,
+               lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS s
+        FROM documents)),
+sized AS (SELECT doc_id, grams, len(grams) AS sz FROM g),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sized a JOIN sized b
+    ON a.doc_id < b.doc_id
+   AND a.sz >= 0.9 * b.sz AND b.sz >= 0.9 * a.sz
+  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+        (a.sz + b.sz - len(list_intersect(a.grams, b.grams))) >= 0.9),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+dropped AS (SELECT DISTINCT src AS doc_id FROM reach WHERE dst < src)
+SELECT d.doc_id, d.lang, CAST(length(d.text) AS INT) AS text_len
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
 """
 
 
@@ -3779,9 +3842,22 @@ FROM kept GROUP BY lang ORDER BY lang
 # round-7 additions (q10/q18, C71 gumbel, C72 entropy, C73 clusters, C75
 # scrub, C76 balanced-select) stay in the sweep: each extends a family
 # that already holds an in-window representative.
+# Round-8 rotation (round-7 verdict item 4): every judge-green round-7
+# gate that never had a driver CORRECTNESS row moves in-window —
+# dsir_gumbel_docs, char_entropy_docs, semantic_clusters_vecs,
+# scrub_spans_docs, cluster_balanced_docs, curation_pipeline_v2_docs,
+# q10_returned_items, q18_large_volume_customer — plus the new composed
+# C79 minhash_dedup_docs. Demoted with family kept represented:
+# q1_pricing_summary (TPC-H: q10 + q18 in-window), text_doc_stats (text
+# stats: char_entropy + zipf in-window), ngram_jaccard_dups +
+# dedup_group_ids + minhash_lsh_dups (near-dup: minhash_dedup_docs runs
+# pairs -> components -> anti-join end-to-end), curation_pipeline_docs
+# (pipeline: v2 in-window), dsir_select_docs (DSIR: gumbel in-window),
+# vocab_coverage_docs (corpus stats: zipf in-window), knn_graph_edges
+# (semantic graph: semantic_clusters_vecs builds on the same kNN graph).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- 1-31: relational / text / similarity / jsonata representatives --
-    "q1_pricing_summary": q1_pricing_summary,
+    "q10_returned_items": q10_returned_items,
     "filter_project_events": filter_project_events,
     "json_props_extract": json_props_extract,
     "topk_per_group": topk_per_group,
@@ -3789,12 +3865,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_parts": range_join_parts,
     "asof_join_events_orders": asof_join_events_orders,
     "dedup_exact_docs": dedup_exact_docs,
-    "text_doc_stats": text_doc_stats,
+    "char_entropy_docs": char_entropy_docs,
     "bloom_semi_join_lineitem": bloom_semi_join_lineitem,
     "dup_span_removal_docs": dup_span_removal_docs,
     "ann_lsh_topk": ann_lsh_topk,
-    "ngram_jaccard_dups": ngram_jaccard_dups,
-    "dedup_group_ids": dedup_group_ids,
+    "minhash_dedup_docs": minhash_dedup_docs,
+    "semantic_clusters_vecs": semantic_clusters_vecs,
     "temperature_mix_docs": temperature_mix_docs,
     "pack_token_budget_docs": pack_token_budget_docs,
     "safe_transform_dlq": safe_transform_dlq,
@@ -3808,7 +3884,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- streaming / sketch / multimodal / curation gates --
     "sessionize_events": sessionize_events,
     "percentile_summary": percentile_summary,
-    "minhash_lsh_dups": minhash_lsh_dups,
+    "q18_large_volume_customer": q18_large_volume_customer,
     "gopher_quality_docs": gopher_quality_docs,
     "embedding_dup_pairs": embedding_dup_pairs_q,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -3817,22 +3893,31 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_quality": repetition_quality,
     "embedding_covariance_stats": embedding_covariance_stats,
     "unigram_logprob_docs": unigram_logprob_docs,
-    "curation_pipeline_docs": curation_pipeline_docs,
+    "scrub_spans_docs": scrub_spans_docs,
     "quantile_filter_docs": quantile_filter_docs,
     "clean_lines_docs": clean_lines_docs,
     "inverted_index_terms": inverted_index_terms,
     "boilerplate_removal_docs": boilerplate_removal_docs,
     "fuzzy_decontaminate_docs": fuzzy_decontaminate_docs,
     "semantic_dedup_pairs": semantic_dedup_pairs,
-    "dsir_select_docs": dsir_select_docs,
+    "dsir_gumbel_docs": dsir_gumbel_docs,
     "zipf_fit_docs": zipf_fit_docs,
-    "vocab_coverage_docs": vocab_coverage_docs,
+    "cluster_balanced_docs": cluster_balanced_docs,
     "curriculum_order_docs": curriculum_order_docs,
     "embedding_diversify_docs": embedding_diversify_docs,
     "unimax_mix_docs": unimax_mix_docs,
     "score_normalize_docs": score_normalize_docs,
-    "knn_graph_edges": knn_graph_edges,
+    "curation_pipeline_v2_docs": curation_pipeline_v2_docs,
     # -- past the gate window: oracle-registered siblings (builder sweep) --
+    "q1_pricing_summary": q1_pricing_summary,
+    "text_doc_stats": text_doc_stats,
+    "ngram_jaccard_dups": ngram_jaccard_dups,
+    "dedup_group_ids": dedup_group_ids,
+    "minhash_lsh_dups": minhash_lsh_dups,
+    "curation_pipeline_docs": curation_pipeline_docs,
+    "dsir_select_docs": dsir_select_docs,
+    "vocab_coverage_docs": vocab_coverage_docs,
+    "knn_graph_edges": knn_graph_edges,
     "q5_local_supplier": q5_local_supplier,
     "semi_join_customers": semi_join_customers,
     "udtf_explode_tokens": udtf_explode_tokens,
@@ -3887,17 +3972,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "dup_ngram_coverage_docs": dup_ngram_coverage_docs,
     "weighted_sample_docs": weighted_sample_docs,
-    # -- round-7 additions (C71-C74 + TPC-H q10/q18) --
-    "q10_returned_items": q10_returned_items,
-    "q18_large_volume_customer": q18_large_volume_customer,
-    "dsir_gumbel_docs": dsir_gumbel_docs,
-    "char_entropy_docs": char_entropy_docs,
-    "semantic_clusters_vecs": semantic_clusters_vecs,
-    "scrub_spans_docs": scrub_spans_docs,
-    "cluster_balanced_docs": cluster_balanced_docs,
     "jsonata_object_ops": jsonata_object_ops,
     "decontaminate_docs": decontaminate_docs,
-    "curation_pipeline_v2_docs": curation_pipeline_v2_docs,
     # -- rows-only (driver-side eigh / iterative / rng payloads) --
     "quality_classifier_train": quality_classifier_train,
     "bpe_encode_docs": bpe_encode_docs,
@@ -4029,4 +4105,5 @@ ORACLES: dict[str, str] = {
     "cluster_balanced_docs": CLUSTER_BALANCED_SQL,
     "funnel_events": FUNNEL_SQL,
     "curation_pipeline_v2_docs": CURATION_PIPELINE_V2_SQL,
+    "minhash_dedup_docs": MINHASH_DEDUP_SQL,
 }

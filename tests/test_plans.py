@@ -154,6 +154,41 @@ def test_vocab_joins_degrade_to_shuffle_join_above_cap(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_tpch_no_forced_broadcast_on_sf_proportional_sides(spark, sf_dir):
+    """Round-8 scale fix: the TPC-H gates must not carry broadcast HINTS
+    on sf-proportional sides (customer, supplier, q18's qualifying-order
+    aggregate — all grow linearly with the fact; a hardcoded hint
+    overrides AQE and turns into an executor OOM at the 100-TB point).
+    With the broadcast threshold disabled (stand-in for the dims
+    outgrowing memory) the ONLY surviving BroadcastHashJoins are the
+    deliberately-hinted constant-size dims (nation: 25 rows, region: 5
+    rows at every sf)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        expected_hinted = {
+            "q3_shipping_priority": 0,
+            "q10_returned_items": 1,  # nation
+            "q18_large_volume_customer": 0,
+            "q5_local_supplier": 2,  # nation + region
+        }
+        for name, n_hinted in expected_hinted.items():
+            plan = plan_of(Q.QUERIES[name](spark, sf_dir))
+            assert plan.count("BroadcastHashJoin") == n_hinted, (name, plan)
+            assert "CartesianProduct" not in plan, name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_tpch_recovers_broadcast_below_cap_at_runtime(spark, sf_dir):
+    """Dropping the static hints must not cost the small-dim fast path:
+    at gate scale AQE/stats still broadcast customer in q10."""
+    df = Q.QUERIES["q10_returned_items"](spark, sf_dir)
+    df.collect()
+    final = plan_of(df)  # AQE final plan after execution
+    assert final.count("BroadcastHashJoin") >= 2  # customer + nation
+
+
 def test_vocab_joins_broadcast_below_cap_at_runtime(spark, sf_dir):
     """Below the cap AQE must recover the broadcast from the vocab side's
     measured runtime size — the small-corpus fast path is not lost by

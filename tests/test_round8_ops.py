@@ -1,0 +1,131 @@
+"""Round-8 C79: composed document-level fuzzy dedup (minhash_dedup =
+MinHash -> banded LSH pairs -> exact-Jaccard verify -> connected
+components -> keep-min-id anti-join, one operator call). Oracle-gated in
+queries.py (MINHASH_DEDUP_SQL, tests/test_oracle_sweep.py); these tests
+pin composition semantics, keep-first policy, and stream parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_jsonata_spark.functions import dedup
+from kafka_connect_jsonata_spark.sources.readers import load_table
+
+
+def test_minhash_dedup_equals_manual_composition(spark, sf_dir):
+    """kept == corpus minus every doc whose component label is a smaller
+    id, recomputed from the operator's own published pieces."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = dedup.minhash_dedup(docs, num_hashes=32, n_bands=8, threshold=0.9)
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=32, n_bands=8, threshold=0.9)
+    groups = dedup.dup_groups_from_pairs(pairs)
+    losers = {
+        r["doc_id"]
+        for r in groups.filter(F.col("doc_id") != F.col("group_id")).collect()
+    }
+    all_ids = {r[0] for r in docs.select("doc_id").collect()}
+    got = {r[0] for r in kept.select("doc_id").collect()}
+    assert got == all_ids - losers
+    assert losers, "fixture corpus must contain near-dups for this test"
+    # full input schema passes through
+    assert kept.columns == docs.columns
+
+
+def test_minhash_dedup_keeps_min_id_per_component(spark):
+    """Three identical docs + one chained near-dup: exactly the minimum id
+    of each component survives; unrelated docs pass untouched."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest looking for tasty food"
+    )
+    rows = [
+        (7, base),
+        (3, base),
+        (9, base),
+        (12, "completely different text about spark distributed joins "
+             "and shuffle partitions in a large analytics cluster system"),
+        (15, "unrelated third document mentioning minhash banding and "
+             "jaccard similarity estimation at corpus scale pipelines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r[0]
+        for r in dedup.minhash_dedup(
+            df, num_hashes=32, n_bands=8, threshold=0.9
+        ).collect()
+    )
+    assert kept == [3, 12, 15]
+
+
+def test_minhash_dedup_no_dups_is_identity(spark):
+    rows = [
+        (1, "alpha bravo charlie delta echo foxtrot golf hotel india"),
+        (2, "totally different words about juliet kilo lima mike november"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = dedup.minhash_dedup(df, num_hashes=32, n_bands=8, threshold=0.9)
+    assert sorted(r[0] for r in kept.collect()) == [1, 2]
+
+
+def test_minhash_dedup_strategies_agree(spark, sf_dir):
+    """auto(driver) and forced-distributed components give identical kept
+    sets — the 100-TB path is the same operator, not a separate code."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = {
+        r[0]
+        for r in dedup.minhash_dedup(
+            docs, num_hashes=32, n_bands=8, threshold=0.9, strategy="driver"
+        )
+        .select("doc_id")
+        .collect()
+    }
+    b = {
+        r[0]
+        for r in dedup.minhash_dedup(
+            docs, num_hashes=32, n_bands=8, threshold=0.9, strategy="distributed"
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b
+
+
+def test_minhash_dedup_stream_foreachbatch_parity(spark, sf_dir, tmp_path):
+    """C79 on a documents readStream via foreachBatch (the sanctioned
+    shape for per-corpus dedup over micro-batches: each batch is deduped
+    as a self-contained corpus). Row-exact with the one-shot batch run
+    when the stream delivers the corpus as one micro-batch."""
+    d = tmp_path / "docs_stream_minhash_dedup"
+    d.mkdir()
+    (d / "documents.parquet").symlink_to(f"{sf_dir}/documents.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    batch_docs = load_table(spark, sf_dir, "documents")
+
+    got: list[tuple] = []
+
+    def sink(batch_df, _batch_id):
+        got.extend(
+            map(
+                tuple,
+                dedup.minhash_dedup(
+                    batch_df, num_hashes=32, n_bands=8, threshold=0.9
+                )
+                .select("doc_id", "lang")
+                .collect(),
+            )
+        )
+
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    q = stream.writeStream.foreachBatch(sink).start()
+    q.processAllAvailable()
+    q.stop()
+    exp = sorted(
+        map(
+            tuple,
+            dedup.minhash_dedup(batch_docs, num_hashes=32, n_bands=8, threshold=0.9)
+            .select("doc_id", "lang")
+            .collect(),
+        )
+    )
+    assert sorted(got) == exp and len(got) > 0
