@@ -542,9 +542,11 @@ def resample_gapfill(
 
     Scale shape: (1) the bucket aggregation is one keyed hash agg
     (map-side combined); (2) the dense bucket axis comes from a per-entity
-    min/max agg (one row per entity) exploded map-side with ``sequence()``
-    — the explode's output is the operator's contract (the resampled
-    grid), not a shuffle; (3) the gap join is an equi-join on (entity,
+    min/max agg (one row per entity) exploded map-side in two bounded
+    stages — coarse 16384-bucket segments, then ``sequence()`` within
+    each, so no single row ever materializes an entity's whole span (the
+    explode's output is the operator's contract, the resampled grid, not
+    a shuffle); (3) the gap join is an equi-join on (entity,
     bucket); (4) the forward fill is one ``last(ignorenulls)`` window
     keyed per entity — skew bounded by an entity's bucket span, never the
     corpus. No global window, no cross join.
@@ -586,8 +588,35 @@ def resample_gapfill(
     span = per_bucket.groupBy("__e").agg(
         F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
     )
-    grid = span.select(
-        "__e", F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("__b")
+    # Dense axis in TWO bounded explode stages (round-8 fix): one
+    # sequence(lo, hi) per entity puts the entity's WHOLE span in a single
+    # array — a decade-long entity at 1-minute buckets is a ~5M-element
+    # row (Spark caps sequence at 2^31 and the row at array-buffer
+    # memory). Explode coarse fixed-width segments first (span/16384
+    # elements — a 50-year 1-SECOND entity is ~96k segments), then
+    # sequence within each segment (<= 16384 elements per row). Both
+    # stages are map-side; no row ever holds more than max(span/16384,
+    # 16384) elements.
+    _CHUNK = 16384
+    segs = span.select(
+        "__e",
+        "__lo",
+        "__hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__lo") / _CHUNK).cast("long"),
+                F.floor(F.col("__hi") / _CHUNK).cast("long"),
+            )
+        ).alias("__seg"),
+    )
+    grid = segs.select(
+        "__e",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("__lo"), F.col("__seg") * _CHUNK),
+                F.least(F.col("__hi"), (F.col("__seg") + 1) * _CHUNK - 1),
+            )
+        ).alias("__b"),
     )
     joined = grid.join(per_bucket, ["__e", "__b"], "left")
     w = (

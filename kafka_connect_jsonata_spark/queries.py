@@ -3128,15 +3128,42 @@ WHERE list_reduce(list_transform(list_zip(x.embedding, y.embedding),
 """
 
 
+# Shared DSIR feature table (round-8, verdict item 7): dsir_select_docs
+# and dsir_gumbel_docs score the SAME corpus against the SAME target
+# slice — on a cluster the (id, target, bucket, count) pre-aggregation is
+# written once and both jobs read it. The gate-scale equivalent is one
+# persisted dsir_features() DataFrame memoized per (application, sf_dir):
+# the first DSIR gate pays the tokenize+hash scan, every later consumer
+# (the other gate AND the three consumers inside each weight computation)
+# reads the persisted bounded table. features= parity with the direct
+# path is pinned at classifier.py:268 and tests/test_round7_ops.py.
+_DSIR_SHARED_FEATURES: dict = {}
+
+
+def _dsir_features_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    feats = _DSIR_SHARED_FEATURES.get(key)
+    if feats is None:
+        docs = load_table(spark, sf_dir, "documents")
+        feats = classifier.dsir_features(
+            docs, F.col("source").isin("src0", "src1")
+        ).persist()
+        _DSIR_SHARED_FEATURES[key] = feats
+    return feats
+
+
 def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C63: DSIR data selection — top-20 raw documents by hashed-bigram
     importance weight against the src0/src1 target slice. Feature space is
     the constant 4096-bucket md5 hash (no vocabulary state); the oracle
     recomputes the identical buckets and the float-stable per-feature
-    log-ratio sum."""
+    log-ratio sum. Reads the shared persisted feature table (one corpus
+    scan serves both DSIR gates — the cluster pattern of materializing
+    dsir_features once)."""
     docs = load_table(spark, sf_dir, "documents")
     return classifier.dsir_select(
-        docs, F.col("source").isin("src0", "src1"), k=20
+        docs, F.col("source").isin("src0", "src1"), k=20,
+        features=_dsir_features_shared(spark, sf_dir),
     )
 
 
@@ -3419,7 +3446,8 @@ def dsir_gumbel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     DSIR stats AND the identical key arithmetic."""
     docs = load_table(spark, sf_dir, "documents")
     return classifier.dsir_gumbel_select(
-        docs, F.col("source").isin("src0", "src1"), k=25, temperature=2.0
+        docs, F.col("source").isin("src0", "src1"), k=25, temperature=2.0,
+        features=_dsir_features_shared(spark, sf_dir),
     )
 
 
@@ -3705,9 +3733,16 @@ def curation_pipeline_v2_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is materialized once behind a lineage barrier — without it the
     clean+entropy subtree re-executes per reference (round-7 second-review
     fix)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation_pipeline_v2(docs)
+
+
+def curation_pipeline_v2(docs: DataFrame) -> DataFrame:
+    """The pipeline body over an arbitrary documents frame — shared by the
+    batch gate above and the foreachBatch stream-parity test (round-8:
+    the same callable runs unchanged per micro-batch)."""
     from kafka_connect_jsonata_spark.functions.dedup import barrier
 
-    docs = load_table(spark, sf_dir, "documents")
     cleaned = text.clean_lines(
         docs, delimiter=" the ", min_words=4, badwords=("spark",)
     ).select("doc_id", F.col("cleaned").alias("text"))

@@ -140,6 +140,36 @@ def test_to_millis_zoneless_roundtrip_overlap(ny_session):
     assert got == [us // 1000 for us in OVERLAP_US]
 
 
+def test_resample_gapfill_long_span_chunked_grid(spark):
+    """Round-8 grid bound: a pathological long-lived entity (300k buckets,
+    crossing many 16384-bucket segment boundaries) resamples correctly —
+    the dense axis is built from bounded per-segment sequences, never one
+    span-length array. Pin exact row count, boundary buckets, and LOCF
+    values across a segment boundary."""
+    from kafka_connect_jsonata_spark.operators.relational import resample_gapfill
+
+    n_buckets = 300_000  # ~34 years hourly; spans ~19 segments
+    df = spark.sql(
+        "SELECT 'e' AS entity, TIMESTAMP_NTZ '1970-01-05 00:00:00' AS ts, 1.0 AS v "
+        f"UNION ALL SELECT 'e', timestampadd(HOUR, {n_buckets - 1}, "
+        "TIMESTAMP_NTZ '1970-01-05 00:00:00'), 9.0"
+    )
+    out = resample_gapfill(df, "ts", "entity", "v", interval_sec=3600)
+    assert out.count() == n_buckets
+    stats = out.agg(
+        F.min("bucket_start").alias("lo"),
+        F.max("bucket_start").alias("hi"),
+        F.count_distinct("bucket_start").alias("n"),
+        F.sum(F.col("filled").cast("long")).alias("n_filled"),
+        F.sum("value").alias("sv"),
+    ).collect()[0]
+    assert str(stats["lo"]) == "1970-01-05 00:00:00"
+    assert stats["n"] == n_buckets  # dense, no dup/missing buckets
+    assert stats["n_filled"] == n_buckets - 2
+    # LOCF: every gap bucket carries 1.0, the last bucket 9.0
+    assert stats["sv"] == pytest.approx((n_buckets - 1) * 1.0 + 9.0)
+
+
 def test_resample_gapfill_bucket_start_overlap(ny_session):
     """bucket_start NTZ rendering is pure epoch arithmetic: a bucket
     landing in the NY fall-back overlap keeps its true UTC wall clock."""

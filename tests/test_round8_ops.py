@@ -91,6 +91,26 @@ def test_minhash_dedup_strategies_agree(spark, sf_dir):
     assert a == b
 
 
+def test_dsir_shared_features_memoized_and_equivalent(spark, sf_dir):
+    """Round-8 verdict item 7: both DSIR gates read ONE persisted feature
+    table (the cluster materialize-once pattern); outputs are identical to
+    the direct no-features path."""
+    import kafka_connect_jsonata_spark.queries as Q
+
+    f1 = Q._dsir_features_shared(spark, sf_dir)
+    f2 = Q._dsir_features_shared(spark, sf_dir)
+    assert f1 is f2  # memoized: one tokenize+hash scan per (app, sf_dir)
+    assert f1.storageLevel.useMemory  # persisted
+    from kafka_connect_jsonata_spark.functions import classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    direct = classifier.dsir_select(
+        docs, F.col("source").isin("src0", "src1"), k=20
+    ).collect()
+    shared = Q.QUERIES["dsir_select_docs"](spark, sf_dir).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, shared))
+
+
 def test_minhash_dedup_stream_foreachbatch_parity(spark, sf_dir, tmp_path):
     """C79 on a documents readStream via foreachBatch (the sanctioned
     shape for per-corpus dedup over micro-batches: each batch is deduped

@@ -374,3 +374,30 @@ def test_scrub_spans_stream_foreachbatch_parity(spark, sf_dir, tmp_path):
         map(tuple, scrub_contaminated_spans(batch_docs, eval_set, ngram=5).collect())
     )
     assert sorted(got) == exp and len(got) > 0
+
+
+def test_curation_pipeline_v2_stream_foreachbatch_parity(spark, sf_dir, tmp_path):
+    """Round-8 (verdict item 8): the COMPOSED round-6/7 pipeline (clean ->
+    entropy gate -> span scrub -> length floor -> per-lang rollup) over a
+    documents readStream via foreachBatch — the same callable the batch
+    gate runs, applied per micro-batch, row-exact with the one-shot run
+    when the stream delivers the corpus as one micro-batch."""
+    from kafka_connect_jsonata_spark.queries import curation_pipeline_v2
+
+    d = tmp_path / "docs_stream_pipeline_v2"
+    d.mkdir()
+    (d / "documents.parquet").symlink_to(f"{sf_dir}/documents.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    batch_docs = load_table(spark, sf_dir, "documents")
+
+    got: list[tuple] = []
+
+    def sink(batch_df, _batch_id):
+        got.extend(map(tuple, curation_pipeline_v2(batch_df).collect()))
+
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    q = stream.writeStream.foreachBatch(sink).start()
+    q.processAllAvailable()
+    q.stop()
+    exp = sorted(map(tuple, curation_pipeline_v2(batch_docs).collect()))
+    assert sorted(got) == exp and len(got) > 0

@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 NOTES = {
     "ngram_jaccard_dups": "EXACT all-pairs set-similarity join (PPJoin); DuckDB brute force times out",
     "minhash_lsh_dups": "sketch dedup, oracle = brute-force J>=0.9 slice; the approximate 100 TB path",
+    "minhash_dedup_docs": "C79 composed fuzzy dedup (LSH pairs -> components -> keep-min); oracle = brute-force closure",
     "simhash_docs": "sketch, rows-only",
     "ann_lsh_topk": "LSH ANN at recall-1.0 gate params; oracle = brute-force top-k",
     "ann_ivf_topk": "IVF ANN at recall-1.0 gate params; oracle = brute-force top-k",
@@ -35,16 +36,65 @@ NOTES = {
 }
 
 
+def render_table(spark_q: dict, duck_q: dict) -> list[str]:
+    lines = ["| query | PySpark | DuckDB | ratio | note |", "|---|---|---|---|---|"]
+    for name, s in spark_q.items():
+        if name == "ngram_jaccard_dups":
+            d, ratio = ">420 (timed out)", "<0.02×"
+        elif name in duck_q:
+            d = f"{duck_q[name]:.2f}"
+            ratio = f"{s / duck_q[name]:.1f}×" if duck_q[name] > 0 else "—"
+        else:
+            d, ratio = "—", "—"
+        lines.append(f"| {name} | {s:.2f} | {d} | {ratio} | {NOTES.get(name, '')} |")
+    return lines
+
+
+def patch_baseline_md(repo: str, table: list[str], spark_q: dict) -> None:
+    """Replace BASELINE.md's per-query table in place and ASSERT the
+    BENCH<->BASELINE join has no dangling keys afterward (round-7 verdict:
+    five round-6 queries were measured in BENCH.json but never pasted into
+    the hand-maintained table, leaving the 2x contract unevaluable)."""
+    path = os.path.join(repo, "BASELINE.md")
+    with open(path) as f:
+        text = f.read()
+    header = "| query | PySpark | DuckDB | ratio | note |"
+    start = text.index(header)
+    # the table ends at the first non-table line after the header
+    end = start
+    for line in text[start:].splitlines(keepends=True):
+        if line.startswith("|") or line.strip() == "":
+            end += len(line)
+            if line.strip() == "" and end > start + len(header):
+                break
+        else:
+            break
+    text = text[:start] + "\n".join(table) + "\n\n" + text[end:]
+    with open(path, "w") as f:
+        f.write(text)
+    # dangling-key assert: every benched query has a BASELINE row
+    with open(path) as f:
+        rows = {
+            line.split("|")[1].strip()
+            for line in f
+            if line.startswith("| ") and not line.startswith("| query")
+            and not line.startswith("| metric")
+        }
+    missing = sorted(set(spark_q) - rows)
+    assert not missing, f"BENCH queries missing a BASELINE.md row: {missing}"
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
-    subprocess.run(
-        [sys.executable, "bench.py"], capture_output=True, text=True, env=env
-    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if os.environ.get("BASELINE_SKIP_BENCH") != "1":
+        subprocess.run(
+            [sys.executable, "bench.py"], capture_output=True, text=True, env=env
+        )
     # read the durable artifact, NOT stdout: bench.py's final stdout line is
     # truncated to the driver's 2000-byte tail window when the full dict no
     # longer fits (round-7 change) — BENCH.json always holds every query
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(repo, "BENCH.json")) as f:
         spark_q = json.load(f)["queries"]
     env["DUCKDB_BENCH_SKIP"] = "ngram_jaccard_dups"
@@ -54,20 +104,13 @@ def main() -> None:
     ).stdout.strip().splitlines()[-1]
     duck_q = json.loads(duck_out)["queries"]
 
-    print("| query | PySpark | DuckDB | ratio | note |")
-    print("|---|---|---|---|---|")
-    for name, s in spark_q.items():
-        if name == "ngram_jaccard_dups":
-            d, ratio = ">420 (timed out)", "<0.02×"
-        elif name in duck_q:
-            d = f"{duck_q[name]:.2f}"
-            ratio = f"{s / duck_q[name]:.1f}×" if duck_q[name] > 0 else "—"
-        else:
-            d, ratio = "—", "—"
-        print(f"| {name} | {s:.2f} | {d} | {ratio} | {NOTES.get(name, '')} |")
+    table = render_table(spark_q, duck_q)
+    print("\n".join(table))
     total = sum(spark_q.values())
     print(f"\nSpark total: {total:.1f} s over {len(spark_q)} queries; "
           f"DuckDB total (oracle-expressible, excl. timeout): {sum(duck_q.values()):.1f} s")
+    patch_baseline_md(repo, table, spark_q)
+    print("BASELINE.md per-query table rewritten; no dangling BENCH keys.")
 
 
 if __name__ == "__main__":
