@@ -27,13 +27,22 @@ scalar-typed values (-> MapType), $match with literal anchor/lookaround-
 free patterns (index reconstructed by a locate() fold), and the
 zero-padded digit pictures of $formatInteger/$parseInteger.
 
-Deliberately NOT compiled (fall back to tier 2): implicit array mapping with
-singleton unwrap, ``**``/``%``, multi-pair or sequence-valued group-by
-(runtime D1009 / dynamic singleton unwrap), row-sequence
-order-by, recursion, ``$eval``, schema-as-data rewrites, words/roman/
-ordinal integer pictures, $match with anchors/lookaround/zero-length or
-group-under-alternation patterns, $replace with a limit argument or
-out-of-range group references.
+Additionally (round 8), any provably-CONSTANT subtree — no context/root
+reads, no data-bound variables, no impure builtins — is evaluated once at
+compile time through the tier-2 interpreter and emitted as a typed literal
+Column (the JSONata-level analogue of Catalyst's ConstantFolding; see
+``_const_subtree``/``_fold_lit``). This covers constant word/roman/ordinal
+integer pictures, exponent-notation number pictures, constant recursion
+($fib-style blocks), and wildcard/descendant steps over literal objects, at
+tier-2 exactness.
+
+Deliberately NOT compiled (fall back to tier 2) when DATA-dependent:
+implicit array mapping with singleton unwrap, ``**``/``%``, multi-pair or
+sequence-valued group-by (runtime D1009 / dynamic singleton unwrap),
+row-sequence order-by, recursion, ``$eval``, schema-as-data rewrites,
+words/roman/ordinal integer pictures, $match with anchors/lookaround/
+zero-length or group-under-alternation patterns, $replace with a limit
+argument or out-of-range group references.
 """
 
 from __future__ import annotations
@@ -227,9 +236,32 @@ class Compiler:
         root = Typed(F.struct(*[F.col(f.name) for f in self.schema.fields]), self.schema)
         return self._c(ast, root, {})
 
+    def _fold(self, node):
+        """Evaluate a provably-constant subtree once through the tier-2
+        interpreter (bounded 1 s guard — a pathological constant like a
+        deep $fib falls through to the normal compile path / tier 2) and
+        lift the value to a typed literal. None = could not fold; the
+        caller continues with the structural compile."""
+        from kafka_connect_jsonata_spark.jsonata.interpreter import (
+            UNDEFINED,
+            Jsonata,
+        )
+
+        try:
+            v = Jsonata(node, timeout_ms=1000).evaluate({})
+        except Exception:
+            return None
+        if v is UNDEFINED:
+            return None
+        return _fold_lit(v)
+
     # ------------------------------------------------------------------ core
     def _c(self, node, ctx: Typed, env: dict) -> Typed:
         t = node["type"]
+        if t in _FOLDABLE and _const_subtree(node, env, frozenset(), False):
+            folded = self._fold(node)
+            if folded is not None:
+                return folded
         if t == "number":
             v = node["value"]
             return Typed(F.lit(v), T.LongType() if isinstance(v, int) else T.DoubleType())
@@ -1463,10 +1495,47 @@ class Compiler:
         )
 
     def _fn_replace(self, a, ctx, env, raw):
-        if len(a) > 3:
-            raise NotCompilable("$replace with limit")
         s = a[0].col
         pat = raw[1]
+        if len(a) > 3:
+            # limit form (round 8): replace at most N occurrences =
+            # split(s, pat, N+1) — Java split applies the pattern at most
+            # N times and leaves the remainder in the last element — then
+            # re-join with the replacement. Literal non-negative limits
+            # only; the replacement must carry no $N group refs (groups
+            # don't survive a split); zero-length-matchable patterns keep
+            # tier 2's D1004 error path.
+            if raw[3].get("type") != "number" or int(raw[3]["value"]) < 0:
+                raise NotCompilable("$replace with dynamic/negative limit")
+            limit = int(raw[3]["value"])
+            if pat["type"] == "string":
+                if pat["value"] == "":
+                    raise NotCompilable(
+                        "$replace with empty pattern (tier-2 error path)"
+                    )
+                java_pat = "\\Q" + pat["value"].replace("\\E", "\\E\\\\E\\Q") + "\\E"
+            elif pat["type"] == "regex":
+                java_pat = self._regex_java(pat["value"])
+                try:
+                    if re.compile(java_pat).match(""):
+                        raise NotCompilable(
+                            "$replace zero-length-matchable pattern (D1004)"
+                        )
+                except re.error:
+                    raise NotCompilable("$replace regex not Python-validatable")
+            else:
+                raise NotCompilable("$replace with dynamic pattern")
+            repl = raw[2]
+            if repl["type"] != "string":
+                raise NotCompilable("$replace limit with dynamic replacement")
+            rv = repl["value"].replace("$$", "\x00")
+            if re.search(r"\$\d", rv):
+                raise NotCompilable("$replace limit with group refs (tier 2)")
+            rv = rv.replace("\x00", "$")
+            return Typed(
+                F.array_join(F.split(s, java_pat, limit + 1), rv),
+                T.StringType(),
+            )
         if pat["type"] == "string":
             if pat["value"] == "":
                 raise NotCompilable("$replace with empty pattern (tier-2 error path)")
@@ -1890,6 +1959,197 @@ def compile_expression(source: str, schema: T.StructType) -> Typed:
     """Compile a JSONata expression against a DataFrame schema; raises
     NotCompilable when outside the tier-1 subset."""
     return Compiler(schema).compile(source)
+
+
+# --------------------------------------------------------------------------
+# compile-time constant folding (round 8)
+#
+# The JSONata-level analogue of Catalyst's ConstantFolding rule: a subtree
+# that provably reads no input (no context/root/parent references outside a
+# constant-rooted path, no data-bound variables, no impure builtins) is
+# evaluated ONCE at compile time through the tier-2 spec interpreter and
+# emitted as a typed literal Column. This folds the long tail of
+# constant-argument library calls the Column subset doesn't model —
+# $formatInteger words/roman/ordinals, exponent-notation $formatNumber
+# pictures, $parseInteger words, constant lambda pipelines ($fib et al.),
+# wildcards/descendants over literal objects — at tier-2 exactness and zero
+# runtime cost. Impure builtins ($random/$now/$millis/$shuffle, plus $eval
+# whose string may reference the input) never fold.
+
+_FOLD_IMPURE = frozenset({"random", "now", "millis", "shuffle", "eval"})
+
+# node types worth attempting to fold (leaves and function-valued nodes are
+# excluded: leaves are already literal, lambdas/binds have no Column value)
+_FOLDABLE = frozenset(
+    {
+        "path_op",
+        "filter",
+        "object",
+        "array",
+        "block",
+        "binary",
+        "unary",
+        "condition",
+        "call",
+        "apply",
+        "sort",
+        "group",
+        "range",
+        "keep_array",
+        "context_bind",
+        "index_bind",
+    }
+)
+
+
+def _const_subtree(node, env, bound, item_rel) -> bool:
+    """True if ``node`` provably reads no input. ``item_rel`` is set when
+    walking path steps / predicates whose items derive from an
+    already-constant source (names and ``$``/``%`` there are item-relative,
+    not input reads). ``bound`` holds locally-bound variable names; a
+    variable in the compile ``env`` (data-dependent binding) blocks
+    folding, any other free name resolves to a builtin (or raises) inside
+    the interpreter."""
+    t = node["type"]
+    if t in ("number", "string", "value", "regex", "placeholder"):
+        return True
+    if t in ("name", "wildcard", "descendant", "parent"):
+        return item_rel
+    if t == "variable":
+        v = node["value"]
+        if v == "$":  # $$ — the input root
+            return False
+        if v == "":  # $ — the current context
+            return item_rel
+        if v in bound:
+            return True
+        if v in _FOLD_IMPURE or v in env:
+            return False
+        return True
+    if t == "path_op":
+        return _const_subtree(node["lhs"], env, bound, item_rel) and _const_subtree(
+            node["rhs"], env, bound, True
+        )
+    if t == "filter":
+        return _const_subtree(node["expr"], env, bound, item_rel) and _const_subtree(
+            node["predicate"], env, bound, True
+        )
+    if t == "group":
+        return _const_subtree(node["expr"], env, bound, item_rel) and all(
+            _const_subtree(k, env, bound, True) and _const_subtree(v, env, bound, True)
+            for k, v in node["pairs"]
+        )
+    if t == "sort":
+        return _const_subtree(node["expr"], env, bound, item_rel) and all(
+            _const_subtree(s["expression"], env, bound, True) for s in node["terms"]
+        )
+    if t in ("context_bind", "index_bind", "keep_array"):
+        return _const_subtree(node["expr"], env, bound, item_rel)
+    if t == "object":
+        return all(
+            _const_subtree(k, env, bound, item_rel)
+            and _const_subtree(v, env, bound, item_rel)
+            for k, v in node["pairs"]
+        )
+    if t == "array":
+        return all(
+            _const_subtree(e, env, bound, item_rel) for e in node["expressions"]
+        )
+    if t == "block":
+        b = set(bound)
+        for e in node["expressions"]:
+            if e["type"] == "bind":
+                if not _const_subtree(e["rhs"], env, b, item_rel):
+                    return False
+                b.add(e["var"])
+            elif not _const_subtree(e, env, b, item_rel):
+                return False
+        return True
+    if t == "bind":
+        return _const_subtree(node["rhs"], env, bound, item_rel)
+    if t in ("binary", "range", "apply"):
+        return _const_subtree(node["lhs"], env, bound, item_rel) and _const_subtree(
+            node["rhs"], env, bound, item_rel
+        )
+    if t == "unary":
+        return _const_subtree(node["expression"], env, bound, item_rel)
+    if t == "condition":
+        els = node.get("else")
+        return (
+            _const_subtree(node["condition"], env, bound, item_rel)
+            and _const_subtree(node["then"], env, bound, item_rel)
+            and (els is None or _const_subtree(els, env, bound, item_rel))
+        )
+    if t in ("call", "partial"):
+        return _const_subtree(node["procedure"], env, bound, item_rel) and all(
+            _const_subtree(a, env, bound, item_rel) for a in node["arguments"]
+        )
+    if t == "lambda":
+        return _const_subtree(
+            node["body"], env, bound | set(node["args"]), item_rel
+        )
+    if t == "transform":
+        dele = node.get("delete")
+        return (
+            _const_subtree(node["pattern"], env, bound, True)
+            and _const_subtree(node["update"], env, bound, True)
+            and (dele is None or _const_subtree(dele, env, bound, True))
+        )
+    return False
+
+
+def _fold_lit(v):
+    """Typed literal for an interpreter-computed JSON value, or None when
+    the value has no single stable Spark rendering (heterogeneous arrays,
+    empty objects, function values, non-finite floats, >64-bit ints)."""
+    if isinstance(v, bool):
+        return Typed(F.lit(v), T.BooleanType())
+    if isinstance(v, int):
+        if -(2**63) <= v < 2**63:
+            return Typed(F.lit(v), T.LongType())
+        return None
+    if isinstance(v, float):
+        if v != v or v in (float("inf"), float("-inf")):
+            return None
+        return Typed(F.lit(v), T.DoubleType())
+    if isinstance(v, str):
+        return Typed(F.lit(v), T.StringType())
+    if v is None:
+        return Typed(F.lit(None), T.NullType())
+    if isinstance(v, list):
+        if not v:
+            return Typed(
+                F.array().cast(T.ArrayType(T.StringType())),
+                T.ArrayType(T.StringType()),
+            )
+        elems = [_fold_lit(e) for e in v]
+        if any(e is None for e in elems):
+            return None
+        dts = {e.dtype.simpleString() for e in elems}
+        if dts == {"bigint", "double"}:
+            elems = [Typed(e.col.cast("double"), T.DoubleType()) for e in elems]
+            dts = {"double"}
+        if "void" in dts and len(dts) == 2:  # null elements take the type
+            other = next(e.dtype for e in elems if e.dtype.simpleString() != "void")
+            elems = [Typed(e.col.cast(other), other) for e in elems]
+            dts = {other.simpleString()}
+        if len(dts) != 1:
+            return None
+        return Typed(
+            F.array(*[e.col for e in elems]), T.ArrayType(elems[0].dtype)
+        )
+    if isinstance(v, dict):
+        if not v:
+            return None
+        cols, fields = [], []
+        for k, val in v.items():
+            tv = _fold_lit(val)
+            if tv is None:
+                return None
+            cols.append(tv.col.alias(k))
+            fields.append(T.StructField(k, tv.dtype))
+        return Typed(F.struct(*cols), T.StructType(fields))
+    return None
 
 
 def _mentions_var(node, name: str) -> bool:

@@ -373,12 +373,17 @@ def fn_replace(ev, s=UNDEFINED, pat=UNDEFINED, repl=UNDEFINED, limit=UNDEFINED):
         raise JsonataError("D3010", "second argument of $replace must not be empty")
     if is_number(limit) and limit < 0:
         raise JsonataError("D3011", "limit of $replace must be non-negative")
-    count = int(limit) if is_number(limit) else 0
+    # limit 0 means ZERO replacements (jsonata-js iterates while
+    # count < limit) — distinct from an absent limit (replace all); the
+    # previous `count if count else -1` conflated them (round-8 fix)
+    count = int(limit) if is_number(limit) else None
     rx = _as_regex(pat)
     if rx is None:
         if not isinstance(repl, str):
             raise JsonataError("T0410", "replacement must be a string for string pattern")
-        return s.replace(pat, repl, count if count else -1)
+        return s.replace(pat, repl, -1 if count is None else count)
+    if count == 0:
+        return s
     if callable(repl) or hasattr(repl, "jsonata_callable"):
         def py_repl(m):
             res = ev.invoke(repl, [{
@@ -389,7 +394,7 @@ def fn_replace(ev, s=UNDEFINED, pat=UNDEFINED, repl=UNDEFINED, limit=UNDEFINED):
             if not isinstance(res, str):
                 raise JsonataError("D3012", "replacement function must return a string")
             return res
-        return rx.sub(py_repl, s, count=count)
+        return rx.sub(py_repl, s, count=count or 0)
     # $N group references -> \N ; $$ -> $
     def conv(mtext: str) -> str:
         out, i = [], 0
@@ -417,7 +422,7 @@ def fn_replace(ev, s=UNDEFINED, pat=UNDEFINED, repl=UNDEFINED, limit=UNDEFINED):
         return "".join(out)
 
     try:
-        return rx.sub(conv(repl), s, count=count)
+        return rx.sub(conv(repl), s, count=count or 0)
     except re.error as e:
         # out-of-range $N group reference (round-6 fix: surface as a
         # JSONata evaluation error, not a raw Python re.error)

@@ -87,6 +87,85 @@ def test_format_number_zero_pad_single_rounding(spark, pic):
     assert got == want
 
 
+# ------------------------------------------ 2b. constant folding (round 8)
+
+
+def _plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "expr,want",
+    [
+        ("$formatInteger(19, 'w')", "nineteen"),
+        ("$formatInteger(99, 'i')", "xcix"),
+        ("$formatInteger(12, '1;o')", "12th"),
+        ("$parseInteger('nineteen', 'w')", 19),
+        ("$formatNumber(0.00123, '0.0e0')", "1.2e-3"),
+        ("($f := function($n){ $n <= 1 ? $n : $f($n-1) + $f($n-2) }; $f(10))", 55),
+        ("{'a': 1, 'b': 2}.*", [1, 2]),
+        ("[1..4].{'sq': $ * $}.sq", [1, 4, 9, 16]),
+        ("$sum([1..100])", 5050),
+    ],
+)
+def test_constant_folding_compiles_to_literal(spark, expr, want):
+    """Round-8 JSONata-level ConstantFolding: provably-constant subtrees
+    (constant picture formats, constant recursion, wildcards over literal
+    objects) compile to typed literal Columns at tier-2 exactness."""
+    from kafka_connect_jsonata_spark.transform import transform
+
+    df = spark.createDataFrame([(1,)], "id long")
+    out = transform(df, expr, force_tier="compiled")
+    got = [r[0] for r in out.collect()]
+    assert got == [want]
+    # the plan carries the folded literal — no runtime evaluation at all
+    assert "Project" in _plan_of(out)
+
+
+def test_constant_folding_skips_impure_and_data_bound(spark):
+    """$random never folds (fresh per row); a constant-LOOKING variable
+    bound to a data column never folds."""
+    from kafka_connect_jsonata_spark.transform import transform
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "id long")
+    r = transform(df, "$random()", force_tier="compiled")
+    vals = {row[0] for row in r.collect()}
+    assert len(vals) > 1  # folded would collapse to one constant
+    out = transform(df, "($x := id; $x + 1)", force_tier="compiled")
+    assert sorted(row[0] for row in out.collect()) == list(range(1, 51))
+
+
+# ---------------------------------------- 2c. $replace limit (round 8)
+
+
+def test_replace_with_limit_both_tiers(spark):
+    """Data-dependent $replace with a literal limit compiles natively
+    (split at most limit times + re-join); limit 0 replaces NOTHING in
+    both tiers (jsonata-js iterates while count < limit — the tier-2
+    `count or -1` conflation with absent-limit is fixed this round)."""
+    from kafka_connect_jsonata_spark.transform import transform
+
+    rows = [("John Smith and John Jones",), ("no match here",), ("aXbXcXd",)]
+    df = spark.createDataFrame(rows, "s string")
+    cases = [
+        "$replace(s, 'John', 'Mr', 1)",
+        "$replace(s, 'John', 'Mr', 0)",
+        "$replace(s, 'X', '-', 2)",
+        "$replace(s, /[A-Z]/, '_', 2)",
+        "$replace(s, 'o.n', '!', 2)",  # literal dot must not act as regex
+    ]
+    for e in cases:
+        c = transform(df, e, force_tier="compiled")
+        got = [r[0] for r in c.collect()]
+        want = [Jsonata(e).evaluate({"s": v[0]}) for v in rows]
+        assert got == want, e
+    assert (
+        Jsonata("$replace('abc', /b/, function($m){ $uppercase($m.match) }, 0)")
+        .evaluate({})
+        == "abc"
+    )
+
+
 # --------------------------------------------- 3. DST fall-back overlap
 
 # 2024-11-03 05:30:00Z and 06:30:00Z both render 01:30 under
