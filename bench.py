@@ -131,6 +131,11 @@ HEADLINE = [
     "curation_pipeline_v2_docs",
     # round 8 additions
     "minhash_dedup_docs",
+    "q4_order_priority",
+    "q12_shipping_priority_class",
+    "q14_promo_effect",
+    "q19_discounted_revenue",
+    "q22_global_sales_opportunity",
 ]
 
 

@@ -232,6 +232,200 @@ LIMIT 100
 """
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join — orders in a quarter having at
+    least one lineitem shipped >90 days after the order date (the driver
+    schema carries no commit/receipt dates; the late-shipment predicate
+    keeps Q4's correlated-EXISTS structure), counted by priority. The
+    semi-join never duplicates orders regardless of lineitem fanout."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    late = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q12_shipping_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact join + dual conditional aggregation — per
+    return flag (the schema's stand-in for ship mode), how many lines
+    belong to high- vs low-priority orders in one shipping year. The CASE
+    sums fold into ONE pass over the joined rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = li.filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).join(orders, li.l_orderkey == orders.o_orderkey)
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: single-month fact slice joined to part, promo
+    revenue share as a ratio of two conditional decimal sums — one scan,
+    one join, one row out."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    j = li.filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    ).join(part, li.l_partkey == part.p_partkey)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return j.agg(
+        (
+            F.lit(100.0) * F.sum(promo).cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_revenue")
+    )
+
+
+Q14_SQL = """
+SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate < TIMESTAMP '1997-10-01'
+"""
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    predicates across the join — the optimizer pushes the common part
+    (the join key) and evaluates the OR per joined row; revenue over the
+    union of three disjoint slices."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    c1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity") >= 1)
+        & (F.col("l_quantity") <= 11)
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#13")
+        & (F.col("p_size").between(1, 25))
+        & (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 20)
+    )
+    c3 = (
+        (F.col("p_brand") == "Brand#20")
+        & (F.col("p_size").between(1, 35))
+        & (F.col("l_quantity") >= 20)
+        & (F.col("l_quantity") <= 30)
+    )
+    return j.filter(c1 | c2 | c3).agg(
+        F.sum(rev).cast("double").alias("revenue")
+    )
+
+
+Q19_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold (avg positive balance,
+    one broadcast row) + anti-join against recent orders (every synthetic
+    customer has SOME order, so "lapsed since 2000" keeps Q22's NOT
+    EXISTS structure non-vacuous), rolled up by nation (the schema's
+    stand-in for the phone country code). The anti-join is key-local; the
+    scalar rides a 1-row broadcast crossJoin."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg(_dec("c_acctbal")).cast("double").alias("__avg")
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal").cast("double") > F.col("__avg"))
+    )
+    recent = orders.filter(F.col("o_orderdate") >= "2000-01-01")
+    no_orders = rich.join(
+        recent, rich.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return (
+        no_orders.groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+Q22_SQL = """
+WITH avg_bal AS (
+  SELECT CAST(avg(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS a
+  FROM customer WHERE c_acctbal > 0)
+SELECT c_nationkey AS cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, avg_bal
+WHERE CAST(c_acctbal AS DOUBLE) > a
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+ORDER BY cntrycode
+"""
+
+
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join with two broadcast dims, agg by nation."""
     region = load_table(spark, sf_dir, "region")
@@ -3954,6 +4148,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_coverage_docs": vocab_coverage_docs,
     "knn_graph_edges": knn_graph_edges,
     "q5_local_supplier": q5_local_supplier,
+    # round-8 TPC-H breadth (sweep; relational family in-window via q10/q18)
+    "q4_order_priority": q4_order_priority,
+    "q12_shipping_priority_class": q12_shipping_priority_class,
+    "q14_promo_effect": q14_promo_effect,
+    "q19_discounted_revenue": q19_discounted_revenue,
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "semi_join_customers": semi_join_customers,
     "udtf_explode_tokens": udtf_explode_tokens,
     "temperature_token_mix_docs": temperature_token_mix_docs,
@@ -4141,4 +4341,9 @@ ORACLES: dict[str, str] = {
     "funnel_events": FUNNEL_SQL,
     "curation_pipeline_v2_docs": CURATION_PIPELINE_V2_SQL,
     "minhash_dedup_docs": MINHASH_DEDUP_SQL,
+    "q4_order_priority": Q4_SQL,
+    "q12_shipping_priority_class": Q12_SQL,
+    "q14_promo_effect": Q14_SQL,
+    "q19_discounted_revenue": Q19_SQL,
+    "q22_global_sales_opportunity": Q22_SQL,
 }
