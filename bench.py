@@ -131,6 +131,7 @@ HEADLINE = [
     "curation_pipeline_v2_docs",
     # round 8 additions
     "minhash_dedup_docs",
+    "minhash_dedup_best_docs",
     "q4_order_priority",
     "q12_shipping_priority_class",
     "q14_promo_effect",

@@ -809,6 +809,8 @@ def minhash_dedup(
     seed: int = 0x5EED,
     strategy: str = "auto",
     collect_cap: int = 2_000_000,
+    keep: str = "first",
+    score_col: str | None = None,
 ) -> DataFrame:
     """C79: document-level fuzzy dedup, composed end-to-end — THE most-run
     job on a production curation cluster (the Lee et al. 2021 / RefinedWeb
@@ -823,6 +825,13 @@ def minhash_dedup(
     components, probed at ``collect_cap`` edges), and one id-keyed
     LEFT ANTI join against the loser set.
 
+    ``keep`` picks the survivor per duplicate component: ``"first"`` keeps
+    the minimum id (deterministic, content-independent); ``"best"`` keeps
+    the row maximizing ``score_col`` (ties broken on minimum id) — the
+    FineWeb-style "keep the highest-quality copy" policy, with the rank
+    window running over the GROUPED docs only (output-sized, bounded by
+    dup-component population, never the corpus).
+
     Scale shape at 100 TB: the corpus is scanned once for signatures
     (Arrow-batched numpy), the LSH shuffle moves (id, band, bucket) rows
     only, the pair graph is output-sized (dup pairs, not the corpus), the
@@ -831,6 +840,10 @@ def minhash_dedup(
     corpus — AQE broadcasts it when small, shuffles on the id key when
     not. No stage is quadratic in the corpus.
     """
+    if keep not in ("first", "best"):
+        raise ValueError(f"keep must be 'first' or 'best', got {keep!r}")
+    if keep == "best" and not score_col:
+        raise ValueError("keep='best' requires score_col")
     pairs = minhash_lsh_pairs(
         df,
         id_col=id_col,
@@ -844,8 +857,24 @@ def minhash_dedup(
     groups = dup_groups_from_pairs(
         pairs, strategy=strategy, collect_cap=collect_cap
     )
-    losers = groups.filter(F.col("doc_id") != F.col("group_id")).select(
-        F.col("doc_id").alias(id_col)
+    if keep == "first":
+        losers = groups.filter(F.col("doc_id") != F.col("group_id")).select(
+            F.col("doc_id").alias(id_col)
+        )
+        return df.join(losers, id_col, "left_anti")
+    from pyspark.sql import Window
+
+    scored = groups.join(
+        df.select(F.col(id_col).alias("doc_id"), F.col(score_col).alias("__s")),
+        "doc_id",
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("__s").desc(), F.col("doc_id").asc()
+    )
+    losers = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") > 1)
+        .select(F.col("doc_id").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")
 

@@ -1929,6 +1929,61 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
 """
 
 
+def minhash_dedup_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C79 keep='best': same composed dedup, but each duplicate component
+    keeps its highest-quality copy (score = text length here; any quality
+    signal plugs in) with min-id tie-break — the FineWeb-style survivor
+    policy. The rank window runs over grouped docs only (output-sized)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__q", F.length("text")
+    )
+    kept = dedup.minhash_dedup(
+        docs, num_hashes=32, n_bands=8, threshold=0.9,
+        keep="best", score_col="__q",
+    )
+    return kept.select("doc_id", "lang", F.col("__q").alias("text_len"))
+
+
+MINHASH_DEDUP_BEST_SQL = """
+WITH RECURSIVE g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(s)-4,1)+1),
+                                      i -> s[i:i+4])) AS grams
+  FROM (SELECT doc_id,
+               lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS s
+        FROM documents)),
+sized AS (SELECT doc_id, grams, len(grams) AS sz FROM g),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sized a JOIN sized b
+    ON a.doc_id < b.doc_id
+   AND a.sz >= 0.9 * b.sz AND b.sz >= 0.9 * a.sz
+  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+        (a.sz + b.sz - len(list_intersect(a.grams, b.grams))) >= 0.9),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+labels AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS group_id
+  FROM reach GROUP BY src),
+losers AS (
+  SELECT doc_id FROM (
+    SELECT l.doc_id,
+           row_number() OVER (PARTITION BY l.group_id
+                              ORDER BY length(d.text) DESC, l.doc_id ASC) AS r
+    FROM labels l JOIN documents d USING (doc_id))
+  WHERE r > 1)
+SELECT d.doc_id, d.lang, CAST(length(d.text) AS INT) AS text_len
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash per document (pure Column bit math, no UDF). The gate runs
     the md5-parity portable variant so the DuckDB oracle can rebuild every
@@ -4154,6 +4209,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q14_promo_effect": q14_promo_effect,
     "q19_discounted_revenue": q19_discounted_revenue,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
+    "minhash_dedup_best_docs": minhash_dedup_best_docs,
     "semi_join_customers": semi_join_customers,
     "udtf_explode_tokens": udtf_explode_tokens,
     "temperature_token_mix_docs": temperature_token_mix_docs,
@@ -4346,4 +4402,5 @@ ORACLES: dict[str, str] = {
     "q14_promo_effect": Q14_SQL,
     "q19_discounted_revenue": Q19_SQL,
     "q22_global_sales_opportunity": Q22_SQL,
+    "minhash_dedup_best_docs": MINHASH_DEDUP_BEST_SQL,
 }

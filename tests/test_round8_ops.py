@@ -58,6 +58,49 @@ def test_minhash_dedup_keeps_min_id_per_component(spark):
     assert kept == [3, 12, 15]
 
 
+def test_minhash_dedup_keep_best_picks_top_score(spark):
+    """keep='best' keeps the highest-score copy per component (min-id
+    tie-break), not the minimum id."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest looking for tasty food"
+    )
+    rows = [
+        (7, base + " extra"),  # J vs base 0.948, longest -> best
+        (3, base),
+        (9, base + " z"),  # J vs base 0.982
+        (12, "completely different text about spark distributed joins "
+             "and shuffle partitions in a large analytics cluster system"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "q", F.length("text")
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.minhash_dedup(
+            df, num_hashes=32, n_bands=8, threshold=0.9,
+            keep="best", score_col="q",
+        ).collect()
+    )
+    assert kept == [7, 12]
+    # tie on score -> min id survives
+    df2 = spark.createDataFrame(
+        [(7, base), (3, base), (9, base)], "doc_id long, text string"
+    ).withColumn("q", F.length("text"))
+    kept2 = sorted(
+        r["doc_id"]
+        for r in dedup.minhash_dedup(
+            df2, num_hashes=32, n_bands=8, threshold=0.9,
+            keep="best", score_col="q",
+        ).collect()
+    )
+    assert kept2 == [3]
+    with pytest.raises(ValueError):
+        dedup.minhash_dedup(df2, keep="best")  # score_col required
+    with pytest.raises(ValueError):
+        dedup.minhash_dedup(df2, keep="nope")
+
+
 def test_minhash_dedup_no_dups_is_identity(spark):
     rows = [
         (1, "alpha bravo charlie delta echo foxtrot golf hotel india"),
