@@ -280,9 +280,26 @@ class Compiler:
             raise NotCompilable(f"unbound variable ${name}")
         if t == "name":
             return self._field(ctx, node["value"])
+        if t == "wildcard":
+            return self._wildcard(ctx)
         if t == "path_op":
-            lhs = self._c(node["lhs"], ctx, env)
             rhs_node = node["rhs"]
+            # schema-driven ** compilation (round 8, SURVEY B1.5): `**.f`
+            # enumerates every schema position of field `f` in the
+            # interpreter's pre-order and emits them as one array Column —
+            # arrays in the path fan out via transform+flatten, so the
+            # plan stays a pure projection. Bare `**` (no name step) has
+            # no single static type -> tier 2.
+            if node["lhs"]["type"] == "descendant" and rhs_node["type"] == "name":
+                return self._descendant_field(ctx, rhs_node["value"])
+            if (
+                node["lhs"]["type"] == "path_op"
+                and node["lhs"]["rhs"]["type"] == "descendant"
+                and rhs_node["type"] == "name"
+            ):
+                src = self._c(node["lhs"]["lhs"], ctx, env)
+                return self._descendant_field(src, rhs_node["value"])
+            lhs = self._c(node["lhs"], ctx, env)
             if rhs_node["type"] == "object" and isinstance(lhs.dtype, T.ArrayType):
                 # dotted object constructor maps PER ELEMENT (jsonata docs:
                 # Phone.{type: number} -> one object per phone) — compile
@@ -531,6 +548,112 @@ class Compiler:
                 raise NotCompilable("nested-array flatten in implicit mapping")
             return Typed(F.transform(ctx.col, lambda x: x.getField(name)), T.ArrayType(out_t))
         raise NotCompilable(f"path step {name!r} over {dt}")
+
+    def _wildcard(self, v: Typed) -> Typed:
+        """`.*` over a static type (round 8): struct -> ordered field
+        values (homogeneous types, long/double promote; array-valued
+        fields flatten one level per the wildcard sequence rule), map ->
+        map_values, array -> per-element wildcard flattened. Null entries
+        drop (the engine's null==absent convention)."""
+        dt = v.dtype
+        if isinstance(dt, T.ArrayType):
+            et_box: list = []
+
+            def per(e):
+                r = self._wildcard(Typed(e, dt.elementType))
+                et_box.append(r.dtype)
+                return r.col
+
+            mapped = F.transform(v.col, per)
+            col = F.flatten(F.filter(mapped, lambda r: r.isNotNull()))
+            return Typed(col, et_box[0])
+        if isinstance(dt, T.MapType):
+            col = F.filter(F.map_values(v.col), lambda x: x.isNotNull())
+            return Typed(col, T.ArrayType(dt.valueType))
+        if isinstance(dt, T.StructType):
+            if not dt.fields:
+                raise NotCompilable("wildcard over empty struct")
+            fdts = [f.dataType for f in dt.fields]
+            ss = {d.simpleString() for d in fdts}
+            cast_to = None
+            if ss == {"bigint", "double"}:
+                cast_to = T.DoubleType()
+            elif len(ss) != 1:
+                raise NotCompilable("wildcard over heterogeneous struct")
+            et = cast_to or fdts[0]
+            cols = [
+                v.col.getField(f.name).cast(et) if cast_to
+                else v.col.getField(f.name)
+                for f in dt.fields
+            ]
+            arr = F.filter(F.array(*cols), lambda x: x.isNotNull())
+            if isinstance(et, T.ArrayType):
+                # array-valued members flatten one level into the sequence
+                return Typed(F.when(v.col.isNotNull(), F.flatten(arr)), et)
+            return Typed(F.when(v.col.isNotNull(), arr), T.ArrayType(et))
+        raise NotCompilable(f"wildcard over {dt}")
+
+    def _descendant_field(self, src: Typed, name: str) -> Typed:
+        """`**.name` over a static schema (round 8, SURVEY B1.5): every
+        schema position of ``name`` is enumerated in the interpreter's
+        pre-order (a struct's own match first, then each field's subtree
+        in declaration order; array elements fan out in place via
+        transform+flatten) and emitted as one array Column. All matches
+        must share a type (long/double promote). Null structs/values
+        contribute nothing (null==absent convention)."""
+        tgt: list = []
+
+        def scan(dt):
+            if isinstance(dt, T.StructType):
+                for f in dt.fields:
+                    if f.name == name:
+                        tgt.append(f.dataType)
+                    scan(f.dataType)
+            elif isinstance(dt, T.ArrayType):
+                scan(dt.elementType)
+            elif isinstance(dt, T.MapType):
+                raise NotCompilable("** over a map-typed subtree (dynamic keys)")
+
+        scan(src.dtype)
+        if not tgt:
+            raise StaticallyUndefined(f"** finds no field {name!r} in the schema")
+        ss = {d.simpleString() for d in tgt}
+        cast = False
+        if ss == {"bigint", "double"}:
+            et, cast = T.DoubleType(), True
+        elif len(ss) == 1:
+            et = tgt[0]
+        else:
+            raise NotCompilable("** targets with heterogeneous types")
+        empty = F.array().cast(T.ArrayType(et))
+
+        def has(dt) -> bool:
+            if isinstance(dt, T.StructType):
+                return any(f.name == name or has(f.dataType) for f in dt.fields)
+            if isinstance(dt, T.ArrayType):
+                return has(dt.elementType)
+            return False
+
+        def build(col, dt):
+            if isinstance(dt, T.StructType):
+                parts = []
+                if name in dt.fieldNames():
+                    fv = col.getField(name)
+                    if cast:
+                        fv = fv.cast(et)
+                    parts.append(
+                        F.when(fv.isNotNull(), F.array(fv)).otherwise(empty)
+                    )
+                for f in dt.fields:
+                    if has(f.dataType):
+                        parts.append(build(col.getField(f.name), f.dataType))
+                combined = parts[0] if len(parts) == 1 else F.concat(*parts)
+                return F.when(col.isNotNull(), combined).otherwise(empty)
+            # ArrayType (has() guaranteed by the caller)
+            mapped = F.transform(col, lambda e: build(e, dt.elementType))
+            return F.when(col.isNotNull(), F.flatten(mapped)).otherwise(empty)
+
+        return Typed(build(src.col, src.dtype), T.ArrayType(et))
 
     def _truthy(self, v: Typed) -> Column:
         dt = v.dtype

@@ -135,6 +135,41 @@ def test_constant_folding_skips_impure_and_data_bound(spark):
     assert sorted(row[0] for row in out.collect()) == list(range(1, 51))
 
 
+# ------------------------- 2b2. wildcard / descendant compile (round 8)
+
+
+@pytest.mark.parametrize(
+    "expr,data,want",
+    [
+        ("*.x", {"p": {"x": 1}, "q": {"x": 2}}, [1, 2]),
+        ("a.*", {"a": {"p": 1, "q": 2}}, [1, 2]),
+        ("*.*", {"p": {"x": 1}, "q": {"x": 2}}, [1, 2]),
+        # ** pre-order: the root's own match precedes deeper matches of
+        # LATER fields, but field-order traversal puts a's subtree first
+        ("**.y", {"a": {"b": {"y": 3}}, "y": 1}, [1, 3]),
+        ("**.price", {"a": [{"price": 1}, {"b": {"price": 2}}]}, [1, 2]),
+    ],
+)
+def test_wildcard_descendant_compile(spark, expr, data, want):
+    """Round-8 B1.5: `.*` and schema-driven `**.f` compile to pure array
+    projections; values and ORDER must match tier 2."""
+    import json
+
+    from kafka_connect_jsonata_spark.transform import transform
+
+    j = json.dumps(data)
+    sch = spark.range(1).select(F.schema_of_json(j)).first()[0]
+    df = (
+        spark.createDataFrame([(j,)], "j string")
+        .select(F.from_json("j", sch).alias("r"))
+        .select("r.*")
+    )
+    out = transform(df, expr, force_tier="compiled")
+    assert [r[0] for r in out.collect()] == [want]
+    got2 = Jsonata(expr).evaluate(data)
+    assert list(got2) == want  # tier-2 agreement, order included
+
+
 # ---------------------------------------- 2c. $replace limit (round 8)
 
 
