@@ -132,6 +132,7 @@ HEADLINE = [
     # round 8 additions
     "minhash_dedup_docs",
     "minhash_dedup_best_docs",
+    "minhash_dedup_incr_docs",
     "q4_order_priority",
     "q12_shipping_priority_class",
     "q14_promo_effect",

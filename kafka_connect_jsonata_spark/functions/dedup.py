@@ -879,6 +879,140 @@ def minhash_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+def minhash_match_against(
+    df: DataFrame,
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_id_col: str | None = None,
+    num_hashes: int = 64,
+    n_bands: int = 16,
+    ngram: int = 5,
+    threshold: float = 0.7,
+    seed: int = 0x5EED,
+) -> DataFrame:
+    """Cross-corpus MinHash-LSH matching: near-dup pairs BETWEEN ``df``
+    and a reference corpus ``ref`` (never within either side) — the
+    candidate-generation half of incremental dedup and fuzzy
+    decontamination at corpus-vs-corpus scale. Both sides run the same
+    signature kernel; the join is a (band, bucket) equi-join, so the
+    reference corpus — typically the huge side — shuffles once on
+    bounded band keys and is NEVER broadcast or crossed. Returns
+    (``id_col``, ``ref_<id>``, jaccard) verified by exact shingle
+    Jaccard at ``threshold``.
+    """
+    rid = ref_id_col or id_col
+
+    def sketched(frame, idc):
+        norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+        base = frame.repartition(
+            frame.sparkSession.sparkContext.defaultParallelism
+        ).select(F.col(idc).alias("id"), norm.alias("__s"))
+        id_type = base.schema["id"].dataType.simpleString()
+        return base.mapInPandas(
+            _minhash_sketch_fn(num_hashes, n_bands, ngram, seed),
+            f"id {id_type}, __h array<bigint>, bkts array<bigint>",
+        ).transform(lambda d: barrier(d, eager=False))
+
+    sk_new = sketched(df, id_col)
+    sk_ref = sketched(ref, rid)
+    b_new = sk_new.select("id", F.posexplode("bkts").alias("band", "bkt"))
+    b_ref = sk_ref.select(
+        F.col("id").alias("__rid"), F.posexplode("bkts").alias("band", "bkt")
+    )
+    cand = (
+        b_new.join(b_ref, ["band", "bkt"])
+        .select("id", "__rid")
+        .dropDuplicates(["id", "__rid"])
+        .transform(barrier)
+    )
+    new_side = sk_new.join(
+        cand.select("id").distinct(), "id", "left_semi"
+    ).select("id", F.col("__h").alias("__ha"), F.size("__h").alias("__sa"))
+    ref_side = sk_ref.join(
+        cand.select(F.col("__rid").alias("id")).distinct(), "id", "left_semi"
+    ).select(
+        F.col("id").alias("__rid"),
+        F.col("__h").alias("__hb"),
+        F.size("__h").alias("__sb"),
+    )
+    pairs = (
+        cand.join(new_side, "id")
+        .join(ref_side, "__rid")
+        .filter(
+            (F.col("__sa").cast("double") >= threshold * F.col("__sb"))
+            & (F.col("__sb").cast("double") >= threshold * F.col("__sa"))
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("__ha"), F.col("__hb")))
+    union = F.col("__sa") + F.col("__sb") - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        pairs.select(
+            F.col("id").alias(id_col),
+            F.col("__rid").alias(f"ref_{rid}"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup_incremental(
+    df: DataFrame,
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    n_bands: int = 16,
+    ngram: int = 5,
+    threshold: float = 0.9,
+    seed: int = 0x5EED,
+    **dedup_kw,
+) -> DataFrame:
+    """C81: incremental fuzzy dedup — the daily-ingest shape of a 100-TB
+    curation pipeline: drop every NEW document that near-duplicates the
+    HISTORICAL kept corpus ``ref`` (cross-corpus LSH match, reference
+    side shuffles on band keys, never broadcast), then fuzzy-dedup the
+    survivors among themselves (:func:`minhash_dedup`, which accepts
+    ``keep=``/``score_col=`` through ``dedup_kw``). Returns the new docs
+    to ADD to the corpus, without ever re-scanning ref×ref.
+
+    Matching against ``ref`` is DIRECT (one hop): a new doc that reaches
+    a ref doc only through a chain of other new docs is not dropped by
+    the history pass — it competes in the intra-batch dedup instead
+    (the standard incremental-index semantics; a full
+    :func:`minhash_dedup` re-run over ref+new computes the transitive
+    component and may drop such chained docs).
+    """
+    matched = (
+        minhash_match_against(
+            df,
+            ref,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            n_bands=n_bands,
+            ngram=ngram,
+            threshold=threshold,
+            seed=seed,
+        )
+        .select(F.col(id_col))
+        .distinct()
+    )
+    fresh = df.join(matched, id_col, "left_anti")
+    return minhash_dedup(
+        fresh,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        n_bands=n_bands,
+        ngram=ngram,
+        threshold=threshold,
+        seed=seed,
+        **dedup_kw,
+    )
+
+
 def embedding_dup_pairs_lsh(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -1984,6 +1984,63 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
 """
 
 
+def minhash_dedup_incr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C81 incremental dedup: the doc_id % 3 == 0 slice plays the
+    historical kept corpus, the rest is the new batch — new docs
+    near-dup with history are dropped (cross-corpus LSH match, reference
+    never broadcast), survivors are fuzzy-deduped among themselves.
+    Oracle = brute-force cross pairs + intra closure in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    kept = dedup.minhash_dedup_incremental(
+        new, ref, num_hashes=32, n_bands=8, threshold=0.9
+    )
+    return kept.select("doc_id", "lang", F.length("text").alias("text_len"))
+
+
+MINHASH_DEDUP_INCR_SQL = """
+WITH RECURSIVE g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(s)-4,1)+1),
+                                      i -> s[i:i+4])) AS grams
+  FROM (SELECT doc_id,
+               lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS s
+        FROM documents)),
+sized AS (SELECT doc_id, grams, len(grams) AS sz FROM g),
+refd AS (SELECT * FROM sized WHERE doc_id % 3 = 0),
+newd AS (SELECT * FROM sized WHERE doc_id % 3 <> 0),
+hit AS (
+  SELECT DISTINCT n.doc_id
+  FROM newd n JOIN refd r
+    ON n.sz >= 0.9 * r.sz AND r.sz >= 0.9 * n.sz
+  WHERE len(list_intersect(n.grams, r.grams))::DOUBLE /
+        (n.sz + r.sz - len(list_intersect(n.grams, r.grams))) >= 0.9),
+fresh AS (SELECT * FROM newd WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fresh a JOIN fresh b
+    ON a.doc_id < b.doc_id
+   AND a.sz >= 0.9 * b.sz AND b.sz >= 0.9 * a.sz
+  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+        (a.sz + b.sz - len(list_intersect(a.grams, b.grams))) >= 0.9),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+dropped AS (SELECT DISTINCT src AS doc_id FROM reach WHERE dst < src)
+SELECT d.doc_id, d.lang, CAST(length(d.text) AS INT) AS text_len
+FROM documents d
+WHERE d.doc_id % 3 <> 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM hit)
+  AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash per document (pure Column bit math, no UDF). The gate runs
     the md5-parity portable variant so the DuckDB oracle can rebuild every
@@ -4210,6 +4267,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_discounted_revenue": q19_discounted_revenue,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "minhash_dedup_best_docs": minhash_dedup_best_docs,
+    "minhash_dedup_incr_docs": minhash_dedup_incr_docs,
     "semi_join_customers": semi_join_customers,
     "udtf_explode_tokens": udtf_explode_tokens,
     "temperature_token_mix_docs": temperature_token_mix_docs,
@@ -4403,4 +4461,5 @@ ORACLES: dict[str, str] = {
     "q19_discounted_revenue": Q19_SQL,
     "q22_global_sales_opportunity": Q22_SQL,
     "minhash_dedup_best_docs": MINHASH_DEDUP_BEST_SQL,
+    "minhash_dedup_incr_docs": MINHASH_DEDUP_INCR_SQL,
 }

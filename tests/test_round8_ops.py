@@ -134,6 +134,59 @@ def test_minhash_dedup_strategies_agree(spark, sf_dir):
     assert a == b
 
 
+def test_minhash_dedup_incremental_semantics(spark):
+    """C81: new docs matching history drop; unmatched new docs keep;
+    intra-batch dups among survivors resolve to the min id; the ref side
+    passes through the cross-match only (never deduped itself)."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest looking for tasty food"
+    )
+    other = (
+        "completely different text about spark distributed joins and "
+        "shuffle partitions in a large analytics cluster system today"
+    )
+    ref = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [
+            (1, base + " z"),   # near-dup of history -> dropped
+            (2, other),         # fresh, dup of 5 -> min id kept
+            (5, other + " z"),  # dup of 2 -> dropped
+            (9, "a third topic entirely mentioning minhash banding and "
+                "jaccard similarity estimation at corpus scale pipelines"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.minhash_dedup_incremental(
+            new, ref, num_hashes=32, n_bands=8, threshold=0.9
+        ).collect()
+    )
+    assert kept == [2, 9]
+
+
+def test_minhash_match_against_is_cross_corpus_only(spark):
+    """minhash_match_against reports NEW-vs-REF pairs only — two
+    near-dup docs on the same side never pair."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest looking for tasty food"
+    )
+    new = spark.createDataFrame(
+        [(1, base), (2, base + " z")], "doc_id long, text string"
+    )
+    ref = spark.createDataFrame(
+        [(10, "entirely unrelated reference text about streaming state "
+              "stores and watermark semantics in structured streaming")],
+        "doc_id long, text string",
+    )
+    got = dedup.minhash_match_against(
+        new, ref, num_hashes=32, n_bands=8, threshold=0.9
+    ).collect()
+    assert got == []  # 1-2 are near-dups of each other but same side
+
+
 def test_dsir_shared_features_memoized_and_equivalent(spark, sf_dir):
     """Round-8 verdict item 7: both DSIR gates read ONE persisted feature
     table (the cluster materialize-once pattern); outputs are identical to
