@@ -18,7 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 NOTES = {
     "ngram_jaccard_dups": "EXACT all-pairs set-similarity join (PPJoin); DuckDB brute force times out",
     "minhash_lsh_dups": "sketch dedup, oracle = brute-force J>=0.9 slice; the approximate 100 TB path",
-    "minhash_dedup_docs": "C79 composed fuzzy dedup (LSH pairs -> components -> keep-min); oracle = brute-force closure",
+    "minhash_dedup_docs": "C79 composed fuzzy dedup; DuckDB oracle (brute-force closure, ~8 min at sf0.1) checked at sf0.01, skipped here",
+    "minhash_dedup_best_docs": "C79 keep=best variant; oracle skipped here (same brute-force closure)",
+    "minhash_dedup_incr_docs": "C81 incremental dedup vs reference corpus; oracle skipped here (same class)",
     "simhash_docs": "sketch, rows-only",
     "ann_lsh_topk": "LSH ANN at recall-1.0 gate params; oracle = brute-force top-k",
     "ann_ivf_topk": "IVF ANN at recall-1.0 gate params; oracle = brute-force top-k",
@@ -97,7 +99,8 @@ def main() -> None:
     # longer fits (round-7 change) — BENCH.json always holds every query
     with open(os.path.join(repo, "BENCH.json")) as f:
         spark_q = json.load(f)["queries"]
-    env["DUCKDB_BENCH_SKIP"] = "ngram_jaccard_dups"
+    env["DUCKDB_BENCH_SKIP"] = ("ngram_jaccard_dups,minhash_dedup_docs,"
+        "minhash_dedup_best_docs,minhash_dedup_incr_docs")
     duck_out = subprocess.run(
         [sys.executable, "tools/duckdb_bench.py", sf_dir],
         capture_output=True, text=True, env=env,
