@@ -879,9 +879,35 @@ def minhash_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+def minhash_sketches(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    n_bands: int = 16,
+    ngram: int = 5,
+    seed: int = 0x5EED,
+) -> DataFrame:
+    """The reusable sketch table — ``(id, __h array<bigint> shingle
+    hashes, bkts array<bigint> band buckets)`` — a production pipeline
+    writes ONCE for its historical corpus and feeds back through
+    :func:`minhash_match_against`'s ``ref_sketches=`` on every ingest
+    (the materialize-once pattern of the DSIR ``features=`` hatch).
+    Parameters must match the matching call's."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    base = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    ).select(F.col(id_col).alias("id"), norm.alias("__s"))
+    id_type = base.schema["id"].dataType.simpleString()
+    return base.mapInPandas(
+        _minhash_sketch_fn(num_hashes, n_bands, ngram, seed),
+        f"id {id_type}, __h array<bigint>, bkts array<bigint>",
+    )
+
+
 def minhash_match_against(
     df: DataFrame,
-    ref: DataFrame,
+    ref: DataFrame | None,
     id_col: str = "doc_id",
     text_col: str = "text",
     ref_id_col: str | None = None,
@@ -890,6 +916,7 @@ def minhash_match_against(
     ngram: int = 5,
     threshold: float = 0.7,
     seed: int = 0x5EED,
+    ref_sketches: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus MinHash-LSH matching: near-dup pairs BETWEEN ``df``
     and a reference corpus ``ref`` (never within either side) — the
@@ -900,22 +927,33 @@ def minhash_match_against(
     bounded band keys and is NEVER broadcast or crossed. Returns
     (``id_col``, ``ref_<id>``, jaccard) verified by exact shingle
     Jaccard at ``threshold``.
+
+    ``ref_sketches`` (a :func:`minhash_sketches` table, typically read
+    back from parquet) skips re-sketching the reference corpus — the
+    dominant cost when history is 1000× the ingest batch. ``ref`` may be
+    None when sketches are supplied.
     """
     rid = ref_id_col or id_col
+    if ref_sketches is None and ref is None:
+        raise ValueError("one of ref / ref_sketches is required")
 
     def sketched(frame, idc):
-        norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-        base = frame.repartition(
-            frame.sparkSession.sparkContext.defaultParallelism
-        ).select(F.col(idc).alias("id"), norm.alias("__s"))
-        id_type = base.schema["id"].dataType.simpleString()
-        return base.mapInPandas(
-            _minhash_sketch_fn(num_hashes, n_bands, ngram, seed),
-            f"id {id_type}, __h array<bigint>, bkts array<bigint>",
+        return minhash_sketches(
+            frame,
+            id_col=idc,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            n_bands=n_bands,
+            ngram=ngram,
+            seed=seed,
         ).transform(lambda d: barrier(d, eager=False))
 
     sk_new = sketched(df, id_col)
-    sk_ref = sketched(ref, rid)
+    sk_ref = (
+        ref_sketches.transform(lambda d: barrier(d, eager=False))
+        if ref_sketches is not None
+        else sketched(ref, rid)
+    )
     b_new = sk_new.select("id", F.posexplode("bkts").alias("band", "bkt"))
     b_ref = sk_ref.select(
         F.col("id").alias("__rid"), F.posexplode("bkts").alias("band", "bkt")
@@ -959,7 +997,7 @@ def minhash_match_against(
 
 def minhash_dedup_incremental(
     df: DataFrame,
-    ref: DataFrame,
+    ref: DataFrame | None,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 64,
@@ -967,6 +1005,7 @@ def minhash_dedup_incremental(
     ngram: int = 5,
     threshold: float = 0.9,
     seed: int = 0x5EED,
+    ref_sketches: DataFrame | None = None,
     **dedup_kw,
 ) -> DataFrame:
     """C81: incremental fuzzy dedup — the daily-ingest shape of a 100-TB
@@ -975,7 +1014,10 @@ def minhash_dedup_incremental(
     side shuffles on band keys, never broadcast), then fuzzy-dedup the
     survivors among themselves (:func:`minhash_dedup`, which accepts
     ``keep=``/``score_col=`` through ``dedup_kw``). Returns the new docs
-    to ADD to the corpus, without ever re-scanning ref×ref.
+    to ADD to the corpus, without ever re-scanning ref×ref. Pass
+    ``ref_sketches=`` (a persisted :func:`minhash_sketches` table) to
+    skip re-sketching history entirely — the steady-state ingest plan
+    touches the historical corpus ONLY through its sketch table.
 
     Matching against ``ref`` is DIRECT (one hop): a new doc that reaches
     a ref doc only through a chain of other new docs is not dropped by
@@ -995,6 +1037,7 @@ def minhash_dedup_incremental(
             ngram=ngram,
             threshold=threshold,
             seed=seed,
+            ref_sketches=ref_sketches,
         )
         .select(F.col(id_col))
         .distinct()

@@ -187,6 +187,32 @@ def test_minhash_match_against_is_cross_corpus_only(spark):
     assert got == []  # 1-2 are near-dups of each other but same side
 
 
+def test_minhash_incremental_precomputed_sketches_equivalent(spark, sf_dir):
+    """ref_sketches= (the persisted-history fast path) must give exactly
+    the kept set of the direct ref= path; ref/ref_sketches both absent
+    raises."""
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    direct = {
+        r["doc_id"]
+        for r in dedup.minhash_dedup_incremental(
+            new, ref, num_hashes=32, n_bands=8, threshold=0.9
+        ).select("doc_id").collect()
+    }
+    sk = dedup.minhash_sketches(ref, num_hashes=32, n_bands=8)
+    via_sketches = {
+        r["doc_id"]
+        for r in dedup.minhash_dedup_incremental(
+            new, None, num_hashes=32, n_bands=8, threshold=0.9,
+            ref_sketches=sk,
+        ).select("doc_id").collect()
+    }
+    assert direct == via_sketches and direct
+    with pytest.raises(ValueError):
+        dedup.minhash_match_against(new, None)
+
+
 def test_dsir_shared_features_memoized_and_equivalent(spark, sf_dir):
     """Round-8 verdict item 7: both DSIR gates read ONE persisted feature
     table (the cluster materialize-once pattern); outputs are identical to
