@@ -4025,6 +4025,105 @@ SELECT 3, 'error', (SELECT count(*) FROM s3)
 """
 
 
+def curation_pipeline_v3_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C82: composed curation pipeline v3 — the round-8 capstone with
+    FUZZY DEDUP inside the chain: char-entropy gate (C72, H >= 3.0) ->
+    minhash_dedup keep='best' on the exact per-doc character count (C79:
+    each near-dup component keeps its longest-counted copy) -> 40-word
+    floor -> per-lang rollup. Value-exact against the identical CTE
+    chain (entropy + brute-force closure + per-component argmax in SQL)
+    — the composability proof that the dedup family plugs into the
+    quality chain like every other operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation_pipeline_v3(docs)
+
+
+def curation_pipeline_v3(docs: DataFrame) -> DataFrame:
+    ent = text.char_entropy(docs)
+    survivors = docs.join(
+        ent.filter(F.col("char_entropy") >= 3.0).select(
+            "doc_id", "n_chars_counted"
+        ),
+        "doc_id",
+    )
+    kept = dedup.minhash_dedup(
+        survivors, num_hashes=32, n_bands=8, threshold=0.9,
+        keep="best", score_col="n_chars_counted",
+    )
+    floored = kept.filter(
+        F.size(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != ""
+            )
+        )
+        >= 40
+    )
+    return (
+        floored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars_counted").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+CURATION_PIPELINE_V3_SQL = r"""
+WITH RECURSIVE c AS (
+  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+  WHERE ch <> '' GROUP BY doc_id, ch),
+p AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS nc,
+         log2(sum(n)) - sum(CAST(n AS DOUBLE) * log2(n)) / sum(n) AS h
+  FROM c GROUP BY doc_id),
+surv AS (
+  SELECT d.doc_id, d.lang, d.text, p.nc
+  FROM documents d JOIN p USING (doc_id) WHERE p.h >= 3.0),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(s)-4,1)+1),
+                                      i -> s[i:i+4])) AS grams
+  FROM (SELECT doc_id,
+               lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+        FROM surv)),
+sized AS (SELECT doc_id, grams, len(grams) AS sz FROM g),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sized a JOIN sized b
+    ON a.doc_id < b.doc_id
+   AND a.sz >= 0.9 * b.sz AND b.sz >= 0.9 * a.sz
+  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+        (a.sz + b.sz - len(list_intersect(a.grams, b.grams))) >= 0.9),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+labels AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS group_id
+  FROM reach GROUP BY src),
+losers AS (
+  SELECT doc_id FROM (
+    SELECT l.doc_id,
+           row_number() OVER (PARTITION BY l.group_id
+                              ORDER BY s.nc DESC, l.doc_id ASC) AS r
+    FROM labels l JOIN surv s USING (doc_id))
+  WHERE r > 1),
+kept AS (
+  SELECT * FROM surv
+  WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    AND len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+            w -> w <> '')) >= 40)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nc) AS BIGINT) AS total_chars
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
 def curation_pipeline_v2_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed round-6/7 curation pipeline — line-level cleaning (C58) ->
     character-entropy gate (C72, keep H >= 3.0) -> exact-span eval
@@ -4268,6 +4367,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "minhash_dedup_best_docs": minhash_dedup_best_docs,
     "minhash_dedup_incr_docs": minhash_dedup_incr_docs,
+    "curation_pipeline_v3_docs": curation_pipeline_v3_docs,
     "semi_join_customers": semi_join_customers,
     "udtf_explode_tokens": udtf_explode_tokens,
     "temperature_token_mix_docs": temperature_token_mix_docs,
@@ -4462,4 +4562,5 @@ ORACLES: dict[str, str] = {
     "q22_global_sales_opportunity": Q22_SQL,
     "minhash_dedup_best_docs": MINHASH_DEDUP_BEST_SQL,
     "minhash_dedup_incr_docs": MINHASH_DEDUP_INCR_SQL,
+    "curation_pipeline_v3_docs": CURATION_PIPELINE_V3_SQL,
 }

@@ -401,3 +401,28 @@ def test_curation_pipeline_v2_stream_foreachbatch_parity(spark, sf_dir, tmp_path
     q.stop()
     exp = sorted(map(tuple, curation_pipeline_v2(batch_docs).collect()))
     assert sorted(got) == exp and len(got) > 0
+
+
+def test_curation_pipeline_v3_stream_foreachbatch_parity(spark, sf_dir, tmp_path):
+    """Round-8 C82: the dedup-bearing pipeline (entropy gate ->
+    minhash_dedup keep='best' -> floor -> rollup) over a documents
+    readStream via foreachBatch, row-exact with the one-shot batch run."""
+    from kafka_connect_jsonata_spark.queries import curation_pipeline_v3
+
+    d = tmp_path / "docs_stream_pipeline_v3"
+    d.mkdir()
+    (d / "documents.parquet").symlink_to(f"{sf_dir}/documents.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    batch_docs = load_table(spark, sf_dir, "documents")
+
+    got: list[tuple] = []
+
+    def sink(batch_df, _batch_id):
+        got.extend(map(tuple, curation_pipeline_v3(batch_df).collect()))
+
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    q = stream.writeStream.foreachBatch(sink).start()
+    q.processAllAvailable()
+    q.stop()
+    exp = sorted(map(tuple, curation_pipeline_v3(batch_docs).collect()))
+    assert sorted(got) == exp and len(got) > 0
