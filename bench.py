@@ -134,6 +134,7 @@ HEADLINE = [
     "minhash_dedup_best_docs",
     "minhash_dedup_incr_docs",
     "curation_pipeline_v3_docs",
+    "simhash_dup_pairs_docs",
     "q4_order_priority",
     "q12_shipping_priority_class",
     "q14_promo_effect",

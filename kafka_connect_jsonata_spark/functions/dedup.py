@@ -879,6 +879,98 @@ def minhash_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+def simhash_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    nbits: int = 64,
+    portable: bool = False,
+) -> DataFrame:
+    """C83: SimHash near-dup pairs at Hamming distance <= ``max_hamming``
+    — the Manku et al. (WWW'07, Google's web-crawl dedup) banded EXACT
+    algorithm: split the ``nbits``-bit signature into ``max_hamming + 1``
+    chunks; by pigeonhole, any pair within the distance budget agrees on
+    at least one whole chunk, so a (chunk_index, chunk_value) equi-join
+    finds EVERY qualifying pair (recall is 1.0 by construction, not
+    probabilistically); an XOR bit_count verify keeps precision exact.
+
+    Scale shape: one signature projection (pure Column bit math, no
+    Python), a bounded (band, chunk) shuffle — ``max_hamming + 1`` rows
+    per doc — candidate pairs generated inside each bucket group
+    (no self-join), then an O(1) popcount verify per candidate. The
+    100-TB twin of :func:`minhash_lsh_pairs` for bit-signature
+    similarity. ``portable=True`` uses the md5-parity 32-bit signature so
+    a SQL oracle can recompute every bit (the gate's configuration);
+    production uses the 64-bit xxhash64 signature.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if max_hamming < 0:
+        raise ValueError("max_hamming must be >= 0")
+    n_chunks = max_hamming + 1
+    if portable:
+        nbits = min(nbits, 32)
+        sig = simhash_portable(F.col(text_col), nbits=nbits)
+    else:
+        sig = simhash64(F.col(text_col))
+        nbits = 64
+    if n_chunks > nbits:
+        raise ValueError("max_hamming + 1 chunks must fit the signature width")
+    width = nbits // n_chunks
+    sigs = df.select(F.col(id_col).alias("id"), sig.alias("__sig")).transform(
+        barrier, eager=False
+    )
+    # chunk b covers bits [b*width, (b+1)*width) — the LAST chunk absorbs
+    # the remainder bits so every bit belongs to exactly one chunk
+    def chunk_col(b: int):
+        rem = nbits - b * width if b == n_chunks - 1 else width
+        shifted = F.shiftrightunsigned(F.col("__sig"), b * width)
+        if rem >= 64:  # single-chunk 64-bit case: the whole signature
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << rem) - 1))
+
+    chunks = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), chunk_col(b).alias("chunk"))
+            for b in range(n_chunks)
+        ]
+    )
+    buckets = sigs.select("id", F.explode(chunks).alias("bc")).select(
+        "id", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk")
+    )
+    groups = (
+        buckets.groupBy("band", "chunk")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    cand = (
+        groups.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .transform(barrier)
+    )
+    a = sigs.select(F.col("id").alias("id_a"), F.col("__sig").alias("__sa"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("__sig").alias("__sb"))
+    ham = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def minhash_sketches(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2082,6 +2082,48 @@ FROM documents d LEFT JOIN sigs s USING (doc_id)
 """
 
 
+def simhash_dup_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C83: SimHash near-dup pairs at Hamming <= 3 via the Manku et al.
+    banded EXACT algorithm (pigeonhole: 4 chunks, any qualifying pair
+    shares one whole chunk — recall 1.0 by construction, popcount
+    verify for precision). Gate runs the md5-parity portable signature
+    so the oracle recomputes every bit and the brute-force Hamming join
+    is a value-exact check of banding + candidate gen + verify."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_dup_pairs(
+        docs, max_hamming=3, portable=True
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+SIMHASH_PAIRS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+), bits AS (
+  SELECT doc_id, g.i,
+         sum(CASE WHEN substr(md5(tok), g.i + 1, 1)
+                       IN ('1','3','5','7','9','b','d','f')
+                  THEN 1 ELSE 0 END) AS c,
+         count(*) AS n
+  FROM toks CROSS JOIN generate_series(0, 31) AS g(i)
+  GROUP BY doc_id, g.i
+), sigs AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN 2 * c > n THEN CAST(power(2, i) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+), s AS (
+  SELECT d.doc_id, CAST(coalesce(g.simhash, 0) AS BIGINT) AS sig
+  FROM documents d LEFT JOIN sigs g USING (doc_id))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
+
+
 def embedding_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C26 embedding near-dup pairs. Threshold 0.4 yields a non-trivial
     pair set on the synthetic embeddings (max pairwise cosine ~0.51)."""
@@ -4368,6 +4410,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_dedup_best_docs": minhash_dedup_best_docs,
     "minhash_dedup_incr_docs": minhash_dedup_incr_docs,
     "curation_pipeline_v3_docs": curation_pipeline_v3_docs,
+    "simhash_dup_pairs_docs": simhash_dup_pairs_docs,
     "semi_join_customers": semi_join_customers,
     "udtf_explode_tokens": udtf_explode_tokens,
     "temperature_token_mix_docs": temperature_token_mix_docs,
@@ -4563,4 +4606,5 @@ ORACLES: dict[str, str] = {
     "minhash_dedup_best_docs": MINHASH_DEDUP_BEST_SQL,
     "minhash_dedup_incr_docs": MINHASH_DEDUP_INCR_SQL,
     "curation_pipeline_v3_docs": CURATION_PIPELINE_V3_SQL,
+    "simhash_dup_pairs_docs": SIMHASH_PAIRS_SQL,
 }

@@ -187,6 +187,69 @@ def test_minhash_match_against_is_cross_corpus_only(spark):
     assert got == []  # 1-2 are near-dups of each other but same side
 
 
+def test_simhash_dup_pairs_pigeonhole_recall(spark):
+    """C83 exactness property: every pair within the Hamming budget is
+    found (Manku pigeonhole — even when the differing bits land in
+    DIFFERENT chunks), pairs beyond it are not. Checked by comparing the
+    banded operator against a brute-force popcount join on the engine's
+    own signatures, over a corpus with engineered near/far pairs."""
+    import itertools
+    import random
+
+    rng = random.Random(8)
+    words = [f"w{i}" for i in range(220)]
+    rows = []
+    for i in range(40):
+        base = rng.sample(words, 30)
+        rows.append((i * 10, " ".join(base)))
+        # near variant: swap a couple of tokens
+        v = list(base)
+        v[0], v[1] = rng.choice(words), rng.choice(words)
+        rows.append((i * 10 + 1, " ".join(v)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_dup_pairs(
+            df, max_hamming=3, portable=True
+        ).collect()
+    }
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in df.select(
+            "doc_id", dedup.simhash_portable(F.col("text")).alias("sig")
+        ).collect()
+    }
+    want = set()
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        h = bin(sigs[a] ^ sigs[b]).count("1")
+        if h <= 3:
+            want.add((a, b, h))
+    assert got == want and want  # exact, and the fixture produced pairs
+
+
+def test_simhash_dup_pairs_64bit_production_variant(spark):
+    """The 64-bit xxhash64 signature path: identical docs pair at
+    hamming 0; unrelated docs don't pair at a tight budget."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),
+            (3, "totally different words kilo lima mike november oscar "
+                "papa quebec romeo sierra tango uniform victor whiskey"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_dup_pairs(df, max_hamming=3).collect()
+    }
+    assert (1, 2, 0) in got
+    assert all(3 not in (a, b) for a, b, _ in got)
+    with pytest.raises(ValueError):
+        dedup.simhash_dup_pairs(df, max_hamming=-1)
+
+
 def test_minhash_incremental_precomputed_sketches_equivalent(spark, sf_dir):
     """ref_sketches= (the persisted-history fast path) must give exactly
     the kept set of the direct ref= path; ref/ref_sketches both absent
