@@ -426,6 +426,123 @@ ORDER BY cntrycode
 """
 
 
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (C84): correlated scalar AVG subquery — yearly
+    revenue lost if small-quantity orders (below 20% of the part's own
+    average quantity) went unshipped. The driver schema has no
+    p_container, so the brand predicate alone selects the part slice; the
+    correlated-aggregate STRUCTURE — the hard part — is intact. Plan: the
+    brand part list broadcasts into lineitem once; the per-part threshold
+    (a dozen rows) broadcasts back over the same slice — the correlated
+    subquery decorrelates into one keyed aggregate + one broadcast join,
+    never a per-row re-scan. Quantities are integral doubles, so the AVG
+    is order-independent and deterministic; revenue sums in decimal."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    brand_lines = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    thr = brand_lines.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("__thr")
+    )
+    small = brand_lines.join(F.broadcast(thr), "l_partkey").filter(
+        F.col("l_quantity") < F.col("__thr")
+    )
+    return small.agg(
+        (F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly")
+    )
+
+
+Q17_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+       AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#13'
+  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (C84): the hardest classic correlated join — per
+    supplier, count lineitems that were the SOLE late line in a
+    multi-supplier finished order (EXISTS another supplier's line, NOT
+    EXISTS another supplier's LATE line). The driver schema carries no
+    commit/receipt dates, so "late" = shipped >90 days after the order
+    date (the q4 substitution); it is constant within an order, so the
+    l2/l3 correlations keep their exact semantics. Plan: both EXISTS
+    collapse into per-order counts — distinct suppliers and distinct LATE
+    suppliers — computed by collect_set windows over ONE shuffle on the
+    order key (set size bounded by lines-per-order, single digits); the
+    supplier/nation dims broadcast. No correlated re-scan, no cartesian:
+    a qualifying l1 line is late AND in an order with >= 2 suppliers AND
+    exactly 1 late supplier (itself)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").like("NATION_1%")
+    )
+    lines = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("__late"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = lines.withColumn(
+        "__n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "__n_late_supp",
+        F.size(
+            F.collect_set(
+                F.when(F.col("__late"), F.col("l_suppkey"))
+            ).over(w)
+        ),
+    )
+    l1 = flagged.filter(
+        F.col("__late") & (F.col("__n_supp") >= 2) & (F.col("__n_late_supp") == 1)
+    )
+    named = supplier.join(
+        F.broadcast(nation.select("n_nationkey")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+        "left_semi",
+    ).select("s_suppkey", "s_name")
+    return (
+        l1.join(F.broadcast(named), l1.l_suppkey == named.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+  AND s_nationkey = n_nationkey AND n_name LIKE 'NATION_1%'
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+"""
+
+
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join with two broadcast dims, agg by nation."""
     region = load_table(spark, sf_dir, "region")
@@ -1927,6 +2044,30 @@ SELECT d.doc_id, d.lang, CAST(length(d.text) AS INT) AS text_len
 FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
 """
+
+
+def minhash_dedup_boiler_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C79 hot-bucket stress gate (round-9, round-8 verdict item 1): the
+    corpus is every document PLUS three byte-identical replicas under
+    offset ids — the crawl-boilerplate shape whose LSH buckets used to
+    expand k^2/2 candidate structs inside one task. Exact pre-collapse
+    (Lee et al. 2021 §4) feeds ONE representative per identical class into
+    LSH and bucket_cap guards the residual near-identical classes, so the
+    job stays population-linear — and the kept set is PROVABLY unchanged:
+    every replica has its original's exact shingle set, so it joins the
+    original's component (J = 1.0) and loses to the smaller original id,
+    while adding no new near-dup structure among the originals. The oracle
+    is therefore the PLAIN-corpus dedup closure (MINHASH_DEDUP_SQL,
+    verbatim): any candidate the collapse or the cap wrongly drops — or
+    any replica wrongly kept — changes the id set and the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    rep = docs
+    for k in range(1, 4):  # 10M offset clears every SF's id range
+        rep = rep.union(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000 * k))
+        )
+    kept = dedup.minhash_dedup(rep, num_hashes=32, n_bands=8, threshold=0.9)
+    return kept.select("doc_id", "lang", F.length("text").alias("text_len"))
 
 
 def minhash_dedup_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4337,9 +4478,24 @@ FROM kept GROUP BY lang ORDER BY lang
 # (pipeline: v2 in-window), dsir_select_docs (DSIR: gumbel in-window),
 # vocab_coverage_docs (corpus stats: zipf in-window), knn_graph_edges
 # (semantic graph: semantic_clusters_vecs builds on the same kNN graph).
+# Round-9 rotation (round-8 verdict item 2): the nine judge-green round-8
+# gates move in-window — q4/q12/q14/q19/q22, minhash_dedup_best_docs,
+# minhash_dedup_incr_docs, curation_pipeline_v3_docs,
+# simhash_dup_pairs_docs — plus the new round-9 hot-bucket stress gate
+# minhash_dedup_boiler_docs. Demoted with family kept represented:
+# q10_returned_items + q18_large_volume_customer (TPC-H: the five round-8
+# shapes in-window), bloom_semi_join_lineitem (semi-join: q4's EXISTS
+# semi-join in-window), curation_pipeline_v2_docs (pipeline: v3
+# in-window), score_normalize_docs + curriculum_order_docs (sampling/
+# mixing: temperature_mix + unimax_mix + cluster_balanced in-window),
+# embedding_covariance_stats (embedding stats: pca/quantize in sweep,
+# five embedding gates in-window), unigram_logprob_docs (LM scoring:
+# dsir_gumbel + zipf_fit in-window), repetition_quality (quality: gopher
+# + quality_classifier + char_entropy in-window), clean_lines_docs (line
+# cleaning: boilerplate_removal in-window).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- 1-31: relational / text / similarity / jsonata representatives --
-    "q10_returned_items": q10_returned_items,
+    # -- relational / text / similarity / jsonata representatives --
+    "q4_order_priority": q4_order_priority,
     "filter_project_events": filter_project_events,
     "json_props_extract": json_props_extract,
     "topk_per_group": topk_per_group,
@@ -4348,7 +4504,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_events_orders": asof_join_events_orders,
     "dedup_exact_docs": dedup_exact_docs,
     "char_entropy_docs": char_entropy_docs,
-    "bloom_semi_join_lineitem": bloom_semi_join_lineitem,
+    "q12_shipping_priority_class": q12_shipping_priority_class,
     "dup_span_removal_docs": dup_span_removal_docs,
     "ann_lsh_topk": ann_lsh_topk,
     "minhash_dedup_docs": minhash_dedup_docs,
@@ -4366,18 +4522,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- streaming / sketch / multimodal / curation gates --
     "sessionize_events": sessionize_events,
     "percentile_summary": percentile_summary,
-    "q18_large_volume_customer": q18_large_volume_customer,
+    "q14_promo_effect": q14_promo_effect,
     "gopher_quality_docs": gopher_quality_docs,
     "embedding_dup_pairs": embedding_dup_pairs_q,
     "multimodal_frame_sample": multimodal_frame_sample,
     "funnel_events": funnel_events,
     "pii_redact_docs": pii_redact_docs,
-    "repetition_quality": repetition_quality,
-    "embedding_covariance_stats": embedding_covariance_stats,
-    "unigram_logprob_docs": unigram_logprob_docs,
+    "q19_discounted_revenue": q19_discounted_revenue,
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,
+    "minhash_dedup_best_docs": minhash_dedup_best_docs,
     "scrub_spans_docs": scrub_spans_docs,
     "quantile_filter_docs": quantile_filter_docs,
-    "clean_lines_docs": clean_lines_docs,
+    "minhash_dedup_incr_docs": minhash_dedup_incr_docs,
     "inverted_index_terms": inverted_index_terms,
     "boilerplate_removal_docs": boilerplate_removal_docs,
     "fuzzy_decontaminate_docs": fuzzy_decontaminate_docs,
@@ -4385,13 +4541,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_gumbel_docs": dsir_gumbel_docs,
     "zipf_fit_docs": zipf_fit_docs,
     "cluster_balanced_docs": cluster_balanced_docs,
-    "curriculum_order_docs": curriculum_order_docs,
+    "simhash_dup_pairs_docs": simhash_dup_pairs_docs,
     "embedding_diversify_docs": embedding_diversify_docs,
     "unimax_mix_docs": unimax_mix_docs,
-    "score_normalize_docs": score_normalize_docs,
-    "curation_pipeline_v2_docs": curation_pipeline_v2_docs,
+    "minhash_dedup_boiler_docs": minhash_dedup_boiler_docs,
+    "curation_pipeline_v3_docs": curation_pipeline_v3_docs,
     # -- past the gate window: oracle-registered siblings (builder sweep) --
     "q1_pricing_summary": q1_pricing_summary,
+    "q10_returned_items": q10_returned_items,
+    "q18_large_volume_customer": q18_large_volume_customer,
+    "bloom_semi_join_lineitem": bloom_semi_join_lineitem,
+    "curation_pipeline_v2_docs": curation_pipeline_v2_docs,
+    "score_normalize_docs": score_normalize_docs,
+    "curriculum_order_docs": curriculum_order_docs,
+    "embedding_covariance_stats": embedding_covariance_stats,
+    "unigram_logprob_docs": unigram_logprob_docs,
+    "repetition_quality": repetition_quality,
+    "clean_lines_docs": clean_lines_docs,
     "text_doc_stats": text_doc_stats,
     "ngram_jaccard_dups": ngram_jaccard_dups,
     "dedup_group_ids": dedup_group_ids,
@@ -4401,16 +4567,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_coverage_docs": vocab_coverage_docs,
     "knn_graph_edges": knn_graph_edges,
     "q5_local_supplier": q5_local_supplier,
-    # round-8 TPC-H breadth (sweep; relational family in-window via q10/q18)
-    "q4_order_priority": q4_order_priority,
-    "q12_shipping_priority_class": q12_shipping_priority_class,
-    "q14_promo_effect": q14_promo_effect,
-    "q19_discounted_revenue": q19_discounted_revenue,
-    "q22_global_sales_opportunity": q22_global_sales_opportunity,
-    "minhash_dedup_best_docs": minhash_dedup_best_docs,
-    "minhash_dedup_incr_docs": minhash_dedup_incr_docs,
-    "curation_pipeline_v3_docs": curation_pipeline_v3_docs,
-    "simhash_dup_pairs_docs": simhash_dup_pairs_docs,
+    # round-9 TPC-H correlated-subquery tail (verdict item 4; sweep —
+    # TPC-H family holds five in-window rows via the round-9 rotation)
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
     "semi_join_customers": semi_join_customers,
     "udtf_explode_tokens": udtf_explode_tokens,
     "temperature_token_mix_docs": temperature_token_mix_docs,
@@ -4603,6 +4763,11 @@ ORACLES: dict[str, str] = {
     "q14_promo_effect": Q14_SQL,
     "q19_discounted_revenue": Q19_SQL,
     "q22_global_sales_opportunity": Q22_SQL,
+    "q17_small_quantity_revenue": Q17_SQL,
+    "q21_suppliers_kept_waiting": Q21_SQL,
+    # boiler gate: replicas provably change nothing, so the PLAIN-corpus
+    # closure is the exact oracle (see the gate docstring's argument)
+    "minhash_dedup_boiler_docs": MINHASH_DEDUP_SQL,
     "minhash_dedup_best_docs": MINHASH_DEDUP_BEST_SQL,
     "minhash_dedup_incr_docs": MINHASH_DEDUP_INCR_SQL,
     "curation_pipeline_v3_docs": CURATION_PIPELINE_V3_SQL,

@@ -33,6 +33,31 @@ from kafka_connect_jsonata_spark.engine import get_spark  # noqa: E402
 DELIBERATE: dict[str, set[str]] = {
     "CARTESIAN": set(),
     "ROW-AT-A-TIME-PY": set(),
+    # UNBOUNDED-COLLECT (round-9, verdict item 8): every collect_list/
+    # collect_set aggregation must carry a documented population bound —
+    # the round-8 LSH hot-bucket finding, caught mechanically. Bounds for
+    # the allowlisted queries:
+    #   dup_span_removal_docs / scrub_spans_docs / chunk_dedup_docs /
+    #   dup_ngram_coverage_docs / boilerplate_removal_docs /
+    #   curation_pipeline_v2_docs — per-document chunk/span/line lists,
+    #   bounded by document length;
+    #   inverted_index_terms — posting lists, output-sized (the list IS
+    #   the requested payload);
+    #   q21_suppliers_kept_waiting — per-order supplier sets, bounded by
+    #   lines-per-order (single digits).
+    # The MinHash/SimHash bucket collects sit behind checkpoint barriers
+    # (invisible to this executed-plan scan) and are bounded by
+    # bucket_cap + exact pre-collapse (functions/dedup.py, round-9).
+    "UNBOUNDED-COLLECT": {
+        "dup_span_removal_docs",
+        "scrub_spans_docs",
+        "chunk_dedup_docs",
+        "dup_ngram_coverage_docs",
+        "boilerplate_removal_docs",
+        "curation_pipeline_v2_docs",
+        "inverted_index_terms",
+        "q21_suppliers_kept_waiting",
+    },
 }
 
 FEATURES = [
@@ -54,6 +79,7 @@ FEATURES = [
     ("TakeOrderedAndProject", "topk"),
     ("SinglePartition", "single-part"),
     ("PushedFilters: [Is", "pushdown"),
+    (re.compile(r"collect_(?:list|set)"), "UNBOUNDED-COLLECT"),
 ]
 
 
@@ -82,8 +108,12 @@ def main() -> int:
             )
             if not n:
                 continue
-            if label.isupper() and name not in DELIBERATE.get(label, set()):
-                flags.append(f"{name}: {label}")
+            if label.isupper():
+                if name not in DELIBERATE.get(label, set()):
+                    flags.append(f"{name}: {label}")
+                else:
+                    # documented-deliberate: report lowercase-informational
+                    label = label.lower()
             feats.append(label if n == 1 else f"{label}x{n}")
         n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
         if n_ex:
@@ -95,8 +125,12 @@ def main() -> int:
         "",
         f"Generated by `python tools/plan_audit.py {sf_dir} --write`. Labels:",
         "arrow-udf/mapInPandas/udtf = Arrow-batched Python stages;",
-        "ROW-AT-A-TIME-PY and CARTESIAN (uppercase) are red flags unless",
-        "listed as deliberate; bhj/smj/shj/bnlj = join strategies; pushdown =",
+        "ROW-AT-A-TIME-PY, CARTESIAN and UNBOUNDED-COLLECT (uppercase) are",
+        "red flags unless allowlisted with a documented population bound",
+        "(doc-length / parameter / output-size / bucket_cap — see",
+        "DELIBERATE in tools/plan_audit.py; round-9 telemetry for the",
+        "round-8 LSH hot-bucket class of finding);",
+        "bhj/smj/shj/bnlj = join strategies; pushdown =",
         "filters reached the parquet scan; single-part = a SinglePartition",
         "exchange exists (legitimate for one-row reductions and bounded",
         "driver-state collects; the load-bearing no-funnel contracts are",
