@@ -140,6 +140,10 @@ HEADLINE = [
     "q14_promo_effect",
     "q19_discounted_revenue",
     "q22_global_sales_opportunity",
+    # round 9 additions
+    "minhash_dedup_boiler_docs",
+    "q17_small_quantity_revenue",
+    "q21_suppliers_kept_waiting",
 ]
 
 

@@ -443,11 +443,14 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     li = load_table(spark, sf_dir, "lineitem")
-    brand_lines = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    # no forced broadcasts: the brand part list and the per-part threshold
+    # are sf-proportional (the round-8 no-hint rule) — AQE broadcasts both
+    # at runtime while they fit, shuffles on the part key when they don't
+    brand_lines = li.join(part, li.l_partkey == part.p_partkey)
     thr = brand_lines.groupBy("l_partkey").agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("__thr")
     )
-    small = brand_lines.join(F.broadcast(thr), "l_partkey").filter(
+    small = brand_lines.join(thr, "l_partkey").filter(
         F.col("l_quantity") < F.col("__thr")
     )
     return small.agg(
@@ -476,7 +479,9 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse into per-order counts — distinct suppliers and distinct LATE
     suppliers — computed by collect_set windows over ONE shuffle on the
     order key (set size bounded by lines-per-order, single digits); the
-    supplier/nation dims broadcast. No correlated re-scan, no cartesian:
+    constant-size nation keeps its broadcast hint, sf-proportional
+    supplier is left to AQE (the round-8 no-hint rule).
+    No correlated re-scan, no cartesian:
     a qualifying l1 line is late AND in an order with >= 2 suppliers AND
     exactly 1 late supplier (itself)."""
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -517,7 +522,7 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     ).select("s_suppkey", "s_name")
     return (
-        l1.join(F.broadcast(named), l1.l_suppkey == named.s_suppkey)
+        l1.join(named, l1.l_suppkey == named.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))

@@ -269,6 +269,104 @@ def stateful_running_count_tws(
     )
 
 
+def stream_incremental_dedup(
+    stream_df: DataFrame,
+    out_path: str,
+    sketch_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    n_bands: int = 16,
+    ngram: int = 5,
+    threshold: float = 0.9,
+    seed: int = 0x5EED,
+    available_now: bool = True,
+    **dedup_kw,
+):
+    """C85: the steady-state production ingest loop for fuzzy dedup —
+    C81's incremental dedup under ``foreachBatch``, with the
+    ``minhash_sketches`` table persisted to parquet and rolled forward
+    every micro-batch (round-8 verdict item 6):
+
+    1. match the batch against the HISTORY SKETCH TABLE read from
+       ``sketch_path`` (cross-corpus banded LSH; history is touched only
+       through its sketches — never re-read, never re-sketched, never
+       broadcast); near-dups of history drop;
+    2. fuzzy-dedup the survivors among themselves
+       (:func:`~kafka_connect_jsonata_spark.functions.dedup.minhash_dedup`,
+       ``keep=``/``score_col=`` pass through ``dedup_kw``);
+    3. append the kept documents to ``out_path`` AND their sketches to
+       ``sketch_path``, so the NEXT batch sees them as history.
+
+    The first batch (no sketch table yet) is a plain intra-batch dedup.
+    Exactly the batch-mode fold: running ``minhash_dedup_incremental``
+    batch-by-batch with ``ref_sketches`` = everything kept so far —
+    row-exact parity is pinned in tests/test_streaming.py. Sketch
+    parameters must stay constant across the table's lifetime (same
+    contract as :func:`minhash_sketches`).
+
+    At 100 TB steady state the per-batch cost is sketch(batch) +
+    one (band, bucket) equi-join against the history sketches + an
+    output-sized verify — independent of history's TEXT size; the sketch
+    table grows by kept-batch rows only. ``foreachBatch`` gives the usual
+    checkpointed once-per-batch bookkeeping; the two appends are idempotent
+    per batch replay only if the writer dedups on batch id downstream —
+    production sinks that need exactly-once should stamp _batch_id (the
+    standard Spark guidance) — the semantics HERE pin the dedup math.
+
+    ``available_now=True`` drains the source and stops (backfill / test
+    mode); False runs continuously.
+    """
+    from kafka_connect_jsonata_spark.functions import dedup as D
+
+    params = dict(num_hashes=num_hashes, n_bands=n_bands, ngram=ngram, seed=seed)
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            ref_sk = spark.read.parquet(sketch_path)
+        except Exception:  # first batch: no history table yet
+            ref_sk = None
+        if ref_sk is not None:
+            kept = D.minhash_dedup_incremental(
+                batch_df,
+                None,
+                id_col=id_col,
+                text_col=text_col,
+                threshold=threshold,
+                ref_sketches=ref_sk,
+                **params,
+                **dedup_kw,
+            )
+        else:
+            kept = D.minhash_dedup(
+                batch_df,
+                id_col=id_col,
+                text_col=text_col,
+                threshold=threshold,
+                **params,
+                **dedup_kw,
+            )
+        # materialize once: both appends below reuse the same kept set
+        # instead of re-running the dedup plan per write
+        kept = D.barrier(kept)
+        kept.write.mode("append").parquet(out_path)
+        D.minhash_sketches(
+            kept, id_col=id_col, text_col=text_col, **params
+        ).write.mode("append").parquet(sketch_path)
+
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.processAllAvailable()
+        q.stop()
+        return q
+    return writer.start()
+
+
 def stream_to_partitioned_sink(
     stream_df: DataFrame,
     path: str,

@@ -171,6 +171,11 @@ def test_tpch_no_forced_broadcast_on_sf_proportional_sides(spark, sf_dir):
             "q10_returned_items": 1,  # nation
             "q18_large_volume_customer": 0,
             "q5_local_supplier": 2,  # nation + region
+            # round-9 correlated-subquery tail: decorrelated aggregates
+            # (q17's per-part threshold, q21's per-order supplier sets)
+            # must not be force-broadcast; q21 keeps only nation's hint
+            "q17_small_quantity_revenue": 0,
+            "q21_suppliers_kept_waiting": 1,  # nation (left_semi)
         }
         for name, n_hinted in expected_hinted.items():
             plan = plan_of(Q.QUERIES[name](spark, sf_dir))

@@ -426,3 +426,57 @@ def test_curation_pipeline_v3_stream_foreachbatch_parity(spark, sf_dir, tmp_path
     q.stop()
     exp = sorted(map(tuple, curation_pipeline_v3(batch_docs).collect()))
     assert sorted(got) == exp and len(got) > 0
+
+
+def test_stream_incremental_dedup_rolls_sketch_table_forward(
+    spark, sf_dir, tmp_path
+):
+    """Round-9 C85 (round-8 verdict item 6): the steady-state ingest loop —
+    incremental fuzzy dedup under foreachBatch with the minhash_sketches
+    table read from and appended to parquet per micro-batch. Two batches
+    delivered in a deterministic order must be row-exact with the batch
+    fold: dedup(batch1), then minhash_dedup_incremental(batch2,
+    ref_sketches=sketches(kept so far))."""
+    from kafka_connect_jsonata_spark.functions import dedup
+    from kafka_connect_jsonata_spark.streaming.transform import (
+        stream_incremental_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    half1 = docs.filter(F.col("doc_id") % 2 == 0)
+    half2 = docs.filter(F.col("doc_id") % 2 != 0)
+    src = tmp_path / "ingest_src"
+    out = str(tmp_path / "kept_out")
+    sk = str(tmp_path / "sketches")
+    ckpt = str(tmp_path / "ckpt")
+    params = dict(num_hashes=32, n_bands=8, threshold=0.9)
+    schema = docs.schema
+
+    # batch 1 arrives, drain; batch 2 arrives, drain — the same
+    # checkpoint makes the second run process only the new file
+    half1.coalesce(1).write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(f"{src}/*")
+    stream_incremental_dedup(stream, out, sk, ckpt, **params)
+    half2.coalesce(1).write.parquet(str(src / "b2"))
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(f"{src}/*")
+    stream_incremental_dedup(stream, out, sk, ckpt, **params)
+
+    got = sorted(r[0] for r in spark.read.parquet(out).select("doc_id").collect())
+
+    kept1 = dedup.minhash_dedup(half1, **params)
+    kept2 = dedup.minhash_dedup_incremental(
+        half2, None, ref_sketches=dedup.minhash_sketches(kept1, num_hashes=32, n_bands=8), **params
+    )
+    exp = sorted(
+        r[0] for r in kept1.select("doc_id").union(kept2.select("doc_id")).collect()
+    )
+    assert got == exp and got
+    # history sketch table rolled forward: one sketch row per kept doc
+    assert spark.read.parquet(sk).count() == len(got)
+    # and the second batch actually dropped cross-batch near-dups
+    n_in = half1.count() + half2.count()
+    assert len(got) < n_in
