@@ -299,6 +299,17 @@ class Compiler:
             ):
                 src = self._c(node["lhs"]["lhs"], ctx, env)
                 return self._descendant_field(src, rhs_node["value"])
+            if node["lhs"]["type"] in ("index_bind", "context_bind"):
+                # positional (#$i) / focus (@$v) binds at THIS path level
+                # (round 9, B1.8): the bound sequence comes from the current
+                # single context item, so tier 2's global enumeration over
+                # the step's result sequence coincides with the array
+                # position / element — compiled as one transform() carrying
+                # the bind through the child env. Binds that would cross an
+                # OUTER fan-out (items.parts#$i — enumeration spans parents)
+                # parse with the bind on an inner path_op's rhs and keep
+                # routing to tier 2 below.
+                return self._bound_step(node["lhs"], rhs_node, ctx, env)
             lhs = self._c(node["lhs"], ctx, env)
             if rhs_node["type"] == "object" and isinstance(lhs.dtype, T.ArrayType):
                 # dotted object constructor maps PER ELEMENT (jsonata docs:
@@ -349,10 +360,21 @@ class Compiler:
 
                 col = F.transform(lhs.col, build_arr)
                 return Typed(col, T.ArrayType(T.ArrayType(et_box[0] or T.StringType())))
-            if rhs_node["type"] == "call" and isinstance(lhs.dtype, T.ArrayType):
-                # a function-call step maps per element like every other
-                # dotted step ([1,2,3].$string($) -> ['1','2','3']; the
-                # whole-array form is the ARGUMENT position, $string(arr))
+            if rhs_node["type"] in (
+                "call",
+                "block",
+                "condition",
+                "binary",
+                "unary",
+            ) and isinstance(lhs.dtype, T.ArrayType):
+                # a function-call / parenthesized-expression / conditional
+                # step maps per element like every other dotted step
+                # ([1,2,3].$string($) -> ['1','2','3']; a.($ * 2) doubles
+                # each element — round 9 widened this branch from calls to
+                # the other expression step kinds, which previously
+                # compiled against the WHOLE array and failed analysis).
+                # The whole-array form is the ARGUMENT position,
+                # $string(arr).
                 elem_t = lhs.dtype.elementType
                 dt_box: list = []
 
@@ -373,6 +395,18 @@ class Compiler:
                     return Typed(col, res_t)
                 return Typed(col, T.ArrayType(res_t))
             return self._c(rhs_node, lhs, env)
+        if t == "keep_array":
+            # `a[]` pins array-ness: a singleton result stays a one-element
+            # array (tier 2 sets keep_singleton on the sequence); an array
+            # result is already a sequence and passes through. Undefined
+            # stays undefined (SQL NULL), not [].
+            inner = self._c(node["expr"], ctx, env)
+            if isinstance(inner.dtype, T.ArrayType):
+                return inner
+            return Typed(
+                F.when(inner.col.isNotNull(), F.array(inner.col)),
+                T.ArrayType(inner.dtype or T.StringType()),
+            )
         if t == "filter":
             return self._filter(node, ctx, env)
         if t == "binary":
@@ -530,6 +564,46 @@ class Compiler:
         raise NotCompilable(f"node type {t!r}")
 
     # ---------------------------------------------------------------- helpers
+    def _bound_step(self, bind_node, rhs_node, ctx: Typed, env: dict) -> Typed:
+        """Compile ``X#$i.RHS`` / ``X@$v.RHS`` (B1.8 positional/focus
+        binds) where the bind is applied to the current context item: one
+        ``transform()`` over X's sequence evaluating RHS per element with
+        the bind in the child env — $i is the 0-based position in the
+        sequence (Spark's two-arg transform index), $v the element itself.
+        Result follows the path sequence rules the other mapped steps use:
+        array-valued element results flatten one level with nulls
+        (empty sequences) dropped."""
+        src = self._c(bind_node["expr"], ctx, env)
+        var = bind_node["var"]
+        is_index = bind_node["type"] == "index_bind"
+        if not isinstance(src.dtype, T.ArrayType):
+            # singleton sequence: index 0 / the value itself
+            child = dict(env)
+            child[var] = (
+                Typed(F.lit(0).cast("long"), T.LongType()) if is_index else src
+            )
+            return self._c(rhs_node, src, child)
+        elem_t = src.dtype.elementType
+        dt_box: list = []
+
+        def build(x, i):
+            child = dict(env)
+            child[var] = (
+                Typed(i.cast("long"), T.LongType())
+                if is_index
+                else Typed(x, elem_t)
+            )
+            res = self._c(rhs_node, Typed(x, elem_t), child)
+            dt_box.append(res.dtype)
+            return res.col
+
+        col = F.transform(src.col, build)
+        res_t = dt_box[0] or T.StringType()
+        if isinstance(res_t, T.ArrayType):
+            col = F.flatten(F.filter(col, lambda r: r.isNotNull()))
+            return Typed(col, res_t)
+        return Typed(col, T.ArrayType(res_t))
+
     def _field(self, ctx: Typed, name: str) -> Typed:
         dt = ctx.dtype
         if isinstance(dt, T.StructType):

@@ -666,6 +666,16 @@ DUAL_TIER_EXPRS = [
     "{'lo': $lowercase(last), 'tr': $trim(first), 'sb': $substringBefore(tags, ',')}",
     "{'b': $boolean(age), 'e': $exists(first), 'nn': $not(age > 100)}",
     "{'abs': $abs(age - 100), 'sq': $sqrt(age * age)}",
+    # round-9 tranche: positional/focus binds, keep-array, and expression
+    # path steps over arrays (B1.8 / B1.10 in tier 1). Aggregated so the
+    # documented singleton-unwrap / empty-sequence representation
+    # conventions (SURVEY §1.3) don't trip the strict row compare — the
+    # structural array outputs are pinned on a multi-element corpus in
+    # tests/test_round9_ops.py.
+    "{'i': $count(scores) > 0 ? $sum(scores#$i.($i)) : -1,"
+    " 'v': $count(scores) > 0 ? $sum(scores@$v.($v * 2)) : -1,"
+    " 'd': $count(scores) > 0 ? $sum(scores.($ * 2)) : -1,"
+    " 'k': $count(scores[]), 'one': $count(age[])}",
 ]
 
 
@@ -910,7 +920,8 @@ def test_dual_tier_context_corpus_sweep(spark):
             else:
                 compiled_n += 1
     assert not failures, failures[:5]
-    assert compiled_n >= 20, (compiled_n, skipped)
+    # round-9 binds/keep-array/expression-step tranche lifted 30 -> 35
+    assert compiled_n >= 34, (compiled_n, skipped)
     print(f"\ncontext-sweep compiled: {compiled_n}, interpreter-only: {skipped}")
 
 

@@ -273,3 +273,59 @@ def test_simhash_max_hamming_zero_is_intra_only(spark, sf_dir):
     )
     want = sorted((r.id_a, r.id_b) for r in bf.collect())
     assert got == want
+
+
+# ------------------------------------------------ compiler tranche (item 5)
+
+
+def test_compiled_binds_and_keep_array_structural(spark):
+    """Round-9 tier-1 tranche (B1.8/B1.10): positional (#$i) and focus
+    (@$v) binds, keep-array ([]), and expression path steps over arrays
+    compile to pure Column transforms — structural outputs pinned against
+    the tier-2 interpreter on a multi-element corpus (the dual-tier corpus
+    sweeps cover the aggregate forms; this pins the array shapes)."""
+    from kafka_connect_jsonata_spark.transform import transform
+
+    df = spark.createDataFrame(
+        [(1, [10, 20, 30], [{"b": 1}, {"b": 2}], 7, ["a b", "c d"])],
+        "id long, a array<long>, s array<struct<b:long>>, x long,"
+        " t array<string>",
+    )
+    cases = [
+        ("a#$i.($i)", [0, 1, 2]),
+        ("a#$i.($ + $i)", [10, 21, 32]),
+        ("a@$v.($v * 2)", [20, 40, 60]),
+        ("s@$v.($v.b)", [1, 2]),
+        ("a[]", [10, 20, 30]),
+        ("x[]", [7]),
+        ("s[].b", [1, 2]),
+        ("a.($ * 2)", [20, 40, 60]),
+        ("a.(-$)", [-10, -20, -30]),
+        ("t.$split($, ' ')", ["a", "b", "c", "d"]),
+        ("a.($ > 15 ? 'big' : 'small')", ["small", "big", "big"]),
+        ("a.($ * 2).($ + 1)", [21, 41, 61]),
+    ]
+    for expr, want in cases:
+        c = transform(df, expr, force_tier="compiled")
+        got = c.collect()[0][0]
+        norm = [int(v) if isinstance(v, float) and v == int(v) else v for v in got]
+        assert norm == want, (expr, got)
+        # interpreter agreement (its JSON rendering)
+        import json
+
+        i = transform(df, expr, force_tier="interpreter")
+        ival = json.loads(i.collect()[0][0])
+        assert ival == want, (expr, ival)
+
+
+def test_compiled_bind_object_step(spark):
+    from kafka_connect_jsonata_spark.transform import transform
+
+    df = spark.createDataFrame(
+        [(1, [{"b": 5}, {"b": 9}])], "id long, s array<struct<b:long>>"
+    )
+    c = transform(df, "s#$i.{'v': $.b, 'i': $i}", force_tier="compiled")
+    assert [r.asDict() for r in c.collect()[0][0]] == [
+        {"v": 5, "i": 0},
+        {"v": 9, "i": 1},
+    ]
