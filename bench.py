@@ -144,6 +144,8 @@ HEADLINE = [
     "minhash_dedup_boiler_docs",
     "q17_small_quantity_revenue",
     "q21_suppliers_kept_waiting",
+    "q2_minimum_cost_supplier",
+    "q20_potential_promotion_suppliers",
 ]
 
 

@@ -548,6 +548,144 @@ GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
 """
 
 
+def q2_minimum_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (C84): correlated MIN over the supply relation —
+    for every STANDARD part, the European suppliers offering exactly the
+    part's minimum unit price. The driver schema has no partsupp table,
+    so the supply relation derives from lineitem (min observed unit
+    price per (part, supplier) — one keyed aggregate); the correlated
+    `= (SELECT min(...))` decorrelates into a per-part MIN + an equality
+    join that PRESERVES TIES (all suppliers at the minimum), Q2's defining
+    semantics. Constant-size nation/region keep broadcast hints;
+    supplier and the derived supply table are left to AQE. Unit price is
+    one IEEE division and the min/equality compare identical doubles, so
+    the float equality is engine-portable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    ).select("p_partkey")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    eur = (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps_eur = ps.join(eur, ps.sk == eur.s_suppkey)
+    minc = ps_eur.groupBy("pk").agg(F.min("cost").alias("__mc"))
+    return (
+        ps_eur.join(part, ps_eur.pk == part.p_partkey)
+        .join(minc, "pk")
+        .filter(F.col("cost") == F.col("__mc"))
+        # min_cost ships UNROUNDED: both engines divide and MIN the same
+        # doubles, so the raw value is bit-portable — a round(x, 4) is NOT
+        # (Spark HALF_UP vs DuckDB rint diverge one ulp at half boundaries)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.col("cost").alias("min_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH ps AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         min(l_extendedprice / l_quantity) AS cost
+  FROM lineitem GROUP BY 1, 2),
+eur AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE')
+SELECT s.s_acctbal, s.s_name, s.n_name, p.p_partkey,
+       ps.cost AS min_cost
+FROM part p JOIN ps ON ps.pk = p.p_partkey JOIN eur s ON s.s_suppkey = ps.sk
+WHERE p.p_type = 'STANDARD'
+  AND ps.cost = (SELECT min(ps2.cost)
+                 FROM ps ps2 JOIN eur s2 ON s2.s_suppkey = ps2.sk
+                 WHERE ps2.pk = p.p_partkey)
+ORDER BY s.s_acctbal DESC, s.n_name, s.s_name, p.p_partkey LIMIT 100
+"""
+
+
+def q20_potential_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (C84): nested IN-subqueries + a correlated
+    aggregate threshold — suppliers in a nation group whose shipments of
+    a name-selected part class SURGED (1997 quantity exceeding half their
+    all-time quantity for that part; the schema has no partsupp.availqty,
+    so the two quantities aggregate the same fact at different date
+    slices, keeping the correlated same-key two-aggregate compare). The
+    part IN-list is a semi-join, the qualifying (part, supplier) set is
+    one keyed aggregate over lineitem, and the supplier IN is a final
+    semi-join — no correlated re-scan. Quantities are integral doubles:
+    sums are exact, the 0.5 threshold is engine-portable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").like("NATION_1%")
+    )
+    parts = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("large%")
+    ).select("p_partkey")
+    in_97 = (F.col("l_shipdate") >= "1997-01-01") & (
+        F.col("l_shipdate") < "1998-01-01"
+    )
+    psq = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(
+        F.sum("l_quantity").alias("__total"),
+        F.sum(F.when(in_97, F.col("l_quantity")).otherwise(F.lit(0.0))).alias(
+            "__yr"
+        ),
+    )
+    qual = (
+        psq.join(parts, psq.pk == parts.p_partkey, "left_semi")
+        .filter(F.col("__yr") > 0.5 * F.col("__total"))
+        .select("sk")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(qual, supplier.s_suppkey == qual.sk, "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = """
+WITH psq AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         sum(l_quantity) AS total_qty,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                   AND l_shipdate < TIMESTAMP '1998-01-01'
+                  THEN l_quantity ELSE 0 END) AS yr_qty
+  FROM lineitem GROUP BY 1, 2)
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name LIKE 'NATION_1%'
+  AND s_suppkey IN (
+    SELECT sk FROM psq
+    WHERE pk IN (SELECT p_partkey FROM part WHERE p_name LIKE 'large%')
+      AND yr_qty > 0.5 * total_qty)
+ORDER BY s_name
+"""
+
+
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join with two broadcast dims, agg by nation."""
     region = load_table(spark, sf_dir, "region")
@@ -4576,6 +4714,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # TPC-H family holds five in-window rows via the round-9 rotation)
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
+    "q2_minimum_cost_supplier": q2_minimum_cost_supplier,
+    "q20_potential_promotion_suppliers": q20_potential_promotion_suppliers,
     "semi_join_customers": semi_join_customers,
     "udtf_explode_tokens": udtf_explode_tokens,
     "temperature_token_mix_docs": temperature_token_mix_docs,
@@ -4770,6 +4910,8 @@ ORACLES: dict[str, str] = {
     "q22_global_sales_opportunity": Q22_SQL,
     "q17_small_quantity_revenue": Q17_SQL,
     "q21_suppliers_kept_waiting": Q21_SQL,
+    "q2_minimum_cost_supplier": Q2_SQL,
+    "q20_potential_promotion_suppliers": Q20_SQL,
     # boiler gate: replicas provably change nothing, so the PLAIN-corpus
     # closure is the exact oracle (see the gate docstring's argument)
     "minhash_dedup_boiler_docs": MINHASH_DEDUP_SQL,

@@ -21,6 +21,11 @@ NOTES = {
     "minhash_dedup_docs": "C79 composed fuzzy dedup; DuckDB oracle (brute-force closure, ~8 min at sf0.1) checked at sf0.01, skipped here",
     "minhash_dedup_best_docs": "C79 keep=best variant; oracle skipped here (same brute-force closure)",
     "minhash_dedup_incr_docs": "C81 incremental dedup vs reference corpus; oracle skipped here (same class)",
+    "minhash_dedup_boiler_docs": "C79 hot-bucket stress gate (corpus + 3x identical replicas, exact pre-collapse); oracle = plain-corpus closure, skipped here (same class)",
+    "q17_small_quantity_revenue": "C84 correlated scalar AVG, decorrelated to keyed agg + join",
+    "q21_suppliers_kept_waiting": "C84 multi-EXISTS/NOT-EXISTS via per-order collect_set window",
+    "q2_minimum_cost_supplier": "C84 correlated MIN, tie-preserving equality join",
+    "q20_potential_promotion_suppliers": "C84 nested IN + correlated two-aggregate threshold",
     "simhash_docs": "sketch, rows-only",
     "ann_lsh_topk": "LSH ANN at recall-1.0 gate params; oracle = brute-force top-k",
     "ann_ivf_topk": "IVF ANN at recall-1.0 gate params; oracle = brute-force top-k",
@@ -100,7 +105,8 @@ def main() -> None:
     with open(os.path.join(repo, "BENCH.json")) as f:
         spark_q = json.load(f)["queries"]
     env["DUCKDB_BENCH_SKIP"] = ("ngram_jaccard_dups,minhash_dedup_docs,"
-        "minhash_dedup_best_docs,minhash_dedup_incr_docs")
+        "minhash_dedup_best_docs,minhash_dedup_incr_docs,"
+        "minhash_dedup_boiler_docs")
     duck_out = subprocess.run(
         [sys.executable, "tools/duckdb_bench.py", sf_dir],
         capture_output=True, text=True, env=env,
