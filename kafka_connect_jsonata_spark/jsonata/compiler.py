@@ -87,6 +87,92 @@ def _pure_path_node(node: dict) -> bool:
     return False
 
 
+# builtins through which undefined PROPAGATES (f(undefined) -> undefined),
+# verified one-by-one against the tier-2 interpreter in
+# tests/test_round9_compile.py::test_undef_propagating_fns_agree_with_tier2.
+# NOT in this set (defined results on undefined input): $count -> 0,
+# $exists -> false, $boolean -> false, $append -> the other operand,
+# $join -> '', $sum -> 0 over empty.
+_UNDEF_PROPAGATING_FNS = frozenset(
+    {
+        "uppercase", "lowercase", "trim", "length", "substring",
+        "substringBefore", "substringAfter", "string", "number", "abs",
+        "floor", "ceil", "round", "sqrt", "power", "not", "pad",
+        "formatNumber", "formatBase", "formatInteger", "split", "contains",
+    }
+)
+
+
+def _undef_value_node(node: dict) -> bool:
+    """True when a :class:`StaticallyUndefined` escaping this node's compile
+    implies the node's VALUE is undefined for every row. Undefined
+    propagates through path steps, predicates over a path, arithmetic,
+    order comparison (``<`` ``<=`` ``>`` ``>=``), unary minus, and the
+    :data:`_UNDEF_PROPAGATING_FNS` builtins. It does NOT propagate through
+    ``=``/``!=``/``in`` (false), ``&`` (''), ``and``/``or`` (falsy),
+    ``?:`` (else branch), or aggregate-style builtins — but those handlers
+    resolve the exception INTERNALLY and never re-raise it, so any escape
+    from such a subtree can only have come from a propagating position.
+    Each recursive arm requires EVERY child that could raise to be
+    propagation-sound (literals cannot raise, so they pass trivially):
+    the catch site cannot tell which child raised."""
+    t = node.get("type")
+    if t in ("number", "string", "value", "regex"):
+        return True  # cannot raise StaticallyUndefined
+    if t == "name":
+        return True
+    if t == "path_op":
+        return _undef_value_node(node["lhs"]) and _undef_value_node(node["rhs"])
+    if t == "filter":
+        # undefined[pred] -> undefined; and a pred whose VALUE is provably
+        # undefined matches nothing -> empty sequence -> undefined. Each
+        # child must be either raise-free or propagation-sound.
+        ok_expr = _undef_value_node(node["expr"]) or not _node_can_raise(
+            node["expr"]
+        )
+        ok_pred = _undef_value_node(node["predicate"]) or not _node_can_raise(
+            node["predicate"]
+        )
+        return ok_expr and ok_pred
+    if t == "binary" and node.get("value") in ("+", "-", "*", "/", "%",
+                                               "<", "<=", ">", ">="):
+        return _undef_value_node(node["lhs"]) and _undef_value_node(node["rhs"])
+    if t == "unary" and node.get("value") == "-":
+        return _undef_value_node(node["expression"])
+    if (
+        t == "call"
+        and node.get("procedure", {}).get("type") == "variable"
+        and node["procedure"]["value"] in _UNDEF_PROPAGATING_FNS
+        and node["arguments"]
+    ):
+        # propagation is verified for the FIRST argument only —
+        # $substring('abc', nope) is 'abc' and $power(2, nope) throws
+        # T0410, so a raise escaping a later argument is NOT a proof of
+        # undefined value: later arguments must be raise-free.
+        args = node["arguments"]
+        return _undef_value_node(args[0]) and not any(
+            _node_can_raise(a) for a in args[1:]
+        )
+    return False
+
+
+def _node_can_raise(node) -> bool:
+    """Conservatively: does this subtree contain any name/path step (the
+    only sources of StaticallyUndefined)? Used to rule out escapes from
+    non-propagating positions inside :func:`_undef_value_node` arms."""
+    if isinstance(node, (list, tuple)):
+        return any(_node_can_raise(x) for x in node)
+    if not isinstance(node, dict):
+        return False
+    if node.get("type") == "name":
+        return True
+    return any(
+        _node_can_raise(v)
+        for v in node.values()
+        if isinstance(v, (dict, list, tuple))
+    )
+
+
 def shortest_repr_parts(a: Column) -> tuple[Column, Column, Column]:
     """Shortest round-trip decimal digits of a NON-NEGATIVE double column:
     returns ``(digits, k, L)`` — the digit string (no point, no trailing
@@ -415,7 +501,16 @@ class Compiler:
             inner = self._c(node["expression"], ctx, env)
             return Typed(-inner.col, inner.dtype)
         if t == "condition":
-            cond = self._c(node["condition"], ctx, env)
+            try:
+                cond = self._c(node["condition"], ctx, env)
+            except StaticallyUndefined:
+                # an undefined condition is falsy -> the else branch
+                # (round 9; `nothing ? 1 : 2` -> 2 in the interpreter)
+                if not _undef_value_node(node["condition"]):
+                    raise
+                if node["else"] is None:
+                    raise  # whole expression undefined; let callers fold
+                return self._c(node["else"], ctx, env)
             then = self._c(node["then"], ctx, env)
             els = (
                 self._c(node["else"], ctx, env)
@@ -481,11 +576,13 @@ class Compiler:
                     # a pair whose value is PROVABLY undefined (schema-absent
                     # field) is omitted from the constructed object — the
                     # JSONata rule, foldable at compile time because the
-                    # absence holds for every row (round 7). Only a BARE
-                    # path's absence implies the value is undefined;
-                    # operators over the absent field (b = 1, b & 'x')
-                    # have defined non-undefined results -> tier 2.
-                    if _pure_path_node(vexpr):
+                    # absence holds for every row (round 7). Round 9 widens
+                    # the gate from bare paths to every propagation-sound
+                    # shape (_undef_value_node): {'x': nope + 1} -> {};
+                    # operators with DEFINED results over an absent field
+                    # (b = 1, b & 'x') resolve inside _binary and never
+                    # re-raise, so they cannot reach this catch.
+                    if _undef_value_node(vexpr):
                         continue
                     raise
                 fields.append(val.col.alias(key))
@@ -502,7 +599,24 @@ class Compiler:
             # range elements SPLICE into the constructor ([1..3, 5] ->
             # [1,2,3,5]); explicit nested arrays do not (round-5 dual-tier
             # sweep fix — F.array over a range made [[1,2,3]])
-            items = [self._c(e, ctx, env) for e in node["expressions"]]
+            exprs = []
+            items = []
+            for e in node["expressions"]:
+                try:
+                    items.append(self._c(e, ctx, env))
+                    exprs.append(e)
+                except StaticallyUndefined:
+                    # an undefined element is OMITTED from the constructed
+                    # array ([1, nope, 2] -> [1, 2]), foldable because the
+                    # absence holds for every row (round 9)
+                    if not _undef_value_node(e):
+                        raise
+            node = dict(node, expressions=exprs)
+            if not items:
+                return Typed(
+                    F.array().cast("array<string>"),
+                    T.ArrayType(T.StringType()),
+                )
             if any(e["type"] == "range" for e in node["expressions"]):
                 parts = []
                 et = None
@@ -560,10 +674,119 @@ class Compiler:
                 child = dict(env)
                 child[rhs["args"][0]] = self._c(node["lhs"], ctx, env)
                 return self._c(rhs["body"], ctx, child)
+            if rhs["type"] == "transform":
+                # x ~> |pattern|update, delete|  (round 9): the reference
+                # SMT's record-update shape (Transformation.java applies
+                # exactly this form per record) compiled to nested
+                # withField/dropFields — a pure projection, no UDF
+                return self._transform_op(node["lhs"], rhs, ctx, env)
             raise NotCompilable("~> with non-call rhs")
         raise NotCompilable(f"node type {t!r}")
 
     # ---------------------------------------------------------------- helpers
+    def _transform_op(self, lhs_node, tnode, ctx: Typed, env: dict) -> Typed:
+        """Compile ``X ~> |pattern|update, delete|`` (the JSONata transform
+        operator) over a statically struct-typed X: each pattern match
+        becomes in-place ``withField`` updates (object-constructor
+        semantics for the update, evaluated with the matched node as
+        context) followed by ``dropFields`` for the delete list. Patterns
+        supported: ``$`` (the value itself) and simple name paths, with
+        array-of-struct steps mapping over elements (the interpreter
+        updates every matched element). An absent path step matches
+        nothing -> the input is returned unchanged, which withField's
+        null-propagation gives for free. Dynamic patterns, predicates in
+        the pattern, and non-literal delete lists stay tier 2."""
+        target = self._c(lhs_node, ctx, env)
+        dele = tnode.get("delete")
+        del_names: list[str] = []
+        if dele is not None:
+            if dele["type"] == "string":
+                del_names = [dele["value"]]
+            elif dele["type"] == "array" and all(
+                e["type"] == "string" for e in dele["expressions"]
+            ):
+                del_names = [e["value"] for e in dele["expressions"]]
+            else:
+                raise NotCompilable("transform delete list not literal strings")
+        update = tnode["update"]
+        if update["type"] != "object":
+            raise NotCompilable("transform update not an object constructor")
+        steps: list[str] = []
+        p = tnode["pattern"]
+        while p["type"] == "path_op":
+            if p["rhs"]["type"] != "name":
+                raise NotCompilable("transform pattern step not a plain name")
+            steps.append(p["rhs"]["value"])
+            p = p["lhs"]
+        if p["type"] == "name":
+            steps.append(p["value"])
+        elif not (p["type"] == "variable" and p["value"] in ("", "$")):
+            raise NotCompilable("transform pattern not a simple path")
+        steps.reverse()
+        return self._apply_update(target, steps, update, del_names, env)
+
+    def _apply_update(
+        self, v: Typed, steps: list[str], update, del_names: list[str], env: dict
+    ) -> Typed:
+        if isinstance(v.dtype, T.ArrayType) and isinstance(
+            v.dtype.elementType, T.StructType
+        ):
+            # every element of a matched array is a matched node
+            et_box: list = []
+
+            def per(e):
+                r = self._apply_update(
+                    Typed(e, v.dtype.elementType), steps, update, del_names, env
+                )
+                et_box.append(r.dtype)
+                return r.col
+
+            col = F.transform(v.col, per)
+            return Typed(col, T.ArrayType(et_box[0]))
+        if not isinstance(v.dtype, T.StructType):
+            raise NotCompilable(f"transform target of type {v.dtype}")
+        if steps:
+            name, rest = steps[0], steps[1:]
+            if name not in v.dtype.fieldNames():
+                return v  # pattern matches nothing -> unchanged
+            ft = v.dtype[name].dataType
+            child = self._apply_update(
+                Typed(v.col.getField(name), ft), rest, update, del_names, env
+            )
+            new_fields = [
+                T.StructField(f.name, child.dtype if f.name == name else f.dataType)
+                for f in v.dtype.fields
+            ]
+            return Typed(
+                v.col.withField(name, child.col), T.StructType(new_fields)
+            )
+        upd = self._c(update, v, env)
+        col = v.col
+        fields = list(v.dtype.fields)
+        if isinstance(upd.dtype, T.StructType):
+            for f in upd.dtype.fields:
+                col = col.withField(f.name, upd.col.getField(f.name))
+                existing = [x.name for x in fields]
+                nf = T.StructField(f.name, f.dataType)
+                if f.name in existing:
+                    fields[existing.index(f.name)] = nf
+                else:
+                    fields.append(nf)
+        elif not isinstance(upd.dtype, T.MapType):
+            # an object constructor whose every pair is statically
+            # undefined compiles to the empty map -> no-op update; any
+            # other non-struct shape cannot merge
+            raise NotCompilable("transform update is not struct-shaped")
+        drop = [n for n in del_names if n in {x.name for x in fields}]
+        if drop:
+            if len(drop) == len(fields):
+                raise NotCompilable(
+                    "transform deletes every field (empty object in tier 2)"
+                )
+            col = col.dropFields(*drop)
+            fields = [x for x in fields if x.name not in drop]
+        return Typed(col, T.StructType(fields))
+
     def _bound_step(self, bind_node, rhs_node, ctx: Typed, env: dict) -> Typed:
         """Compile ``X#$i.RHS`` / ``X@$v.RHS`` (B1.8 positional/focus
         binds) where the bind is applied to the current context item: one
@@ -619,8 +842,30 @@ class Compiler:
                 raise StaticallyUndefined(f"unknown field {name!r}")
             out_t = inner[name].dataType
             if isinstance(out_t, T.ArrayType):
-                raise NotCompilable("nested-array flatten in implicit mapping")
+                # an array-valued field FLATTENS one level in the result
+                # sequence (JSONata path rule); absent (null) values drop
+                # (round 9 — was tier 2)
+                return Typed(
+                    F.flatten(
+                        F.filter(
+                            F.transform(ctx.col, lambda x: x.getField(name)),
+                            lambda r: r.isNotNull(),
+                        )
+                    ),
+                    out_t,
+                )
             return Typed(F.transform(ctx.col, lambda x: x.getField(name)), T.ArrayType(out_t))
+        _scalars = (
+            T.NullType, T.BooleanType, T.StringType, T.BinaryType,
+            T.NumericType, T.DateType, T.TimestampType, T.TimestampNTZType,
+        )
+        if isinstance(dt, _scalars) or (
+            isinstance(dt, T.ArrayType) and isinstance(dt.elementType, _scalars)
+        ):
+            # stepping into a scalar (or mapping over an array of scalars)
+            # is PROVABLY undefined from the static schema — same fold
+            # surface as a schema-absent field (round 9)
+            raise StaticallyUndefined(f"path step {name!r} into scalar {dt}")
         raise NotCompilable(f"path step {name!r} over {dt}")
 
     def _wildcard(self, v: Typed) -> Typed:
@@ -760,7 +1005,35 @@ class Compiler:
         dt = base.dtype
         pred = node["predicate"]
         if not isinstance(dt, T.ArrayType):
-            raise NotCompilable("predicate over non-array")
+            # a non-array value is a SINGLETON sequence (round 9):
+            # v[0] and v[-1] are v, any other constant index is provably
+            # undefined, and a boolean predicate keeps-or-drops the value
+            sidx = None
+            if pred["type"] == "number":
+                sidx = pred["value"]
+            elif (
+                pred["type"] == "unary"
+                and pred.get("value") == "-"
+                and pred["expression"]["type"] == "number"
+            ):
+                sidx = -pred["expression"]["value"]
+            if sidx is not None:
+                import math as _math
+
+                sidx = int(_math.floor(sidx))
+                if sidx in (0, -1):
+                    return base
+                raise StaticallyUndefined(
+                    f"index {sidx} into a singleton sequence"
+                )
+            sp = self._c(pred, base, env)
+            if isinstance(
+                sp.dtype,
+                (T.LongType, T.IntegerType, T.DoubleType, T.FloatType,
+                 T.ShortType, T.ByteType, T.DecimalType),
+            ):
+                raise NotCompilable("dynamic numeric index over singleton")
+            return Typed(F.when(self._truthy(sp), base.col), dt)
         # constant numeric index — incl. negative (unary minus) and
         # non-integer (floors, jsonata-js rule); round-5 dual-tier sweep
         # fix: [-1]/[1.5] previously fell into the truthiness branch and
@@ -793,9 +1066,31 @@ class Compiler:
             isinstance(probe.dtype, T.ArrayType)
             and isinstance(probe.dtype.elementType, _numeric)
         ):
-            # a numeric (or numeric-array) predicate selects by INDEX in
-            # JSONata, which needs the element's position — tier 2
-            raise NotCompilable("numeric predicate = index selection (tier 2)")
+            # a numeric (or numeric-array) predicate selects by INDEX:
+            # element at position i is kept iff i is in the pred's value
+            # (per-element evaluation, floor rule, negatives wrap, result
+            # in ARRAY-POSITION order, out-of-range drops) — round 9, was
+            # tier 2. One filter() with the positional lambda arg: stays a
+            # whole-stage-codegen projection.
+            n = F.size(base.col)
+
+            def keep(x, i):
+                pv = self._c(pred, Typed(x, elem_ctx_t), env)
+                arr = (
+                    pv.col
+                    if isinstance(pv.dtype, T.ArrayType)
+                    else F.array(pv.col)
+                )
+                return F.exists(
+                    arr,
+                    lambda j: F.when(
+                        F.floor(j.cast("double")) >= 0,
+                        F.floor(j.cast("double")),
+                    ).otherwise(F.floor(j.cast("double")) + n)
+                    == i.cast("long"),
+                )
+
+            return Typed(F.filter(base.col, keep), dt)
         try:
             filtered = F.filter(base.col, lambda x: self._truthy(mk(x)))
         except NotCompilable:
@@ -804,8 +1099,40 @@ class Compiler:
 
     def _binary(self, node, ctx: Typed, env: dict) -> Typed:
         op = node["value"]
-        lhs = self._c(node["lhs"], ctx, env)
-        rhs = self._c(node["rhs"], ctx, env)
+        # operators with DEFINED semantics on an undefined operand resolve
+        # a provably-undefined side here instead of routing to tier 2:
+        # =/!=/in -> false, & -> '', and/or -> falsy (round 9; the
+        # interpreter is the oracle — see test_round9_compile.py). The
+        # catch is gated on _undef_value_node: only escapes from
+        # propagating positions prove the operand VALUE is undefined.
+        def side(which):
+            try:
+                return self._c(node[which], ctx, env)
+            except StaticallyUndefined:
+                if op in ("=", "!=", "in", "&", "and", "or") and _undef_value_node(
+                    node[which]
+                ):
+                    return None  # provably-undefined operand marker
+                raise
+
+        lhs = side("lhs")
+        rhs = side("rhs")
+        if lhs is None or rhs is None:
+            if op in ("=", "!=", "in"):
+                return Typed(F.lit(False), T.BooleanType())
+            if op == "&":
+                other = rhs if lhs is None else lhs
+                if other is None:
+                    return Typed(F.lit(""), T.StringType())
+                return Typed(self._str(other), T.StringType())
+            if op == "and":
+                # undefined is falsy; the defined side still evaluates
+                return Typed(F.lit(False), T.BooleanType())
+            if op == "or":
+                other = rhs if lhs is None else lhs
+                if other is None:
+                    return Typed(F.lit(False), T.BooleanType())
+                return Typed(self._truthy(other), T.BooleanType())
         if op in ("+", "-", "*", "/", "%"):
             a, b = self._num(lhs), self._num(rhs)
             if op == "+":
@@ -919,10 +1246,13 @@ class Compiler:
                 return self._c(a, ctx, env)
             except StaticallyUndefined:
                 # $count/$exists have defined constants for a provably
-                # undefined BARE-PATH argument (round 7): fold instead of
-                # falling to tier 2. An operator over the absent field
-                # ($count(b = 1) = 1) re-raises — tier 2 handles it.
-                if name in ("count", "exists") and _pure_path_node(a):
+                # undefined argument (round 7, widened round 9 to every
+                # propagation-sound shape; NOT $boolean — the interpreter
+                # gives undefined, not false): fold instead of falling to
+                # tier 2. An operator over the absent field with a defined
+                # result ($count(b = 1) = 1) resolves inside _binary and
+                # cannot reach here.
+                if name in ("count", "exists") and _undef_value_node(a):
                     return Typed(F.lit(None), T.NullType())
                 raise
 

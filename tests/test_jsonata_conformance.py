@@ -947,12 +947,11 @@ def test_out_of_range_group_ref_not_compilable():
 
 
 def test_undefined_folding_limited_to_pure_paths(spark):
-    """Round-7 review fix: a PROVABLY-undefined bare path folds (object
-    pair omitted, $count = 0, $exists = false), but an OPERATOR over the
-    absent field has a defined non-undefined result (b = 1 is false,
-    b & 'x' is 'x', b ? 1 : 2 is 2) and must route to tier 2 instead of
-    being folded away."""
-    from kafka_connect_jsonata_spark.jsonata.compiler import NotCompilable
+    """Round-7 review fix, widened in round 9: a PROVABLY-undefined bare
+    path folds (object pair omitted, $count = 0, $exists = false), and an
+    OPERATOR over the absent field now compiles to its defined JSONata
+    result IN TIER 1 (b = 1 is false, b & 'x' is 'x', b ? 1 : 2 is 2) —
+    the interpreter remains the semantics oracle for each value."""
     from kafka_connect_jsonata_spark.transform import transform
 
     df = spark.createDataFrame([("v",)], "a string")
@@ -966,19 +965,18 @@ def test_undefined_folding_limited_to_pure_paths(spark):
         df, "{'keep': a, 'gone': missing.field}", force_tier="compiled"
     ).first()
     assert row.asDict() == {"keep": "v"}
-    # operators over the absent field must NOT fold — tier 2 handles them
-    for expr in (
-        "{'r': b = 1}",
-        "{'r': b & 'x'}",
-        "{'r': b ? 1 : 2}",
-        "$count(b = 1)",
-        "$exists(b = 1)",
+    # operators over the absent field resolve to their DEFINED results in
+    # tier 1 (round 9: _binary/condition catch StaticallyUndefined)
+    for expr, want in (
+        ("{'r': b = 1}", {"r": False}),
+        ("{'r': b & 'x'}", {"r": "x"}),
+        ("{'r': b ? 1 : 2}", {"r": 2}),
+        ("$count(b = 1)", 1),
+        ("$exists(b = 1)", True),
     ):
-        with pytest.raises(NotCompilable):
-            transform(df, expr, force_tier="compiled")
-    # and through the default two-tier transform they give the JSONata
-    # values (the interpreter path renders JSON)
-    import json
-
+        got = transform(df, expr, force_tier="compiled").first()
+        got = got.asDict() if expr.startswith("{") else got[0]
+        assert got == want, (expr, got, want)
+    # and through the default two-tier transform they give the same values
     out = transform(df, "{'r': b ? 1 : 2}").first().asDict()
-    assert json.loads(next(iter(out.values()))) == {"r": 2}
+    assert out == {"r": 2}

@@ -1,0 +1,238 @@
+"""Round-9 tier-1 compile-coverage tranche: undefined-operand semantics,
+singleton predicates, index-array selection, nested-array flatten in
+implicit mapping, scalar-step undefined, and the JSONata transform
+operator ``|pattern|update, delete|`` (the reference SMT's record-update
+shape — reference Transformation.java applies exactly this form per
+record). The tier-2 interpreter is the semantics oracle throughout."""
+
+import json
+
+import pytest
+
+from kafka_connect_jsonata_spark.jsonata.compiler import NotCompilable
+from kafka_connect_jsonata_spark.jsonata.interpreter import UNDEFINED, jsonata
+from kafka_connect_jsonata_spark.transform import transform
+
+
+def _norm(v):
+    if hasattr(v, "asDict"):
+        return {k: _norm(x) for k, x in v.asDict().items()}
+    if isinstance(v, dict):
+        return {k: _norm(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_norm(x) for x in v]
+    if isinstance(v, float) and v == int(v) and abs(v) < 1e15:
+        return int(v)
+    return v
+
+
+def _both_tiers(spark, expr, data):
+    """Compile-tier value for ``expr`` over a one-row DataFrame of
+    ``data``, plus the interpreter value — normalized for comparison."""
+    df = (
+        spark.createDataFrame([(json.dumps(data),)], "j string")
+        .selectExpr(
+            "from_json(j, schema_of_json('%s')) as root"
+            % json.dumps(data).replace("'", "\\'")
+        )
+        .select("root.*")
+    )
+    c = transform(df, expr, force_tier="compiled")
+    rows = c.collect()
+    if len(c.columns) == 1 and c.columns[0] in ("__result", "value"):
+        cval = [_norm(r[0]) for r in rows]
+    else:
+        cval = [_norm(r) for r in rows]
+    want = jsonata(expr).evaluate(data)
+    want = (
+        [None]
+        if want is UNDEFINED
+        else [_norm(json.loads(json.dumps(want)))]
+    )
+    return cval, want
+
+
+def _agree(cval, want):
+    if cval == want:
+        return True
+    if want == [None] and cval in ([], [[]], [None]):
+        return True  # documented empty-sequence convention (SURVEY §1.3)
+    if len(cval) == 1 and isinstance(cval[0], list) and cval[0] == want:
+        return True  # documented singleton-array convention
+    return False
+
+
+UNDEF_OPERAND_CASES = [
+    # (expr, data) — every case must COMPILE and agree with tier 2
+    ("'x' & nope", {"a": 1}),
+    ("nope & 'x'", {"a": 1}),
+    ("nope & nada", {"a": 1}),
+    ("nothing = nothing", {"a": 1}),
+    ("nothing != 1", {"a": 1}),
+    ("1 != nothing", {"a": 1}),
+    ("nothing in [1,2]", {"a": 1}),
+    ("1 in nothing", {"a": 1}),
+    ("nothing and a = 1", {"a": 1}),
+    ("nothing or a = 1", {"a": 1}),
+    ("nothing ? 'then' : 'else'", {"a": 1}),
+    ("[1, undefinedthing, 2]", {"a": 1}),
+    ("[undefinedthing]", {"a": 1}),
+    ("{'x': nope + 1, 'y': a}", {"a": 7}),
+    ("{'x': nope > 1}", {"a": 1}),
+    ("{'x': nope * 2 - 1}", {"a": 1}),
+    ("{'x': -nope}", {"a": 1}),
+    ("{'x': $uppercase(nope)}", {"a": 1}),
+    ("{'x': $substring(nope, 1)}", {"a": 1}),
+    ("$count(nope + 1)", {"a": 1}),
+    ("$exists(nope.deeper)", {"a": 1}),
+    ("$uppercase(nope) & 'T'", {"a": 1}),
+]
+
+
+def test_undefined_operand_semantics_compile(spark):
+    failures = []
+    for expr, data in UNDEF_OPERAND_CASES:
+        cval, want = _both_tiers(spark, expr, data)
+        if not _agree(cval, want):
+            failures.append((expr, cval, want))
+    assert not failures, failures
+
+
+def test_runtime_empty_filter_in_object_is_documented_conflation(spark):
+    """`{'x': a[b = nope].b}`: the filter's pred resolves to a constant
+    false, so the pair's value is RUNTIME-empty — the typed tier keeps the
+    pair as SQL NULL where the interpreter omits it (the documented
+    missing-vs-null static-schema deviation, SURVEY §4). Standalone (not
+    in a constructor) the same expression agrees: NULL ≅ undefined."""
+    cval, want = _both_tiers(spark, "{'x': a[b = nope].b}", {"a": {"b": 1}})
+    assert cval == [{"x": None}] and want == [{}]
+    cval, want = _both_tiers(spark, "a[b = nope].b", {"a": {"b": 1}})
+    assert _agree(cval, want), (cval, want)
+
+
+def test_undef_propagation_first_arg_only_guard(spark):
+    """$substring('abc', nope) is 'abc' and $power(2, nope) throws in the
+    interpreter — a raise escaping a LATER argument must not be folded as
+    undefined (round-9 soundness guard: later args must be raise-free)."""
+    df = spark.createDataFrame([("v",)], "a string")
+    # later-arg absence -> NotCompilable (tier 2 owns the semantics)
+    for expr in (
+        "{'x': $substring('abc', nope)}",
+        "{'x': $power(2, nope)}",
+        "{'x': $contains('x', nope)}",
+    ):
+        with pytest.raises(NotCompilable):
+            transform(df, expr, force_tier="compiled")
+    # ... and tier 2 gives $substring('abc', nope) = 'abc', NOT omission
+    out = transform(df, "{'x': $substring('abc', nope)}").first().asDict()
+    val = next(iter(out.values()))
+    if isinstance(val, str) and val.startswith("{"):
+        val = json.loads(val)["x"]
+    assert val == "abc"
+
+
+def test_undef_propagating_fns_agree_with_tier2():
+    """Every builtin in _UNDEF_PROPAGATING_FNS must actually propagate
+    undefined through its FIRST argument in the interpreter."""
+    from kafka_connect_jsonata_spark.jsonata.compiler import (
+        _UNDEF_PROPAGATING_FNS,
+    )
+
+    two_arg = {
+        "substring": "$substring(nope, 1)",
+        "substringBefore": "$substringBefore(nope, 'x')",
+        "substringAfter": "$substringAfter(nope, 'x')",
+        "power": "$power(nope, 2)",
+        "pad": "$pad(nope, 3)",
+        "formatNumber": "$formatNumber(nope, '0')",
+        "formatInteger": "$formatInteger(nope, '0')",
+        "split": "$split(nope, ',')",
+        "contains": "$contains(nope, 'x')",
+    }
+    for fn in sorted(_UNDEF_PROPAGATING_FNS):
+        expr = two_arg.get(fn, f"${fn}(nope)")
+        got = jsonata(expr).evaluate({"a": 1})
+        assert got is UNDEFINED, (fn, got)
+
+
+SINGLETON_AND_INDEX_CASES = [
+    ("a[0]", {"a": 5}),
+    ("a[-1]", {"a": 5}),
+    ("a[b = 1]", {"a": {"b": 1}}),
+    ("a[b = 2]", {"a": {"b": 1}}),
+    ("a[b = 2].b", {"a": {"b": 1}}),
+    ("{'x': a[3]}", {"a": 5}),
+    ("a[[1..2]]", {"a": [10, 20, 30]}),
+    ("a[[0, 2]]", {"a": [10, 20, 30]}),
+    ("a[[2, 0]]", {"a": [10, 20, 30]}),  # array-position order
+    ("a[[-1, 0]]", {"a": [10, 20, 30]}),
+    ("a[[0, 0]]", {"a": [10, 20, 30]}),  # duplicate indices collapse
+    ("a[[5]]", {"a": [10, 20, 30]}),  # out-of-range drops
+]
+
+
+def test_singleton_predicates_and_index_selection(spark):
+    failures = []
+    for expr, data in SINGLETON_AND_INDEX_CASES:
+        cval, want = _both_tiers(spark, expr, data)
+        if not _agree(cval, want):
+            failures.append((expr, cval, want))
+    assert not failures, failures
+
+
+def test_nested_array_flatten_and_scalar_step(spark):
+    data = {
+        "Account": {
+            "Order": [
+                {
+                    "Product": [
+                        {"name": "p1", "price": 40},
+                        {"name": "p2", "price": 10},
+                    ]
+                },
+                {"Product": [{"name": "p3", "price": 35}]},
+            ]
+        },
+        "foo": {"bar": 3},
+    }
+    for expr in (
+        "Account.Order.Product.name",
+        "Account.Order.Product[price > 30].name",
+        "{'deep': foo.bar.baz, 'n': $count(foo.bar.baz)}",
+    ):
+        cval, want = _both_tiers(spark, expr, data)
+        assert _agree(cval, want), (expr, cval, want)
+
+
+TRANSFORM_OP_CASES = [
+    ("payload ~> |$|{'n': n + 1}|", {"payload": {"n": 1, "z": "q"}}),
+    ("$ ~> |a|{'n': 2}, ['z']|", {"a": {"n": 1, "z": "q"}, "k": 3}),
+    ("$ ~> |a|{'n': 2}, 'z'|", {"a": {"n": 1, "z": "q"}, "k": 3}),
+    ("$ ~> |a.b|{'n': n * 10}|", {"a": {"b": [{"n": 1}, {"n": 5}]}}),
+    ("$ ~> |a|{'w': 9}|", {"a": {"n": 1}, "k": 3}),  # new field appends
+    ("$ ~> |missing|{'n': 2}|", {"a": {"n": 1}}),  # no match -> unchanged
+    ("$ ~> |a|{'n': n + k}|", {"a": {"n": 1, "k": 10}}),
+    ("$ ~> |a|{}, ['z']|", {"a": {"n": 1, "z": "q"}}),  # delete-only
+]
+
+
+def test_transform_operator_compiles(spark):
+    failures = []
+    for expr, data in TRANSFORM_OP_CASES:
+        cval, want = _both_tiers(spark, expr, data)
+        if not _agree(cval, want):
+            failures.append((expr, cval, want))
+    assert not failures, failures
+
+
+def test_transform_operator_is_projection(spark):
+    """The compiled transform operator must be a pure projection — no
+    Python UDF (BatchEvalPython) in the plan."""
+    df = spark.createDataFrame(
+        [(1, (2, "x")), (2, (5, "y"))], "id long, a struct<n: long, z: string>"
+    )
+    out = transform(df, "$ ~> |a|{'n': n * 10}, ['z']|", force_tier="compiled")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    rows = {r["id"]: r["a"].asDict() for r in out.collect()}
+    assert rows == {1: {"n": 20}, 2: {"n": 50}}
