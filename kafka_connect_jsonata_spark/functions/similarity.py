@@ -457,19 +457,52 @@ def knn_graph(
         # measured 61 s of the 200k-stress wall): per query, collect the
         # <= n_bands*(k+margin) candidate structs — the bound is a
         # parameter product, never data-dependent (UNBOUNDED-COLLECT
-        # audit) — sort by (score desc, neighbor asc), drop duplicate
-        # structs (a pair seen from several bands carries the bitwise-same
-        # unit-dot score, so duplicates are adjacent and exact), slice the
-        # top m. collect_list partial-aggregates map-side.
+        # audit) — sort by (score desc, neighbor asc), dedup by NEIGHBOR,
+        # slice the top m. The dedup must key on the neighbor id alone: the
+        # same pair scored in buckets of different shapes gets last-ulp-
+        # DIFFERENT dot products (BLAS blocking varies with the matrix
+        # shape), so struct-equality array_distinct keeps both copies and
+        # the slice fills with duplicates of the nearest mates, crowding
+        # out real candidates (round-9 recall regression, caught by
+        # test_knn_graph_lsh_recall_and_auto_routing: 0.81). Dedup =
+        # sort by (neighbor, score), keep each neighbor's FIRST (best)
+        # entry by adjacent comparison, re-sort by (score, neighbor),
+        # slice — two O(n log n) array sorts + a linear filter over a
+        # ≤ n_bands·(k+margin) array, all JVM-side (a naive per-element
+        # contains-scan re-copies the array quadratically and was 10x
+        # the whole job's wall at 200k queries). collect_list
+        # partial-aggregates map-side.
         cand_struct = F.struct(
-            (-F.col("__s")).alias("__ns"), F.col("neighbor_id")
+            F.col("neighbor_id"), (-F.col("__s")).alias("__ns")
         )
+
+        def _best_per_neighbor(arr):
+            dedup = F.filter(
+                arr,
+                lambda e, i: (i == F.lit(0))
+                | (
+                    F.element_at(arr, i).getField("neighbor_id")
+                    != e.getField("neighbor_id")
+                ),
+            )
+            return F.array_sort(
+                F.transform(
+                    dedup,
+                    lambda e: F.struct(
+                        e.getField("__ns").alias("__ns"),
+                        e.getField("neighbor_id").alias("neighbor_id"),
+                    ),
+                )
+            )
+
         winnowed = (
             local.groupBy("query_id")
             .agg(F.array_sort(F.collect_list(cand_struct)).alias("__c"))
             .select(
                 "query_id",
-                F.explode(F.slice(F.array_distinct("__c"), 1, m)).alias("__p"),
+                F.explode(
+                    F.slice(_best_per_neighbor(F.col("__c")), 1, m)
+                ).alias("__p"),
             )
             .select("query_id", F.col("__p.neighbor_id").alias("neighbor_id"))
         )
