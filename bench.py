@@ -146,6 +146,15 @@ HEADLINE = [
     "q21_suppliers_kept_waiting",
     "q2_minimum_cost_supplier",
     "q20_potential_promotion_suppliers",
+    # round 9: TPC-H completion (all 22 shapes) + compiled transform op
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_parts_supplier_relationship",
+    "jsonata_transform_update",
 ]
 
 

@@ -296,6 +296,12 @@ def js_canonical_number(x: Column) -> Column:
 class Typed:
     col: Column
     dtype: T.DataType | None  # None = unknown/any
+    # compile-time parent-context chain for the ``%`` step (round 9):
+    # name steps over a STRUCT/MAP context append the pre-step context;
+    # fan-out steps (implicit array mapping, filters, wildcards) reset to
+    # () because each element's parent differs per row — ``%`` after one
+    # of those stays tier 2
+    parents: tuple = ()
 
 
 @dataclass
@@ -365,7 +371,21 @@ class Compiler:
                 return env[name]
             raise NotCompilable(f"unbound variable ${name}")
         if t == "name":
-            return self._field(ctx, node["value"])
+            r = self._field(ctx, node["value"])
+            if isinstance(ctx.dtype, (T.StructType, T.MapType)):
+                # non-fanout step: record the pre-step context so a later
+                # ``%`` can address it (B1.6, round 9)
+                return Typed(
+                    r.col, r.dtype, getattr(ctx, "parents", ()) + (ctx,)
+                )
+            return r
+        if t == "parent":
+            ps = getattr(ctx, "parents", ())
+            if not ps:
+                raise NotCompilable(
+                    "% parent outside a compiled non-fanout struct path"
+                )
+            return ps[-1]
         if t == "wildcard":
             return self._wildcard(ctx)
         if t == "path_op":
@@ -407,24 +427,13 @@ class Compiler:
                 dts_box: list = []
 
                 def build(x):
-                    fields = []
-                    dts = []
-                    for kexpr, vexpr in rhs_node["pairs"]:
-                        if kexpr["type"] != "string":
-                            # a BARE name key is a PATH expression in
-                            # JSONata ({type: number} keys on the VALUE of
-                            # 'type') — dynamic keys cannot form a static
-                            # struct (context-sweep fix, round 5)
-                            raise NotCompilable("computed object keys")
-                        val = self._c(vexpr, Typed(x, elem_t), env)
-                        fields.append(val.col.alias(kexpr["value"]))
-                        dts.append(
-                            T.StructField(
-                                kexpr["value"], val.dtype or T.StringType()
-                            )
-                        )
-                    dts_box.append(T.StructType(dts))
-                    return F.struct(*fields)
+                    # delegate to the object-constructor compile so the
+                    # per-element form shares its full semantics: literal
+                    # keys -> struct, single-pair dynamic key -> MapType
+                    # (round 9), statically-undefined pair omission
+                    r = self._c(rhs_node, Typed(x, elem_t), env)
+                    dts_box.append(r.dtype)
+                    return r.col
 
                 col = F.transform(lhs.col, build)
                 return Typed(col, T.ArrayType(dts_box[0]))
@@ -480,6 +489,12 @@ class Compiler:
                     col = F.flatten(F.filter(col, lambda r: r.isNotNull()))
                     return Typed(col, res_t)
                 return Typed(col, T.ArrayType(res_t))
+            if rhs_node["type"] not in ("name", "parent"):
+                # tier 2 starts NESTED paths inside a block/expression
+                # step with an empty ancestry (the `%ancestry%` binding is
+                # consulted only for a bare `%`, not a `%.x` sub-path) —
+                # strip the parent chain so `a.(%.z)` agrees across tiers
+                lhs = Typed(lhs.col, lhs.dtype)
             return self._c(rhs_node, lhs, env)
         if t == "keep_array":
             # `a[]` pins array-ness: a singleton result stays a one-element
@@ -562,6 +577,42 @@ class Compiler:
         if t == "object":
             fields = []
             dts = []
+            if len(node["pairs"]) == 1 and node["pairs"][0][0]["type"] != "string":
+                # single-pair DYNAMIC key ({type: number} — the key is a
+                # path over the context item): no static struct exists,
+                # but a MapType does (round 9). Null/undefined key or
+                # value drops the pair (the documented NULL conflation);
+                # multi-pair dynamic objects stay tier 2 (runtime D1009
+                # duplicate-key detection).
+                kexpr, vexpr = node["pairs"][0]
+                kv = self._c(kexpr, ctx, env)
+                if not isinstance(kv.dtype, T.StringType):
+                    raise NotCompilable("computed object key not a string")
+                try:
+                    vv = self._c(vexpr, ctx, env)
+                except StaticallyUndefined:
+                    if _undef_value_node(vexpr):
+                        return Typed(
+                            F.create_map().cast("map<string,string>"),
+                            T.MapType(T.StringType(), T.StringType()),
+                        )
+                    raise
+                vt = vv.dtype or T.StringType()
+                entry_t = T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("key", T.StringType()),
+                            T.StructField("value", vt),
+                        ]
+                    )
+                )
+                entries = F.when(
+                    kv.col.isNotNull() & vv.col.isNotNull(),
+                    F.array(F.struct(kv.col.alias("key"), vv.col.alias("value"))),
+                ).otherwise(F.array().cast(entry_t))
+                return Typed(
+                    F.map_from_entries(entries), T.MapType(T.StringType(), vt)
+                )
             for kexpr, vexpr in node["pairs"]:
                 if kexpr["type"] != "string":
                     # bare name keys are PATH expressions in JSONata
@@ -772,10 +823,14 @@ class Compiler:
                     fields[existing.index(f.name)] = nf
                 else:
                     fields.append(nf)
-        elif not isinstance(upd.dtype, T.MapType):
+        elif not (
+            isinstance(upd.dtype, T.MapType)
+            and all(k["type"] == "string" for k, _ in update.get("pairs", []))
+        ):
             # an object constructor whose every pair is statically
             # undefined compiles to the empty map -> no-op update; any
-            # other non-struct shape cannot merge
+            # other non-struct shape (incl. the round-9 dynamic-key
+            # MapType objects, which carry runtime keys) cannot merge
             raise NotCompilable("transform update is not struct-shaped")
         drop = [n for n in del_names if n in {x.name for x in fields}]
         if drop:
@@ -2608,7 +2663,23 @@ def _const_subtree(node, env, bound, item_rel) -> bool:
             and (els is None or _const_subtree(els, env, bound, item_rel))
         )
     if t in ("call", "partial"):
-        return _const_subtree(node["procedure"], env, bound, item_rel) and all(
+        proc = node["procedure"]
+        if (
+            t == "call"
+            and proc.get("type") == "variable"
+            and proc.get("value") == "eval"
+            and len(node["arguments"]) == 1
+            and node["arguments"][0]["type"] == "string"
+        ):
+            # $eval is fold-impure IN GENERAL (the evaluated string may
+            # read the input), but a LITERAL argument whose parse is
+            # itself a constant subtree cannot — fold it (round 9)
+            try:
+                inner = parse(node["arguments"][0]["value"])
+            except Exception:
+                return False
+            return _const_subtree(inner, env, bound, False)
+        return _const_subtree(proc, env, bound, item_rel) and all(
             _const_subtree(a, env, bound, item_rel) for a in node["arguments"]
         )
     if t == "lambda":

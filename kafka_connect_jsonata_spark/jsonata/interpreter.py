@@ -178,6 +178,8 @@ class Jsonata:
         self.timestamp_ms = int(time.time() * 1000)
         env = self._builtins.child()
         env.bind("$", data)  # root ($$)
+        self._root_input = data  # $eval's default evaluation input
+        self._call_env = None
         if bindings:
             for k, v in bindings.items():
                 env.bind(k, v)
@@ -707,6 +709,9 @@ class Jsonata:
         if isinstance(func, Builtin) and func.ctx_arity is not None:
             if len(args) == func.ctx_arity - 1:
                 args = [input] + args
+        # $eval inherits the caller's environment (jsonata-js passes
+        # this.environment into the nested evaluate) — round-9 fix
+        self._call_env = env
         return self.invoke(func, args)
 
     def _eval_partial(self, node, input, env):
@@ -735,6 +740,7 @@ class Jsonata:
             raise JsonataError("T2006", "right side of ~> must be a function")
         if is_function(lhs):
             return Composed(lhs, func)
+        self._call_env = env
         return self.invoke(func, [lhs])
 
     # ------------------------------------------------------------ invocation
@@ -814,16 +820,29 @@ class Jsonata:
 
     # --------------------------------------------------------------- dynamic
     def eval_string(self, source: str, context):
-        """$eval — parse and evaluate a dynamic expression string."""
+        """$eval — parse and evaluate a dynamic expression string.
+        jsonata-js semantics (round-9 fix): the default evaluation input
+        is the ROOT input (``this.input`` in functionEval), overridden by
+        the explicit second argument; the environment is the CALLER's
+        (``this.environment``), so user bindings and the outer ``$$``
+        remain visible inside the evaluated expression."""
         try:
             ast = parse(source)
         except JsonataError as e:
             raise JsonataError("D3120", f"$eval cannot parse {source!r}: {e}") from e
-        env = Frame()
-        env.bind("$", context)
-        for name, (fn, ctx) in lib.REGISTRY.items():
-            env.bind(name, Builtin(name, fn, ctx))
-        ctx = context if not is_undef(context) else UNDEFINED
+        base = getattr(self, "_call_env", None)
+        if base is not None:
+            env = base.child()
+        else:
+            env = Frame()
+            env.bind("$", context)
+            for name, (fn, ctx_ar) in lib.REGISTRY.items():
+                env.bind(name, Builtin(name, fn, ctx_ar))
+        ctx = (
+            context
+            if not is_undef(context)
+            else getattr(self, "_root_input", UNDEFINED)
+        )
         return unwrap(self._eval(ast, ctx, env))
 
 

@@ -728,6 +728,392 @@ ORDER BY revenue DESC, n_name
 """
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (C84): bidirectional nation-pair trade volume —
+    lineitem joined to its supplier's nation AND its order's customer's
+    nation, keeping the two (NATION_1, NATION_2) directions, revenue by
+    (supp_nation, cust_nation, ship year). Plan: the two nation slices
+    are constant-size broadcast dims; supplier/customer/orders join on
+    their sf-proportional keys under AQE. One aggregate, no correlated
+    subquery — the classic multi-dim star join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_18", "NATION_19")
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("__sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("__cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    j = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__sn_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year, CAST(revenue AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name IN ('NATION_18', 'NATION_19')
+    AND n2.n_name IN ('NATION_18', 'NATION_19')
+    AND n1.n_name <> n2.n_name
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2, 3) t
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (C84): national market share — of the ECONOMY-part
+    revenue sold into AMERICA-region customers, the fraction supplied by
+    NATION_3, per order year. The share is a conditional-sum ratio over
+    one joined slice: both the numerator and denominator aggregate in the
+    SAME pass (decimal-exact), divided as doubles afterwards. Nation and
+    region broadcast; everything else is AQE-planned."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cn = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("__cn_key"))
+    sn = nation.select(
+        F.col("n_nationkey").alias("__sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    j = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("__cn_key"), "left_semi")
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("__sn_key"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            ).cast("double").alias("__num"),
+            F.sum(volume).cast("double").alias("__den"),
+        )
+        .select(
+            "o_year",
+            (F.col("__num") / F.col("__den")).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+SELECT o_year, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         sum(CASE WHEN n2.n_name = 'NATION_3'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+             ELSE CAST(0 AS DECIMAL(18,2)) END) AS num,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS den
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+    AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1) t
+ORDER BY o_year
+"""
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (C84): product-type profit by supplier nation and
+    year. The driver schema has no partsupp, so supply cost is the
+    documented proxy 0.6 x p_retailprice per unit (constant, so the
+    aggregate STRUCTURE — profit = revenue - cost summed over a
+    name-sliced part set, grouped by (nation, year) — is intact).
+    Decimal-exact both sides."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    # revenue and cost are summed SEPARATELY (decimal-exact, narrow
+    # precision on both engines — a single chained decimal product
+    # overflows DuckDB's 38-digit cap) and differenced as doubles: the
+    # same scalar op on identical IEEE inputs in both engines
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    cost = (
+        F.lit(0.6).cast("decimal(8,2)")
+        * F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(12,2)")
+    )
+    j = (
+        li.join(part.select("p_partkey", "p_retailprice"), li.l_partkey == F.col("p_partkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(
+            F.sum(revenue).cast("double").alias("__r"),
+            F.sum(cost).cast("double").alias("__c"),
+        )
+        .select(
+            "nation",
+            "o_year",
+            (F.col("__r") - F.col("__c")).alias("sum_profit"),
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q9_SQL = """
+SELECT nation, o_year, CAST(r AS DOUBLE) - CAST(c AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS r,
+         sum(CAST(0.6 AS DECIMAL(8,2)) * CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS c
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE p_name LIKE '%red%'
+  GROUP BY 1, 2) t
+ORDER BY nation, o_year DESC
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (C84): the HAVING-against-a-global-scalar plan —
+    per-part supply value from NATION_3 suppliers, keeping parts above a
+    fixed fraction of the TOTAL value. No partsupp in the driver schema,
+    so value derives from lineitem (extendedprice x quantity per line,
+    the observed supply relation). The global total is a one-row
+    aggregate joined back as a scalar (AQE broadcasts it); the per-part
+    aggregate shuffles once on the part key. Both aggregates reuse the
+    SAME filtered slice — Spark caches nothing, but the scan is
+    column-pruned and the filter is pushed to parquet both times."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    sk = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey, "left_semi"
+    ).select("s_suppkey")
+    sliced = li.join(sk, li.l_suppkey == sk.s_suppkey, "left_semi")
+    per_part = sliced.groupBy("l_partkey").agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_quantity"))
+        .cast("double")
+        .alias("value")
+    )
+    # the threshold derives from the EXACT decimal grand total (a double
+    # re-sum of per-part values would be order-dependent), cast to double
+    # and scaled with the same scalar op on both engines (a decimal
+    # multiply here would blow DuckDB's 38-digit precision cap)
+    total = sliced.agg(
+        (
+            F.sum(_dec("l_extendedprice") * _dec("l_quantity")).cast("double")
+            * F.lit(0.001)
+        ).alias("__thr")
+    )
+    return (
+        # the 1-row scalar is constant-size at every sf — the broadcast
+        # hint is justified (q22's rule) and keeps the inequality filter
+        # from planning as a cartesian when stats are unavailable
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("__thr"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value")
+        .orderBy(F.col("value").desc(), "p_partkey")
+    )
+
+
+Q11_SQL = """
+WITH sliced AS (
+  SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS v
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                      WHERE n_name = 'NATION_3')),
+per_part AS (SELECT l_partkey, CAST(sum(v) AS DOUBLE) AS value FROM sliced GROUP BY 1)
+SELECT l_partkey AS p_partkey, value
+FROM per_part
+WHERE value > (SELECT CAST(sum(v) AS DOUBLE) * 0.001 FROM sliced)
+ORDER BY value DESC, p_partkey
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (C84): the outer-join histogram — customers by how
+    many qualifying orders they placed, INCLUDING zero-order customers
+    (the left join's defining row preservation). The driver schema has no
+    o_comment, so the classic NOT-LIKE comment exclusion substitutes the
+    '4-NOT SPECIFIED' priority class (same plan: filter BEFORE the join
+    so unqualified orders drop without losing customers). Two aggregates:
+    per-customer count, then the count distribution."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (C84): the view + global-MAX equality — quarterly
+    revenue per supplier, returning every supplier AT the maximum
+    (tie-preserving, like q2's correlated MIN). The revenue view is one
+    keyed aggregate; the max is a one-row scalar joined back (AQE
+    broadcast). Decimal-exact so the equality is bit-precise in both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            _dec("l_extendedprice")
+            * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+        ).alias("__rev")
+    )
+    mx = rev.agg(F.max("__rev").alias("__mx"))
+    return (
+        rev.join(mx)  # 1-row scalar join: AQE broadcast
+        .filter(F.col("__rev") == F.col("__mx"))
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("__rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (C84): COUNT(DISTINCT supplier) per part attribute
+    triple with a NOT-IN supplier exclusion. The supplier-part relation
+    derives from lineitem (no partsupp); the classic complaint-comment
+    exclusion substitutes negative account balance (s_acctbal < 0), the
+    same anti-membership plan. Distinct pairs first (one shuffle), then
+    the count-distinct aggregate; the excluded-supplier list is a
+    NULL-safe anti-join."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 2, 3, 4, 5))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    rel = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+    )
+    return (
+        rel.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 2, 3, 4, 5)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
 # ---------------------------------------------------------------------------
 # C3/C4/C18: projection, filter, JSON ops (the reference's A4 drop + B-path
 # semantics lifted to rows)
@@ -1815,6 +2201,43 @@ def jsonata_object_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 JSONATA_OBJECT_OPS_SQL = """
 SELECT c_custkey, c_name, c_acctbal * 2 AS bal2, lower(c_mktsegment) AS seg_lower
 FROM customer
+"""
+
+
+def jsonata_transform_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2.6 transform operator ``~> |pattern|update, delete|`` on the
+    COMPILED tier (round 9), oracle-gated: the reference SMT's
+    record-update idiom — rewrite fields of a nested record struct in
+    place, add a computed field, drop one — compiled to withField/
+    dropFields, a pure Catalyst projection (plan-pinned in
+    tests/test_round9_compile.py)."""
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.struct(
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("bal"),
+            F.col("c_mktsegment").alias("seg"),
+        ).alias("acct"),
+    )
+    expr = (
+        "$ ~> |acct|{'bal': bal * 2,"
+        " 'tier': bal >= 5000 ? 'gold' : 'std'}, ['seg']|"
+    )
+    out = transform(base, expr, force_tier="compiled")
+    return out.select(
+        "id",
+        F.col("acct.name").alias("name"),
+        F.col("acct.bal").alias("bal"),
+        F.col("acct.tier").alias("tier"),
+    ).orderBy("id")
+
+
+JSONATA_TRANSFORM_UPDATE_SQL = """
+SELECT c_custkey AS id, c_name AS name,
+       c_acctbal * 2 AS bal,
+       CASE WHEN c_acctbal >= 5000 THEN 'gold' ELSE 'std' END AS tier
+FROM customer ORDER BY id
 """
 
 
@@ -4674,7 +5097,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_discounted_revenue": q19_discounted_revenue,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "minhash_dedup_best_docs": minhash_dedup_best_docs,
-    "scrub_spans_docs": scrub_spans_docs,
+    "jsonata_transform_update": jsonata_transform_update,
     "quantile_filter_docs": quantile_filter_docs,
     "minhash_dedup_incr_docs": minhash_dedup_incr_docs,
     "inverted_index_terms": inverted_index_terms,
@@ -4682,7 +5105,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_decontaminate_docs": fuzzy_decontaminate_docs,
     "semantic_dedup_pairs": semantic_dedup_pairs,
     "dsir_gumbel_docs": dsir_gumbel_docs,
-    "zipf_fit_docs": zipf_fit_docs,
+    "q7_volume_shipping": q7_volume_shipping,
     "cluster_balanced_docs": cluster_balanced_docs,
     "simhash_dup_pairs_docs": simhash_dup_pairs_docs,
     "embedding_diversify_docs": embedding_diversify_docs,
@@ -4690,6 +5113,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_dedup_boiler_docs": minhash_dedup_boiler_docs,
     "curation_pipeline_v3_docs": curation_pipeline_v3_docs,
     # -- past the gate window: oracle-registered siblings (builder sweep) --
+    # round-9 window demotions (families stay represented in-window by
+    # dup_span_removal_docs / char_entropy_docs):
+    "scrub_spans_docs": scrub_spans_docs,
+    "zipf_fit_docs": zipf_fit_docs,
+    # round-9 TPC-H completion (all 22 classic shapes now adapted):
+    "q8_market_share": q8_market_share,
+    "q9_product_type_profit": q9_product_type_profit,
+    "q11_important_stock": q11_important_stock,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_parts_supplier_relationship": q16_parts_supplier_relationship,
     "q1_pricing_summary": q1_pricing_summary,
     "q10_returned_items": q10_returned_items,
     "q18_large_volume_customer": q18_large_volume_customer,
@@ -4910,6 +5344,14 @@ ORACLES: dict[str, str] = {
     "q22_global_sales_opportunity": Q22_SQL,
     "q17_small_quantity_revenue": Q17_SQL,
     "q21_suppliers_kept_waiting": Q21_SQL,
+    "q7_volume_shipping": Q7_SQL,
+    "q8_market_share": Q8_SQL,
+    "q9_product_type_profit": Q9_SQL,
+    "q11_important_stock": Q11_SQL,
+    "q13_customer_distribution": Q13_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q16_parts_supplier_relationship": Q16_SQL,
+    "jsonata_transform_update": JSONATA_TRANSFORM_UPDATE_SQL,
     "q2_minimum_cost_supplier": Q2_SQL,
     "q20_potential_promotion_suppliers": Q20_SQL,
     # boiler gate: replicas provably change nothing, so the PLAIN-corpus

@@ -180,6 +180,23 @@ def test_tpch_no_forced_broadcast_on_sf_proportional_sides(spark, sf_dir):
             # set feeds both the result join and the per-part MIN branch
             "q2_minimum_cost_supplier": 4,
             "q20_potential_promotion_suppliers": 1,  # nation
+            # round-9 TPC-H completion: nation slices keep their hints
+            # (constant 25 rows), supplier/customer/part and the one-row
+            # scalar aggregates (q11 threshold, q15 max — hintless cross
+            # joins that AQE plans as BNLJ) are left to the optimizer
+            # q8 counts region->nation inside the customer-nation slice
+            # derivation plus the two nation joins; q11's surviving
+            # non-BHJ is the hinted one-row-scalar BNLJ (q22's rule),
+            # q15's scalar equality becomes a plain equi-join
+            "q7_volume_shipping": 2,  # the two nation slices
+            "q8_market_share": 3,
+            "q9_product_type_profit": 1,  # nation
+            # nation left_semi instantiated twice — the per-part and the
+            # grand-total branches each rescan the supplier slice
+            "q11_important_stock": 2,
+            "q13_customer_distribution": 0,
+            "q15_top_supplier": 0,
+            "q16_parts_supplier_relationship": 0,
         }
         for name, n_hinted in expected_hinted.items():
             plan = plan_of(Q.QUERIES[name](spark, sf_dir))

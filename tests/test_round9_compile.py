@@ -225,6 +225,69 @@ def test_transform_operator_compiles(spark):
     assert not failures, failures
 
 
+def test_eval_literal_constant_folds(spark):
+    """$eval stays fold-impure in general (the evaluated string may read
+    the input), but a LITERAL argument whose parse is itself constant
+    folds through the interpreter at compile time (round 9)."""
+    for expr, data in (
+        ("$eval('[1,2,3]')", {"a": 1}),
+        ("$eval('2 + 3 * 4')", {"a": 1}),
+    ):
+        cval, want = _both_tiers(spark, expr, data)
+        assert _agree(cval, want), (expr, cval, want)
+    # input-reading eval must NOT fold — tier 2 owns it
+    dfx = spark.createDataFrame([(7,)], "a long")
+    with pytest.raises(NotCompilable):
+        transform(dfx, "$eval('a + 1')", force_tier="compiled")
+    # and the interpreter gives the input-reading value
+    got = jsonata("$eval('a + 1')").evaluate({"a": 7})
+    assert got == 8
+
+
+def test_dynamic_key_objects_compile_to_maps(spark):
+    """Single-pair dynamic-key object constructors ({type: number}) have
+    no static struct but DO have a MapType — per-element via the dotted
+    mapping form too. Multi-pair dynamic stays tier 2 (runtime D1009)."""
+    data = {
+        "Phone": [
+            {"type": "home", "number": 11},
+            {"type": "office", "number": 22},
+        ]
+    }
+    for expr in ("Phone.{type: number}", "Phone.{'t': type, 'n': number}"):
+        cval, want = _both_tiers(spark, expr, data)
+        assert _agree(cval, want), (expr, cval, want)
+    df = spark.createDataFrame([("k", 1)], "t string, n long")
+    with pytest.raises(NotCompilable):
+        transform(df, "{t: n, 'x': 1}", force_tier="compiled")
+    # a dynamic-key UPDATE inside the transform operator must not silently
+    # no-op through the empty-map branch — tier 2 owns it
+    df2 = spark.createDataFrame(
+        [(("x", 1),)], "a struct<t: string, n: long>"
+    )
+    with pytest.raises(NotCompilable):
+        transform(df2, "$ ~> |a|{t: 9}|", force_tier="compiled")
+
+
+def test_parent_step_compiles_on_struct_paths(spark):
+    """B1.6 ``%`` as a direct path step over non-fanout struct paths
+    compiles (the pre-step context is carried on the Typed); `%` at the
+    start of a nested path inside a block step routes to tier 2, whose
+    path machinery starts nested paths with empty ancestry."""
+    cases = [
+        ("a.b.%.k", {"a": {"b": {"x": 1}, "k": 9}, "k": 3}),
+        ("a.%", {"a": {"b": 1}, "z": 2}),
+        ("a.b.%.%", {"a": {"b": {"x": 1}}, "z": 2}),
+        ("{'p': a.b.%.k}", {"a": {"b": {"x": 1}, "k": 9}}),
+    ]
+    for expr, data in cases:
+        cval, want = _both_tiers(spark, expr, data)
+        assert _agree(cval, want), (expr, cval, want)
+    df = spark.createDataFrame([(("B",), "Z")], "a struct<b: string>, z string")
+    with pytest.raises(NotCompilable):
+        transform(df, "a.(%.z & '-' & b)", force_tier="compiled")
+
+
 def test_transform_operator_is_projection(spark):
     """The compiled transform operator must be a pure projection — no
     Python UDF (BatchEvalPython) in the plan."""

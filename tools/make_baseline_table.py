@@ -22,6 +22,14 @@ NOTES = {
     "minhash_dedup_best_docs": "C79 keep=best variant; oracle skipped here (same brute-force closure)",
     "minhash_dedup_incr_docs": "C81 incremental dedup vs reference corpus; oracle skipped here (same class)",
     "minhash_dedup_boiler_docs": "C79 hot-bucket stress gate (corpus + 3x identical replicas, exact pre-collapse); oracle = plain-corpus closure, skipped here (same class)",
+    "q7_volume_shipping": "C86 bidirectional nation-pair trade star",
+    "q8_market_share": "C86 conditional-sum market-share ratio",
+    "q9_product_type_profit": "C86 profit agg (decimal-exact dual sums)",
+    "q11_important_stock": "C86 global-scalar HAVING (exact-decimal total)",
+    "q13_customer_distribution": "C86 outer-join zero-preserving histogram",
+    "q15_top_supplier": "C86 view + global-MAX tie-preserving equality",
+    "q16_parts_supplier_relationship": "C86 count-distinct + NOT-IN anti-join",
+    "jsonata_transform_update": "B2.6 transform operator compiled to withField/dropFields",
     "q17_small_quantity_revenue": "C84 correlated scalar AVG, decorrelated to keyed agg + join",
     "q21_suppliers_kept_waiting": "C84 multi-EXISTS/NOT-EXISTS via per-order collect_set window",
     "q2_minimum_cost_supplier": "C84 correlated MIN, tie-preserving equality join",
