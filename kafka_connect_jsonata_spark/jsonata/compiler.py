@@ -117,8 +117,12 @@ def _undef_value_node(node: dict) -> bool:
     propagation-sound (literals cannot raise, so they pass trivially):
     the catch site cannot tell which child raised."""
     t = node.get("type")
-    if t in ("number", "string", "value", "regex"):
-        return True  # cannot raise StaticallyUndefined
+    if t in ("number", "string", "value", "regex", "variable"):
+        # literals and variable references cannot raise StaticallyUndefined
+        # themselves (an unbound variable raises plain NotCompilable), so
+        # they pass trivially; a NAME STEP over one ($$.t) can and does
+        # propagate
+        return True
     if t == "name":
         return True
     if t == "path_op":
@@ -326,6 +330,11 @@ class Compiler:
         """Compile an already-parsed AST (used by the envelope hybrid tier,
         which compiles sub-expressions of a larger dynamic-tier AST)."""
         root = Typed(F.struct(*[F.col(f.name) for f in self.schema.fields]), self.schema)
+        # $$ resolves to the ROOT input everywhere — inside predicates,
+        # transform lambdas, and path steps the current ctx differs
+        # (round-9 fix: $$ used to alias the current ctx, which is only
+        # correct at the top level; a[b = $$.t] read t off the ELEMENT)
+        self._root_ctx = root
         return self._c(ast, root, {})
 
     def _fold(self, node):
@@ -365,8 +374,12 @@ class Compiler:
             return Typed(F.lit(node["value"]), T.BooleanType())
         if t == "variable":
             name = node["value"]
-            if name == "" or name == "$":
-                return ctx
+            if name == "":
+                return ctx  # $ — the current context
+            if name == "$":
+                # $$ — the root input (falls back to ctx when compiling a
+                # detached sub-expression with no recorded root)
+                return getattr(self, "_root_ctx", None) or ctx
             if name in env:
                 return env[name]
             raise NotCompilable(f"unbound variable ${name}")

@@ -269,6 +269,23 @@ def test_dynamic_key_objects_compile_to_maps(spark):
         transform(df2, "$ ~> |a|{t: 9}|", force_tier="compiled")
 
 
+def test_root_variable_resolves_to_root_in_nested_contexts(spark):
+    """$$ must reference the ROOT input inside predicates, mapping steps,
+    and the transform operator — not the local context (round-9 fix: it
+    aliased the current ctx, so a[b = $$.t] read t off the element; the
+    case only surfaced once _binary's undefined-operand catch made such
+    predicates compilable)."""
+    cases = [
+        ("a[b = $$.t].b", {"a": [{"b": 1}, {"b": 2}], "t": 2}),
+        ("a[b = $$.t].b", {"a": [{"b": 1}, {"b": 2}], "t": 9}),
+        ("a.(b + $$.t)", {"a": [{"b": 1}, {"b": 2}], "t": 10}),
+        ("$ ~> |a|{'n': n + $$.k}|", {"a": {"n": 1}, "k": 100}),
+    ]
+    for expr, data in cases:
+        cval, want = _both_tiers(spark, expr, data)
+        assert _agree(cval, want), (expr, cval, want)
+
+
 def test_parent_step_compiles_on_struct_paths(spark):
     """B1.6 ``%`` as a direct path step over non-fanout struct paths
     compiles (the pre-step context is carried on the Typed); `%` at the
