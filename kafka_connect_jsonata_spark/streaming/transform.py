@@ -367,6 +367,52 @@ def stream_incremental_dedup(
     return writer.start()
 
 
+def compact_sketch_table(
+    spark,
+    sketch_path: str,
+    target_file_bytes: int = 128 << 20,
+) -> tuple[int, int]:
+    """Compact the ``minhash_sketches`` parquet dir that
+    :func:`stream_incremental_dedup` appends to every micro-batch.
+
+    At steady state each batch adds one small file set; after thousands
+    of batches the per-batch history read pays file-listing + footer
+    overhead per tiny file — the classic small-file decay of file-based
+    streaming sinks. This rewrites the table into
+    ``ceil(bytes / target_file_bytes)`` files (default 128 MB, the usual
+    parquet sweet spot that also matches
+    ``spark.sql.files.maxPartitionBytes`` for one-task-per-file scans at
+    100 TB).
+
+    MUST run while ingest is quiesced (no ``foreachBatch`` in flight):
+    plain parquet dirs have no transaction log, so the swap is
+    write-to-temp + delete + rename — the standard maintenance window
+    pattern for non-tabular sinks. Returns
+    ``(files_before, files_after)``. Row content is preserved exactly
+    (test-pinned, including that a subsequent incremental batch produces
+    the identical kept set)."""
+    import math
+
+    df = spark.read.parquet(sketch_path)
+    files_before = len(df.inputFiles())
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    src = HPath(sketch_path)
+    fs = src.getFileSystem(conf)
+    total_bytes = fs.getContentSummary(src).getLength()
+    n = max(1, math.ceil(total_bytes / target_file_bytes))
+    tmp = HPath(sketch_path.rstrip("/") + "__compact_tmp")
+    df.repartition(n).write.mode("overwrite").parquet(str(tmp))
+    fs.delete(src, True)
+    if not fs.rename(tmp, src):
+        raise IOError(
+            f"compact_sketch_table: rename {tmp} -> {src} failed; "
+            "compacted data is intact at the temp path"
+        )
+    return files_before, n
+
+
 def stream_to_partitioned_sink(
     stream_df: DataFrame,
     path: str,

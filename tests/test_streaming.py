@@ -480,3 +480,82 @@ def test_stream_incremental_dedup_rolls_sketch_table_forward(
     # and the second batch actually dropped cross-batch near-dups
     n_in = half1.count() + half2.count()
     assert len(got) < n_in
+
+
+def test_compact_sketch_table_preserves_history_semantics(
+    spark, sf_dir, tmp_path
+):
+    """C85 maintenance: compacting the per-batch-appended sketch table
+    must (a) reduce the file count, (b) preserve rows exactly, and
+    (c) leave the NEXT incremental batch's kept set unchanged — the
+    compaction is invisible to the dedup math."""
+    from kafka_connect_jsonata_spark.functions import dedup
+    from kafka_connect_jsonata_spark.streaming.transform import (
+        compact_sketch_table,
+        stream_incremental_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    third1 = docs.filter(F.col("doc_id") % 3 == 0)
+    third2 = docs.filter(F.col("doc_id") % 3 == 1)
+    third3 = docs.filter(F.col("doc_id") % 3 == 2)
+    src = tmp_path / "ingest_src"
+    out = str(tmp_path / "kept_out")
+    sk = str(tmp_path / "sketches")
+    ckpt = str(tmp_path / "ckpt")
+    params = dict(num_hashes=32, n_bands=8, threshold=0.9)
+    schema = docs.schema
+
+    for i, part in ((1, third1), (2, third2)):
+        part.coalesce(4).write.parquet(str(src / f"b{i}"))
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "4"
+        ).parquet(f"{src}/*")
+        stream_incremental_dedup(stream, out, sk, ckpt, **params)
+
+    before_rows = sorted(
+        tuple(r) for r in spark.read.parquet(sk).collect()
+    )
+    files_before, files_after = compact_sketch_table(
+        spark, sk, target_file_bytes=256 << 20
+    )
+    assert files_after < files_before
+    after_rows = sorted(tuple(r) for r in spark.read.parquet(sk).collect())
+    assert after_rows == before_rows
+
+    # the next batch behaves identically to the uncompacted batch fold
+    third3.coalesce(1).write.parquet(str(src / "b3"))
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(f"{src}/*")
+    stream_incremental_dedup(stream, out, sk, ckpt, **params)
+    got = sorted(
+        r[0] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+
+    kept1 = dedup.minhash_dedup(third1, **params)
+    kept12 = dedup.barrier(
+        kept1.unionByName(
+            dedup.minhash_dedup_incremental(
+                third2,
+                None,
+                ref_sketches=dedup.minhash_sketches(
+                    kept1, num_hashes=32, n_bands=8
+                ),
+                **params,
+            )
+        )
+    )
+    kept3 = dedup.minhash_dedup_incremental(
+        third3,
+        None,
+        ref_sketches=dedup.minhash_sketches(kept12, num_hashes=32, n_bands=8),
+        **params,
+    )
+    exp = sorted(
+        r[0]
+        for r in kept12.select("doc_id")
+        .union(kept3.select("doc_id"))
+        .collect()
+    )
+    assert got == exp and got
