@@ -2073,7 +2073,14 @@ class Compiler:
         if len(raw) != 1 or raw[0]["type"] != "array":
             raise NotCompilable("$merge with non-literal array argument")
         elems = [self._c(e, ctx, env) for e in raw[0]["expressions"]]
-        if not elems or not all(isinstance(e.dtype, T.StructType) for e in elems):
+        if not elems:
+            # $merge([]) is the empty object (round 9); same empty-map
+            # rendering as an all-undefined object constructor
+            return Typed(
+                F.create_map().cast("map<string,string>"),
+                T.MapType(T.StringType(), T.StringType()),
+            )
+        if not all(isinstance(e.dtype, T.StructType) for e in elems):
             raise NotCompilable("$merge over non-struct elements")
         cols: dict[str, Column] = {}
         dts: dict[str, T.DataType] = {}
@@ -2681,17 +2688,24 @@ def _const_subtree(node, env, bound, item_rel) -> bool:
             t == "call"
             and proc.get("type") == "variable"
             and proc.get("value") == "eval"
-            and len(node["arguments"]) == 1
+            and 1 <= len(node["arguments"]) <= 2
             and node["arguments"][0]["type"] == "string"
         ):
             # $eval is fold-impure IN GENERAL (the evaluated string may
-            # read the input), but a LITERAL argument whose parse is
-            # itself a constant subtree cannot — fold it (round 9)
+            # read the input), but a LITERAL expression whose parse is
+            # itself constant cannot — fold it (round 9). With an explicit
+            # literal CONTEXT argument the inner expression's names are
+            # context-relative (item_rel), hence also constant.
             try:
                 inner = parse(node["arguments"][0]["value"])
             except Exception:
                 return False
-            return _const_subtree(inner, env, bound, False)
+            has_ctx = len(node["arguments"]) == 2
+            if has_ctx and not _const_subtree(
+                node["arguments"][1], env, bound, item_rel
+            ):
+                return False
+            return _const_subtree(inner, env, bound, has_ctx)
         return _const_subtree(proc, env, bound, item_rel) and all(
             _const_subtree(a, env, bound, item_rel) for a in node["arguments"]
         )

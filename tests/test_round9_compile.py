@@ -225,6 +225,19 @@ def test_transform_operator_compiles(spark):
     assert not failures, failures
 
 
+def test_merge_empty_and_eval_with_context_fold(spark):
+    """$merge([]) compiles to the empty object, and $eval with an
+    explicit LITERAL context folds (the inner expression's names resolve
+    against that constant context, never the input)."""
+    for expr, data in (
+        ("$merge([])", {"a": 1}),
+        ("$eval('a + 1', {'a': 2})", {"a": 99}),
+        ("$eval('$', [1, 2])", {"a": 1}),
+    ):
+        cval, want = _both_tiers(spark, expr, data)
+        assert _agree(cval, want), (expr, cval, want)
+
+
 def test_eval_literal_constant_folds(spark):
     """$eval stays fold-impure in general (the evaluated string may read
     the input), but a LITERAL argument whose parse is itself constant
