@@ -207,11 +207,18 @@ def main() -> None:
         one_pass(noisy)
     timings = {name: round(min(rs), 3) for name, rs in runs.items()}
     total = round(sum(timings.values()), 3)
+    # Per-query noise bound (round-10 verdict item 3): record every sample
+    # so a >2x delta in a future round can be MECHANICALLY classified as
+    # shared-host noise (this round's spread already covered it) vs a real
+    # regression. "samples" stays out of the driver's one-line contract
+    # fields; it rides in the same JSON object.
+    samples = {name: [round(x, 3) for x in rs] for name, rs in runs.items()}
     result = {
         "metric": "headline_query_set_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "samples": samples,
         "sf": sf,
     }
     line = json.dumps(result, separators=(",", ":"))

@@ -147,6 +147,44 @@ def _band_signatures_udf(planes: list[list[list[float]]]):
     return sigs.asNondeterministic()
 
 
+def _band_multiprobe_sigs_udf(planes: list[list[list[float]]], n_probes: int):
+    """Multi-probe band signatures (Lv et al., VLDB'07, adapted to
+    sign-bit bands): per band, emit the vector's own signature PLUS the
+    ``n_probes`` single-bit flips of the hyperplane bits with the SMALLEST
+    projection margin |v.w| — exactly the bits most likely to have landed
+    on the wrong side for a true near neighbor. Directed probing buys most
+    of the recall of exhaustive Hamming-1 probing at (1 + n_probes)
+    buckets per band instead of (1 + band_bits) — the shuffle multiplier
+    stays a chosen constant, not a function of band width.
+
+    Returns a FLAT array of n_bands * (1 + n_probes) int32 signatures,
+    ordered band-major (band = idx div stride); the caller derives the
+    band from the exploded position — flat arrays keep the Arrow transfer
+    one level deep, same shape discipline as :func:`_band_signatures_udf`."""
+    mat = np.array(planes, dtype="float64")          # (n_bands, band_bits, dim)
+    n_bands, band_bits, dim = mat.shape
+    if not 0 <= n_probes < band_bits:
+        raise ValueError(f"n_probes must be in [0, {band_bits}), got {n_probes}")
+    flat = mat.reshape(n_bands * band_bits, dim)
+    powers = (1 << np.arange(band_bits - 1, -1, -1)).astype("int64")
+
+    @pandas_udf("array<int>")
+    def sigs(vecs: pd.Series) -> pd.Series:
+        v = np.stack(vecs.to_numpy()).astype("float64")          # (n, dim)
+        z = (v @ flat.T).reshape(len(v), n_bands, band_bits)
+        own = ((z >= 0) * powers).sum(axis=2)                    # (n, n_bands)
+        cols = [own[:, :, None]]
+        if n_probes:
+            # ascending |margin|: index p picks the p-th least-confident bit
+            order = np.argsort(np.abs(z), axis=2)
+            for p in range(n_probes):
+                cols.append((own ^ powers[order[:, :, p]])[:, :, None])
+        allsigs = np.concatenate(cols, axis=2)                   # (n, b, 1+p)
+        return pd.Series(list(allsigs.reshape(len(v), -1).astype("int32")))
+
+    return sigs.asNondeterministic()
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -296,6 +334,7 @@ def knn_graph(
     broadcast_cap_bytes: int = 256 << 20,
     dim: int | None = None,
     group_cap: int = 4096,
+    n_probes: int = 2,
 ) -> DataFrame:
     """Self kNN graph: every vector's top-``k`` cosine neighbors within the
     SAME table — the substrate for graph-based semantic clustering, label
@@ -313,18 +352,20 @@ def knn_graph(
     guards the winnow against last-ulp GEMM/fold disagreement at the
     cut boundary.
 
-    ``strategy="lsh"`` (the non-broadcastable-corpus path, round-9 shape):
-    random-hyperplane band signatures (one GEMM per batch, closure-held
-    planes), then ONE shuffle grouping each (band, signature) bucket,
-    a local GEMM inside the bucket emitting each member's top-(k+margin)
-    — candidate volume is therefore output-sized (n_bands*(k+margin)
+    ``strategy="lsh"`` (the non-broadcastable-corpus path, round-9 shape +
+    round-10 multi-probe): random-hyperplane band signatures (one GEMM per
+    batch, closure-held planes) with each vector probing its ``n_probes``
+    lowest-margin single-bit-flip buckets per band (Lv et al. VLDB'07),
+    then ONE shuffle grouping each (band, signature) bucket, a local GEMM
+    inside the bucket emitting each member's top-(k+margin) — candidate
+    volume is therefore output-sized (n_bands*(1+n_probes)*(k+margin)
     rows/vector) instead of collision-quadratic — a cross-band merge, and
     the same exact Catalyst re-rank over the winnowed edge list.
     ``group_cap`` bounds the local sims matrix for pathological buckets
     (id-ordered block scoring; other bands recover cross-block
     neighbors). Approximate: recall depends on band geometry (unit-tested
-    against the exact tier; 0.92 recall@10 measured at 200k x 64,
-    SCALE.md).
+    against the exact tier; recall@10 at 200k x 64: 0.92 with n_probes=0,
+    >=0.95 with the default n_probes=2 — curve in SCALE.md).
 
     ``strategy="auto"``: probe rows*dim*8 against the cap, route gemm
     below it, lsh above — cannot OOM by construction.
@@ -391,9 +432,23 @@ def knn_graph(
         )
     else:
         d = dim or len(base.select("__v").first()[0])
-        sig_udf = _band_signatures_udf(_hyperplanes(d, n_bands, band_bits, seed))
+        # multi-probe (round-10, recall 0.92 -> >=0.95 at the 200k gate):
+        # each vector lands in its own (band, sig) bucket AND the n_probes
+        # lowest-margin single-bit-flip buckets per band — recall is
+        # recovered exactly where sign bits are least confident, at a
+        # CHOSEN shuffle multiplier (1 + n_probes), never (1 + band_bits).
+        # The flat signature array is band-major: band = pos div stride.
+        stride = 1 + n_probes
+        sig_udf = _band_multiprobe_sigs_udf(
+            _hyperplanes(d, n_bands, band_bits, seed), n_probes
+        )
         sigs = base.select(
-            "query_id", "__v", F.posexplode(sig_udf(F.col("__v"))).alias("band", "sig")
+            "query_id", "__v", F.posexplode(sig_udf(F.col("__v"))).alias("pos", "sig")
+        ).select(
+            "query_id",
+            "__v",
+            F.floor(F.col("pos") / stride).cast("int").alias("band"),
+            "sig",
         )
         # Round-9 rework (measured on a 200k x 64 corpus): the previous
         # band SELF-JOIN enumerated every in-bucket pair as a row —
@@ -404,7 +459,7 @@ def knn_graph(
         # GEMM and emit only each member's top-(k+margin) — the shuffle is
         # strictly bounded at n_bands rows per vector (vector payload
         # included: n_bands x corpus bytes, linear), the merge input is at
-        # most n_bands*(k+margin) rows per vector (output-sized), and no
+        # most n_bands*(1+n_probes)*(k+margin) rows per vector (output-sized), and no
         # stage depends on how hot a bucket is. Buckets above
         # ``group_cap`` score within id-ordered blocks (bounds the local
         # sims matrix at cap^2 doubles); a same-bucket neighbor in another
@@ -455,7 +510,7 @@ def knn_graph(
         # cross-band merge in ONE query-keyed shuffle (a pair-keyed
         # dropDuplicates + a query-keyed window would be two shuffles —
         # measured 61 s of the 200k-stress wall): per query, collect the
-        # <= n_bands*(k+margin) candidate structs — the bound is a
+        # <= n_bands*(1+n_probes)*(k+margin) candidate structs — the bound is a
         # parameter product, never data-dependent (UNBOUNDED-COLLECT
         # audit) — sort by (score desc, neighbor asc), dedup by NEIGHBOR,
         # slice the top m. The dedup must key on the neighbor id alone: the
@@ -468,7 +523,7 @@ def knn_graph(
         # sort by (neighbor, score), keep each neighbor's FIRST (best)
         # entry by adjacent comparison, re-sort by (score, neighbor),
         # slice — two O(n log n) array sorts + a linear filter over a
-        # ≤ n_bands·(k+margin) array, all JVM-side (a naive per-element
+        # ≤ n_bands·(1+n_probes)·(k+margin) array, all JVM-side (a naive per-element
         # contains-scan re-copies the array quadratically and was 10x
         # the whole job's wall at 200k queries). collect_list
         # partial-aggregates map-side.
@@ -477,11 +532,16 @@ def knn_graph(
         )
 
         def _best_per_neighbor(arr):
+            # F.get is 0-based and null-safe out-of-range: at i==0 the
+            # previous-element lookup is null, the != arm is SQL-null, and
+            # (true | null) keeps the row — no path ever evaluates an
+            # index-0 element_at, which errors regardless of Or
+            # short-circuit order (round-10 advisor fix).
             dedup = F.filter(
                 arr,
                 lambda e, i: (i == F.lit(0))
                 | (
-                    F.element_at(arr, i).getField("neighbor_id")
+                    F.get(arr, i - 1).getField("neighbor_id")
                     != e.getField("neighbor_id")
                 ),
             )

@@ -161,14 +161,17 @@ def _undef_value_node(node: dict) -> bool:
 
 
 def _node_can_raise(node) -> bool:
-    """Conservatively: does this subtree contain any name/path step (the
-    only sources of StaticallyUndefined)? Used to rule out escapes from
-    non-propagating positions inside :func:`_undef_value_node` arms."""
+    """Conservatively: does this subtree contain any name/path step OR
+    filter node (the sources of StaticallyUndefined — a filter can raise
+    without any name present: a constant out-of-range index into a
+    singleton, e.g. ``$v[5]`` with ``$v`` env-bound to a scalar; round-10
+    advisor fix)? Used to rule out escapes from non-propagating positions
+    inside :func:`_undef_value_node` arms."""
     if isinstance(node, (list, tuple)):
         return any(_node_can_raise(x) for x in node)
     if not isinstance(node, dict):
         return False
-    if node.get("type") == "name":
+    if node.get("type") in ("name", "filter"):
         return True
     return any(
         _node_can_raise(v)
@@ -320,8 +323,24 @@ class CompiledLambda:
 
 
 class Compiler:
-    def __init__(self, schema: T.StructType):
+    def __init__(self, schema: T.StructType, closed_world: bool = True):
+        """``closed_world=False`` marks the schema as PARTIAL (open-world):
+        a field absent from it is merely out of compile scope, not provably
+        undefined, so absence raises plain :class:`NotCompilable` (route to
+        tier 2) instead of :class:`StaticallyUndefined` (fold a constant).
+        The envelope hybrid tier compiles against a 3-scalar-field slice of
+        the 8-field envelope and MUST use this mode — with the closed-world
+        default, ``{'topic': value.type = 'order' ? 'a' : 'b'}`` would fold
+        ``value.type`` to undefined and emit the constant ``'b'`` for every
+        record (round-10 advisor fix). Type-based proofs (stepping into a
+        scalar, out-of-range constant index into a singleton) stay
+        StaticallyUndefined in both modes: the declared types ARE
+        trustworthy, only field EXISTENCE is open."""
         self.schema = schema
+        self.closed_world = closed_world
+
+    def _absent(self, msg: str):
+        raise (StaticallyUndefined if self.closed_world else NotCompilable)(msg)
 
     def compile(self, source: str) -> Typed:
         return self.compile_ast(parse(source))
@@ -899,7 +918,7 @@ class Compiler:
         dt = ctx.dtype
         if isinstance(dt, T.StructType):
             if name not in dt.fieldNames():
-                raise StaticallyUndefined(f"unknown field {name!r}")
+                self._absent(f"unknown field {name!r}")
             return Typed(ctx.col.getField(name), dt[name].dataType)
         if isinstance(dt, T.MapType):
             return Typed(ctx.col.getItem(name), dt.valueType)
@@ -907,7 +926,7 @@ class Compiler:
             # implicit mapping over array of structs -> array of field values
             inner = dt.elementType
             if name not in inner.fieldNames():
-                raise StaticallyUndefined(f"unknown field {name!r}")
+                self._absent(f"unknown field {name!r}")
             out_t = inner[name].dataType
             if isinstance(out_t, T.ArrayType):
                 # an array-valued field FLATTENS one level in the result
@@ -1003,7 +1022,7 @@ class Compiler:
 
         scan(src.dtype)
         if not tgt:
-            raise StaticallyUndefined(f"** finds no field {name!r} in the schema")
+            self._absent(f"** finds no field {name!r} in the schema")
         ss = {d.simpleString() for d in tgt}
         cast = False
         if ss == {"bigint", "double"}:

@@ -422,7 +422,12 @@ def _try_compile_envelope_rewrite(df: DataFrame, ast: dict) -> DataFrame | None:
     scalar_schema = T.StructType(
         [T.StructField(n, t) for n, t in _ENV_SCALAR_TYPES.items()]
     )
-    compiler = Compiler(scalar_schema)
+    # OPEN-WORLD compile: the 3-field scalar schema is a SLICE of the
+    # envelope, so a payload-field reference (value.type, key & '-x') must
+    # route to the interpreter, not fold as statically undefined — the
+    # closed-world default would compile the re-route override to a
+    # CONSTANT for every record (round-10 advisor high fix).
+    compiler = Compiler(scalar_schema, closed_world=False)
     out_cols: dict[str, Column] = {}
     for name, v_ast in overrides.items():
         if name not in {f.name for f in ENVELOPE_RESULT_SCHEMA}:

@@ -476,6 +476,49 @@ def test_knn_graph_lsh_recall_and_auto_routing(spark):
     assert {(r["query_id"], r["neighbor_id"]) for r in routed.collect()} == lsh
 
 
+def test_knn_graph_multiprobe_improves_recall(spark):
+    """Round-10: directed multi-probe (flip the lowest-|margin| band bits,
+    Lv et al. VLDB'07) must strictly improve LSH recall vs the exact tier
+    on a hard corpus where single-bucket banding misses neighbors, and
+    n_probes must validate against band width."""
+    import numpy as np
+    import pytest as _pytest
+
+    from kafka_connect_jsonata_spark.functions import similarity as S
+
+    rng = np.random.default_rng(7)
+    # diffuse clusters: neighbors often straddle a hyperplane, the regime
+    # where own-bucket banding leaks recall and probing recovers it
+    centers = rng.normal(size=(6, 24)) * 2.0
+    vecs = np.concatenate(
+        [c + rng.normal(size=(20, 24)) * 0.8 for c in centers]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.knn_graph(df, k=3, strategy="gemm").collect()
+    }
+
+    def recall(n_probes):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.knn_graph(
+                df, k=3, strategy="lsh", n_bands=6, band_bits=8,
+                n_probes=n_probes,
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 > r0, f"multi-probe must lift recall: {r0} -> {r2}"
+    assert r2 >= 0.9, f"probed recall too low: {r2}"
+    with _pytest.raises(ValueError, match="n_probes"):
+        S.knn_graph(df, k=3, strategy="lsh", band_bits=4, n_probes=4)
+
+
 def test_knn_graph_validation(spark):
     import pytest as _pytest
 

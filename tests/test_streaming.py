@@ -458,12 +458,12 @@ def test_stream_incremental_dedup_rolls_sketch_table_forward(
     stream = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", "1"
     ).parquet(f"{src}/*")
-    stream_incremental_dedup(stream, out, sk, ckpt, **params)
+    stream_incremental_dedup(stream, out, sk, ckpt, layout="flat", **params)
     half2.coalesce(1).write.parquet(str(src / "b2"))
     stream = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", "1"
     ).parquet(f"{src}/*")
-    stream_incremental_dedup(stream, out, sk, ckpt, **params)
+    stream_incremental_dedup(stream, out, sk, ckpt, layout="flat", **params)
 
     got = sorted(r[0] for r in spark.read.parquet(out).select("doc_id").collect())
 
@@ -511,7 +511,7 @@ def test_compact_sketch_table_preserves_history_semantics(
         stream = spark.readStream.schema(schema).option(
             "maxFilesPerTrigger", "4"
         ).parquet(f"{src}/*")
-        stream_incremental_dedup(stream, out, sk, ckpt, **params)
+        stream_incremental_dedup(stream, out, sk, ckpt, layout="flat", **params)
 
     before_rows = sorted(
         tuple(r) for r in spark.read.parquet(sk).collect()
@@ -528,7 +528,7 @@ def test_compact_sketch_table_preserves_history_semantics(
     stream = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", "1"
     ).parquet(f"{src}/*")
-    stream_incremental_dedup(stream, out, sk, ckpt, **params)
+    stream_incremental_dedup(stream, out, sk, ckpt, layout="flat", **params)
     got = sorted(
         r[0] for r in spark.read.parquet(out).select("doc_id").collect()
     )
@@ -559,3 +559,260 @@ def test_compact_sketch_table_preserves_history_semantics(
         .collect()
     )
     assert got == exp and got
+
+
+def test_stream_incremental_dedup_pruned_layout_parity(spark, sf_dir, tmp_path):
+    """C85 round-10: the prunable sketch-store layout (default) must
+    produce the IDENTICAL kept set as the flat layout and as the batch
+    fold — the physical layout is invisible to the dedup math."""
+    from kafka_connect_jsonata_spark.functions import dedup
+    from kafka_connect_jsonata_spark.streaming.transform import (
+        stream_incremental_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    half1 = docs.filter(F.col("doc_id") % 2 == 0)
+    half2 = docs.filter(F.col("doc_id") % 2 != 0)
+    src = tmp_path / "ingest_src"
+    params = dict(num_hashes=32, n_bands=8, threshold=0.9)
+    schema = docs.schema
+    half1.coalesce(1).write.parquet(str(src / "b1"))
+    half2.coalesce(1).write.parquet(str(src / "b2"))
+
+    kept = {}
+    for layout in ("pruned", "flat"):
+        out = str(tmp_path / f"kept_{layout}")
+        sk = str(tmp_path / f"store_{layout}")
+        ckpt = str(tmp_path / f"ckpt_{layout}")
+        for _ in range(2):  # maxFilesPerTrigger=1 + same ckpt: one batch/run
+            stream = spark.readStream.schema(schema).option(
+                "maxFilesPerTrigger", "1"
+            ).parquet(f"{src}/*")
+            stream_incremental_dedup(stream, out, sk, ckpt, layout=layout, **params)
+        kept[layout] = sorted(
+            r[0] for r in spark.read.parquet(out).select("doc_id").collect()
+        )
+    assert kept["pruned"] == kept["flat"] and kept["pruned"]
+
+    kept1 = dedup.minhash_dedup(half1, **params)
+    kept2 = dedup.minhash_dedup_incremental(
+        half2,
+        None,
+        ref_sketches=dedup.minhash_sketches(kept1, num_hashes=32, n_bands=8),
+        **params,
+    )
+    exp = sorted(
+        r[0]
+        for r in kept1.select("doc_id").union(kept2.select("doc_id")).collect()
+    )
+    assert kept["pruned"] == exp
+
+
+def test_sketch_store_match_parity_with_flat(spark, sf_dir, tmp_path):
+    """minhash_match_against_store == minhash_match_against pair-for-pair
+    (both route through the shared _cross_verify), and the incremental
+    kept sets agree."""
+    from kafka_connect_jsonata_spark.functions import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 != 0)
+    store = str(tmp_path / "store")
+    dedup.write_sketch_store(hist, store, num_hashes=32, n_bands=8)
+
+    got = sorted(
+        tuple(r)
+        for r in dedup.minhash_match_against_store(
+            batch, store, threshold=0.9
+        ).collect()
+    )
+    flat = sorted(
+        tuple(r)
+        for r in dedup.minhash_match_against(
+            batch,
+            None,
+            threshold=0.9,
+            num_hashes=32,
+            n_bands=8,
+            ref_sketches=dedup.minhash_sketches(hist, num_hashes=32, n_bands=8),
+        ).collect()
+    )
+    assert got == flat and got
+
+    ki = sorted(
+        r[0]
+        for r in dedup.minhash_dedup_incremental_store(
+            batch, store, threshold=0.9
+        ).select("doc_id").collect()
+    )
+    kf = sorted(
+        r[0]
+        for r in dedup.minhash_dedup_incremental(
+            batch,
+            None,
+            threshold=0.9,
+            num_hashes=32,
+            n_bands=8,
+            ref_sketches=dedup.minhash_sketches(hist, num_hashes=32, n_bands=8),
+        ).select("doc_id").collect()
+    )
+    assert ki == kf and ki
+
+
+def test_sketch_store_param_contract(spark, sf_dir, tmp_path):
+    """Appending with different sketch params must raise — params are a
+    table-lifetime contract."""
+    from kafka_connect_jsonata_spark.functions import dedup
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    store = str(tmp_path / "store")
+    dedup.write_sketch_store(docs, store, num_hashes=32, n_bands=8)
+    with pytest.raises(ValueError, match="different"):
+        dedup.write_sketch_store(docs, store, num_hashes=64, n_bands=16)
+
+
+def test_compact_sketch_store_preserves_semantics(spark, sf_dir, tmp_path):
+    """Compacting the pruned store (including GROWING P/Q — the lever that
+    keeps per-batch scans O(batch) as history grows) must reduce the file
+    count, preserve logical content, and leave the next batch's match
+    results unchanged."""
+    from kafka_connect_jsonata_spark.functions import dedup
+    from kafka_connect_jsonata_spark.streaming.transform import (
+        compact_sketch_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = str(tmp_path / "store")
+    # several appends -> several small file sets per partition dir
+    for m in range(3):
+        dedup.write_sketch_store(
+            docs.filter(F.col("doc_id") % 3 == m), store,
+            num_hashes=32, n_bands=8,
+        )
+    batch = docs.filter(F.col("doc_id") % 7 == 0)
+    before = sorted(
+        tuple(r)
+        for r in dedup.minhash_match_against_store(
+            batch, store, threshold=0.9
+        ).collect()
+    )
+    idx_before = sorted(
+        tuple(r) for r in spark.read.parquet(f"{store}/index").drop("__p").collect()
+    )
+    # same-P compaction merges the 3 per-append file sets -> 1 file/dir
+    res = compact_sketch_store(spark, store)
+    assert res["index"][1] < res["index"][0]
+    assert res["sigs"][1] < res["sigs"][0]
+    mid = sorted(
+        tuple(r)
+        for r in dedup.minhash_match_against_store(
+            batch, store, threshold=0.9
+        ).collect()
+    )
+    assert mid == before
+    # growing P/Q re-partitions (more dirs — that's the point) but must
+    # preserve logical content and match results
+    res = compact_sketch_store(
+        spark, store, index_partitions=256, sig_partitions=128
+    )
+    meta = dedup.read_sketch_store_meta(spark, store)
+    assert meta["index_partitions"] == 256 and meta["sig_partitions"] == 128
+    idx_after = sorted(
+        tuple(r) for r in spark.read.parquet(f"{store}/index").drop("__p").collect()
+    )
+    assert idx_after == idx_before
+    after = sorted(
+        tuple(r)
+        for r in dedup.minhash_match_against_store(
+            batch, store, threshold=0.9
+        ).collect()
+    )
+    assert after == before
+
+
+def test_sketch_store_scan_bytes_sublinear(spark, tmp_path):
+    """The round-9 `weak` closure criterion: per-batch history-scan bytes
+    must be governed by the BATCH (its distinct bucket partitions), not by
+    total history size. Two axes:
+
+    (a) steady state — 20 small batches against a 100x-batch history each
+        scan a small fraction of the store;
+    (b) scale-up — 4x the history with 4x the partitions (the compaction
+        lever): per-batch scan bytes stay ~flat instead of growing 4x,
+        i.e. scan is O(batch) once P tracks corpus size.
+
+    Kept-set correctness under this layout is pinned by the parity tests
+    above; here we pin the I/O shape."""
+    from kafka_connect_jsonata_spark.functions import dedup
+
+    def synth_docs(n, tag):
+        # deterministic distinct texts (no cross-doc near-dups)
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.sha2(F.concat_ws("-", F.lit(tag), F.col("id").cast("string"), F.lit(str(i))), 256)
+                    for i in range(4)
+                ],
+            ).alias("text"),
+        )
+
+    params = dict(num_hashes=16, n_bands=8, ngram=5)
+    hist_n, batch_n = 500, 5  # history = 100x batch
+    hist = synth_docs(hist_n, "h")
+    store = str(tmp_path / "store_1x")
+    dedup.write_sketch_store(
+        hist, store, index_partitions=512, sig_partitions=256, **params
+    )
+
+    # (a) 20 batches, each 3 new docs + 2 exact copies of history docs
+    # (so the candidate/sigs path is exercised every batch)
+    fracs, scans = [], []
+    for b in range(20):
+        newb = synth_docs(3, f"b{b}").withColumn(
+            "doc_id", F.col("doc_id") + F.lit(10_000 + 100 * b)
+        )
+        dup_src = hist.filter(
+            (F.col("doc_id") % hist_n) >= (7 * b) % (hist_n - 2)
+        ).limit(2)
+        dups = dup_src.select(
+            (F.col("doc_id") + F.lit(50_000 + 100 * b)).alias("doc_id"), "text"
+        )
+        batch = newb.unionByName(dups)
+        m: dict = {}
+        pairs = dedup.minhash_match_against_store(
+            batch, store, threshold=0.9, scan_metrics=m
+        )
+        assert pairs.count() >= 2  # the planted exact dups matched history
+        scanned = m["index_bytes"] + m["sigs_bytes"]
+        total = m["index_total_bytes"] + m["sigs_total_bytes"]
+        scans.append(scanned)
+        fracs.append(scanned / total)
+    assert max(fracs) < 0.35, f"per-batch scan fraction too high: {fracs}"
+
+    # (b) 4x history, 4x partitions: same batch, scan bytes ~flat
+    store4 = str(tmp_path / "store_4x")
+    hist4 = synth_docs(4 * hist_n, "h4")
+    dedup.write_sketch_store(
+        hist4, store4, index_partitions=2048, sig_partitions=1024, **params
+    )
+    batch = synth_docs(batch_n, "probe").withColumn(
+        "doc_id", F.col("doc_id") + F.lit(90_000)
+    )
+    m1, m4 = {}, {}
+    dedup.minhash_match_against_store(
+        batch, store, threshold=0.9, scan_metrics=m1
+    ).count()
+    dedup.minhash_match_against_store(
+        batch, store4, threshold=0.9, scan_metrics=m4
+    ).count()
+    tot1 = m1["index_total_bytes"] + m1["sigs_total_bytes"]
+    tot4 = m4["index_total_bytes"] + m4["sigs_total_bytes"]
+    assert tot4 > 2.5 * tot1  # the history really did grow ~4x
+    s1 = m1["index_bytes"] + m1["sigs_bytes"]
+    s4 = m4["index_bytes"] + m4["sigs_bytes"]
+    assert s4 < 2.0 * max(s1, 1), (
+        f"scan bytes must not track history size: {s1} -> {s4} "
+        f"(totals {tot1} -> {tot4})"
+    )

@@ -163,6 +163,13 @@ INTERPRETER_ENVELOPE_EXPRS = [
     "value.event_type = 'purchase' ? $ : null",  # payload read + tombstone
     "$merge([$, {'value': value}])",  # payload subtree not identity
     "$merge([$, {'topic': value.event_type}])",  # scalar from payload tree
+    # round-10 advisor high: a payload-field reference inside a FOLD SITE
+    # (conditional / concat) must NOT compile to a constant via the
+    # closed-world StaticallyUndefined path — the scalar slice schema is
+    # open-world (fields exist that it doesn't declare)
+    "$merge([$, {'topic': value.event_type = 'purchase' ? 'hot' : 'cold'}])",
+    "$merge([$, {'topic': key & '-x'}])",
+    "$merge([$, {'kafkaPartition': $exists(value.event_type) ? 1 : 0}])",
 ]
 
 
@@ -204,6 +211,75 @@ def test_envelope_true_rewrites_stay_interpreter(spark, sf_dir, expr):
     out = transform_envelope(env, expr)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan
+
+
+def test_envelope_payload_conditioned_reroute_values(spark, sf_dir):
+    """Round-10 advisor high fix, value-level: the reference SMT's
+    payload-conditioned re-route idiom must produce a PER-RECORD topic,
+    not a folded constant. Before the open-world compiler mode, the
+    closed-world fold resolved ``value.event_type = 'purchase'`` to
+    undefined -> false and emitted 'cold' for every record."""
+    from kafka_connect_jsonata_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(300)
+    env = wrap_as_dynamic_envelope(ev, topic="events", key_col="event_id", timestamp_col="ts")
+    out = transform_envelope(
+        env, "$merge([$, {'topic': value.event_type = 'purchase' ? 'hot' : 'cold'}])"
+    )
+    got = {
+        (F_et, r["topic"])
+        for r in out.select(
+            F.get_json_object("value", "$.event_type").alias("et"), "topic"
+        ).collect()
+        for F_et in [r["et"]]
+    }
+    assert all(
+        (t == "hot") == (et == "purchase") for et, t in got
+    ), f"topic must track the payload: {sorted(got)[:6]}"
+    assert len({t for _, t in got}) == 2, "expected both topics in 300 events"
+
+
+def test_compiler_open_world_mode():
+    """Open-world Compiler: absent field raises plain NotCompilable (no
+    constant folding), while type-based proofs stay StaticallyUndefined."""
+    from kafka_connect_jsonata_spark.jsonata.compiler import (
+        Compiler,
+        StaticallyUndefined,
+    )
+
+    schema = T.StructType([T.StructField("topic", T.StringType())])
+    open_c = Compiler(schema, closed_world=False)
+    # absent-field reference inside a fold site: must NOT compile at all
+    for expr in (
+        "value = 'x' ? 'a' : 'b'",
+        "key & '-x'",
+        "{'t': nope}",
+        "$exists(value.t) ? 1 : 0",
+    ):
+        with pytest.raises(NotCompilable):
+            open_c.compile(expr)
+    # closed-world folds the same shapes to constants (existing semantics)
+    closed_c = Compiler(schema, closed_world=True)
+    assert closed_c.compile("value = 'x' ? 'a' : 'b'") is not None
+    # type-based undefined proofs survive in open-world ($exists folds it)
+    assert open_c.compile("$exists(topic.sub) ? 1 : 0") is not None
+    with pytest.raises(StaticallyUndefined):
+        open_c.compile("topic.sub")
+
+
+def test_node_can_raise_covers_filter_nodes():
+    """Round-10 advisor low fix: a constant out-of-range index into a
+    singleton raises StaticallyUndefined with no 'name' node present, so
+    _node_can_raise must flag filter nodes — otherwise _undef_value_node's
+    call arm misattributes a later-arg raise to the first argument and
+    folds e.g. $substring(a, $v[5]) as undefined, where the interpreter
+    returns a's value ($substring with undefined length = whole string)."""
+    from kafka_connect_jsonata_spark.jsonata.compiler import _node_can_raise
+    from kafka_connect_jsonata_spark.jsonata.parser import parse
+
+    assert _node_can_raise(parse("$v[5]"))
+    assert _node_can_raise(parse("a.b"))
+    assert not _node_can_raise(parse("1 + 2"))
 
 
 def test_envelope_tombstone_filter(spark, sf_dir):

@@ -7,7 +7,7 @@ members each, dim 64, noise sized so intra-cluster cosine ~0.94 — the
 regime ANN targets), runs ``knn_graph(strategy="lsh")``, and reports wall
 time plus recall@k against an exact numpy top-k on a 500-query sample.
 
-Usage: python tools/knn_stress.py [n] [dim] [k]
+Usage: python tools/knn_stress.py [n] [dim] [k] [n_probes]
 """
 
 from __future__ import annotations
@@ -31,6 +31,7 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     dim = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    n_probes = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     n_clusters = max(n // 100, 1)
 
     rng = np.random.default_rng(42)
@@ -48,11 +49,14 @@ def main() -> None:
 
     t0 = time.time()
     edges = knn_graph(
-        df, k=k, strategy="lsh", n_bands=16, band_bits=14
+        df, k=k, strategy="lsh", n_bands=16, band_bits=14, n_probes=n_probes
     ).localCheckpoint()
     n_edges = edges.count()
     wall = time.time() - t0
-    print(f"lsh knn_graph: {wall:.1f}s edges={n_edges} (target {n * k})")
+    print(
+        f"lsh knn_graph (n_probes={n_probes}): {wall:.1f}s "
+        f"edges={n_edges} (target {n * k})"
+    )
 
     unit = vecs.astype("float64")
     unit /= np.linalg.norm(unit, axis=1, keepdims=True)

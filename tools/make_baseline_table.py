@@ -51,9 +51,23 @@ NOTES = {
 }
 
 
-def render_table(spark_q: dict, duck_q: dict) -> list[str]:
-    lines = ["| query | PySpark | DuckDB | ratio | note |", "|---|---|---|---|---|"]
+def render_table(spark_q: dict, duck_q: dict, samples: dict | None = None) -> list[str]:
+    """Markdown per-query table. ``samples`` (BENCH.json "samples", round-10
+    verdict item 3) adds the multi-run noise bound per query: the number of
+    interleaved passes and the max/min spread across them — the mechanical
+    classifier for future bench deltas (a future time inside [min, min x
+    spread] is this host's documented noise, not a regression)."""
+    samples = samples or {}
+    lines = [
+        "| query | PySpark | runs | spread | DuckDB | ratio | note |",
+        "|---|---|---|---|---|---|---|",
+    ]
     for name, s in spark_q.items():
+        rs = samples.get(name) or []
+        n_runs = str(len(rs)) if rs else "—"
+        spread = (
+            f"{max(rs) / max(min(rs), 1e-9):.2f}×" if len(rs) >= 2 else "—"
+        )
         if name == "ngram_jaccard_dups":
             d, ratio = ">420 (timed out)", "<0.02×"
         elif name in duck_q:
@@ -61,7 +75,10 @@ def render_table(spark_q: dict, duck_q: dict) -> list[str]:
             ratio = f"{s / duck_q[name]:.1f}×" if duck_q[name] > 0 else "—"
         else:
             d, ratio = "—", "—"
-        lines.append(f"| {name} | {s:.2f} | {d} | {ratio} | {NOTES.get(name, '')} |")
+        lines.append(
+            f"| {name} | {s:.2f} | {n_runs} | {spread} | {d} | {ratio} "
+            f"| {NOTES.get(name, '')} |"
+        )
     return lines
 
 
@@ -73,7 +90,9 @@ def patch_baseline_md(repo: str, table: list[str], spark_q: dict) -> None:
     path = os.path.join(repo, "BASELINE.md")
     with open(path) as f:
         text = f.read()
-    header = "| query | PySpark | DuckDB | ratio | note |"
+    header = "| query | PySpark | runs | spread | DuckDB | ratio | note |"
+    if header not in text:  # first regeneration after the round-10 format change
+        header = "| query | PySpark | DuckDB | ratio | note |"
     start = text.index(header)
     # the table ends at the first non-table line after the header
     end = start
@@ -111,7 +130,9 @@ def main() -> None:
     # truncated to the driver's 2000-byte tail window when the full dict no
     # longer fits (round-7 change) — BENCH.json always holds every query
     with open(os.path.join(repo, "BENCH.json")) as f:
-        spark_q = json.load(f)["queries"]
+        bench = json.load(f)
+    spark_q = bench["queries"]
+    samples = bench.get("samples", {})
     env["DUCKDB_BENCH_SKIP"] = ("ngram_jaccard_dups,minhash_dedup_docs,"
         "minhash_dedup_best_docs,minhash_dedup_incr_docs,"
         "minhash_dedup_boiler_docs")
@@ -121,7 +142,7 @@ def main() -> None:
     ).stdout.strip().splitlines()[-1]
     duck_q = json.loads(duck_out)["queries"]
 
-    table = render_table(spark_q, duck_q)
+    table = render_table(spark_q, duck_q, samples)
     print("\n".join(table))
     total = sum(spark_q.values())
     print(f"\nSpark total: {total:.1f} s over {len(spark_q)} queries; "
