@@ -36,10 +36,20 @@ integer pictures, exponent-notation number pictures, constant recursion
 ($fib-style blocks), and wildcard/descendant steps over literal objects, at
 tier-2 exactness.
 
+Round 10 widens the path surface: ``%`` parent inside constructor /
+expression steps — the jsonata-docs idiom ``Product.{'O': %.OrderID}`` —
+compiles, including across ONE real fan-out level (nested transform
+carrying per-element parents, ``_fanout_parent_step``; constant-parent
+arrays carry ``Typed.elem_parents``); positional/focus binds crossing an
+outer fan-out (``items.parts#$i`` — global enumeration over the flattened
+inner path); and ``$eval`` with a LITERAL expression string compiles
+against the root schema or a schema-stable context argument (``_fn_eval``).
+
 Deliberately NOT compiled (fall back to tier 2) when DATA-dependent:
-implicit array mapping with singleton unwrap, ``**``/``%``, multi-pair or
-sequence-valued group-by (runtime D1009 / dynamic singleton unwrap),
-row-sequence order-by, recursion, ``$eval``, schema-as-data rewrites,
+implicit array mapping with singleton unwrap, ``**`` with no name step,
+``%`` across TWO+ fan-out levels, multi-pair or sequence-valued group-by
+(runtime D1009 / dynamic singleton unwrap), row-sequence order-by,
+recursion, ``$eval`` of a DYNAMIC code string (the code is data),
 words/roman/ordinal integer pictures, $match with anchors/lookaround/
 zero-length or group-under-alternation patterns, $replace with a limit
 argument or out-of-range group references.
@@ -158,6 +168,23 @@ def _undef_value_node(node: dict) -> bool:
             _node_can_raise(a) for a in args[1:]
         )
     return False
+
+
+def _contains_parent(node) -> bool:
+    """Does this subtree reference the ``%`` parent operator anywhere?
+    Used to route fan-out expression steps through the nested-transform
+    compile (which carries per-element parents) only when needed."""
+    if isinstance(node, (list, tuple)):
+        return any(_contains_parent(x) for x in node)
+    if not isinstance(node, dict):
+        return False
+    if node.get("type") == "parent":
+        return True
+    return any(
+        _contains_parent(v)
+        for v in node.values()
+        if isinstance(v, (dict, list, tuple))
+    )
 
 
 def _node_can_raise(node) -> bool:
@@ -307,8 +334,17 @@ class Typed:
     # name steps over a STRUCT/MAP context append the pre-step context;
     # fan-out steps (implicit array mapping, filters, wildcards) reset to
     # () because each element's parent differs per row — ``%`` after one
-    # of those stays tier 2
+    # of those compiles only through the one-fan-out nested-transform path
+    # (round 10) and otherwise stays tier 2
     parents: tuple = ()
+    # parent chain OF THE ELEMENTS of an array-typed value, when that
+    # chain is CONSTANT across elements (the array was an array-valued
+    # field of a single struct). A per-element expression step passes this
+    # into each element's compile context so `a.lines.{'x': %.id}` with
+    # `a` a struct compiles (round 10); a real fan-out leaves it () —
+    # each element's parent differs — and `%` under it routes through the
+    # nested-transform special case or tier 2.
+    elem_parents: tuple = ()
 
 
 @dataclass
@@ -406,10 +442,12 @@ class Compiler:
             r = self._field(ctx, node["value"])
             if isinstance(ctx.dtype, (T.StructType, T.MapType)):
                 # non-fanout step: record the pre-step context so a later
-                # ``%`` can address it (B1.6, round 9)
-                return Typed(
-                    r.col, r.dtype, getattr(ctx, "parents", ()) + (ctx,)
-                )
+                # ``%`` can address it (B1.6, round 9). An array-valued
+                # result also records the chain as its ELEMENTS' constant
+                # parent chain (round 10): every element of a.lines has
+                # parent a.
+                chain = getattr(ctx, "parents", ()) + (ctx,)
+                return Typed(r.col, r.dtype, chain, elem_parents=chain)
             return r
         if t == "parent":
             ps = getattr(ctx, "parents", ())
@@ -443,12 +481,47 @@ class Compiler:
                 # single context item, so tier 2's global enumeration over
                 # the step's result sequence coincides with the array
                 # position / element — compiled as one transform() carrying
-                # the bind through the child env. Binds that would cross an
-                # OUTER fan-out (items.parts#$i — enumeration spans parents)
-                # parse with the bind on an inner path_op's rhs and keep
-                # routing to tier 2 below.
+                # the bind through the child env.
                 return self._bound_step(node["lhs"], rhs_node, ctx, env)
+            if (
+                node["lhs"]["type"] == "path_op"
+                and node["lhs"]["rhs"]["type"] in ("index_bind", "context_bind")
+            ):
+                # bind crossing an OUTER fan-out (items.parts#$i.RHS —
+                # round 10, verdict item 5): tier 2 enumerates $i over the
+                # step's COMBINED result sequence spanning parents, which
+                # is exactly the compiled flat sequence of the whole inner
+                # path — rewrite bind(expr=parts) under items as
+                # bind(expr=items.parts) and reuse _bound_step. A bind
+                # referenced beyond the immediately-following step raises
+                # unbound -> tier 2 (never a wrong value).
+                ib = node["lhs"]["rhs"]
+                merged = {
+                    **ib,
+                    "expr": {
+                        "type": "path_op",
+                        "lhs": node["lhs"]["lhs"],
+                        "rhs": ib["expr"],
+                        "pos": ib.get("pos", 0),
+                    },
+                }
+                return self._bound_step(merged, rhs_node, ctx, env)
             lhs = self._c(node["lhs"], ctx, env)
+            if (
+                isinstance(lhs.dtype, T.ArrayType)
+                and rhs_node["type"]
+                in ("object", "array", "call", "block", "condition", "binary", "unary")
+                and not getattr(lhs, "elem_parents", ())
+                and _contains_parent(rhs_node)
+            ):
+                # `%` under a REAL fan-out (each element's parent differs):
+                # the flattened lhs has lost per-element parents — recompile
+                # as a nested transform that carries each parent alongside
+                # (round 10, one fan-out level). None -> the generic branch
+                # below, where the parent step raises NotCompilable (tier 2).
+                nested = self._fanout_parent_step(node, ctx, env)
+                if nested is not None:
+                    return nested
             if rhs_node["type"] == "object" and isinstance(lhs.dtype, T.ArrayType):
                 # dotted object constructor maps PER ELEMENT (jsonata docs:
                 # Phone.{type: number} -> one object per phone) — compile
@@ -462,8 +535,14 @@ class Compiler:
                     # delegate to the object-constructor compile so the
                     # per-element form shares its full semantics: literal
                     # keys -> struct, single-pair dynamic key -> MapType
-                    # (round 9), statically-undefined pair omission
-                    r = self._c(rhs_node, Typed(x, elem_t), env)
+                    # (round 9), statically-undefined pair omission.
+                    # Elements inherit the array's constant parent chain
+                    # (round 10: `%` inside the constructor).
+                    r = self._c(
+                        rhs_node,
+                        Typed(x, elem_t, parents=getattr(lhs, "elem_parents", ())),
+                        env,
+                    )
                     dts_box.append(r.dtype)
                     return r.col
 
@@ -476,8 +555,11 @@ class Compiler:
                 et_box: list = []
 
                 def build_arr(x):
+                    ectx = Typed(
+                        x, elem_t, parents=getattr(lhs, "elem_parents", ())
+                    )
                     items = [
-                        self._c(e, Typed(x, elem_t), env)
+                        self._c(e, ectx, env)
                         for e in rhs_node["expressions"]
                     ]
                     et_box.append(
@@ -506,7 +588,11 @@ class Compiler:
                 dt_box: list = []
 
                 def build_call(x):
-                    res = self._c(rhs_node, Typed(x, elem_t), env)
+                    res = self._c(
+                        rhs_node,
+                        Typed(x, elem_t, parents=getattr(lhs, "elem_parents", ())),
+                        env,
+                    )
                     dt_box.append(res.dtype)
                     return res.col
 
@@ -521,12 +607,10 @@ class Compiler:
                     col = F.flatten(F.filter(col, lambda r: r.isNotNull()))
                     return Typed(col, res_t)
                 return Typed(col, T.ArrayType(res_t))
-            if rhs_node["type"] not in ("name", "parent"):
-                # tier 2 starts NESTED paths inside a block/expression
-                # step with an empty ancestry (the `%ancestry%` binding is
-                # consulted only for a bare `%`, not a `%.x` sub-path) —
-                # strip the parent chain so `a.(%.z)` agrees across tiers
-                lhs = Typed(lhs.col, lhs.dtype)
+            # round 10: nested paths inside a block/expression step INHERIT
+            # the enclosing ancestry in tier 2 now (the jsonata-docs parent
+            # idiom `Product.{'O': %.OrderID}`), so the parent chain flows
+            # through instead of being stripped
             return self._c(rhs_node, lhs, env)
         if t == "keep_array":
             # `a[]` pins array-ness: a singleton result stays a one-element
@@ -873,6 +957,74 @@ class Compiler:
             col = col.dropFields(*drop)
             fields = [x for x in fields if x.name not in drop]
         return Typed(col, T.StructType(fields))
+
+    def _fanout_parent_step(self, node, ctx: Typed, env: dict) -> Typed | None:
+        """Compile ``L.y.EXPR`` where ``L`` fans out to array<struct>, ``y``
+        is an array-valued field of the element struct, and ``EXPR`` reads
+        ``%`` — one fan-out level of the jsonata parent idiom
+        (``Account.Order.Product.{'O': %.OrderID}``, round 10). The generic
+        path flattens ``L.y`` first, losing which parent each element came
+        from; here the transform NESTS instead — outer over L's elements
+        (each becomes its elements' compile-time parent), inner over the
+        y array — and flattens after, so the result sequence is identical.
+        Returns None when the shape doesn't match (caller falls through to
+        the generic branch, where ``%`` raises NotCompilable -> tier 2);
+        a second ``%`` level across ANOTHER fan-out raises inside the inner
+        compile and routes to tier 2 the same way."""
+        if (
+            node["lhs"]["type"] != "path_op"
+            or node["lhs"]["rhs"]["type"] != "name"
+        ):
+            return None
+        yname = node["lhs"]["rhs"]["value"]
+        cL = self._c(node["lhs"]["lhs"], ctx, env)
+        if not (
+            isinstance(cL.dtype, T.ArrayType)
+            and isinstance(cL.dtype.elementType, T.StructType)
+        ):
+            return None
+        es = cL.dtype.elementType
+        if yname not in es.fieldNames():
+            return None
+        y_t = es[yname].dataType
+        if not (
+            isinstance(y_t, T.ArrayType)
+            # element expressions compile against a concrete element type
+            and not isinstance(y_t.elementType, T.NullType)
+        ):
+            return None
+        rhs_node = node["rhs"]
+        dt_box: list = []
+
+        def outer(x):
+            parent_t = Typed(x, es, parents=getattr(cL, "elem_parents", ()))
+            chain = parent_t.parents + (parent_t,)
+
+            def inner(e):
+                r = self._c(
+                    rhs_node, Typed(e, y_t.elementType, parents=chain), env
+                )
+                dt_box.append(r.dtype)
+                return r.col
+
+            return F.transform(x.getField(yname), inner)
+
+        col = F.flatten(
+            F.filter(F.transform(cL.col, outer), lambda r: r.isNotNull())
+        )
+        res_t = dt_box[0] if dt_box else None
+        if res_t is None:
+            return None
+        if rhs_node["type"] == "array":
+            # `seq.[...]` KEEPS per-element arrays (the keep-cons idiom) —
+            # no extra flatten, same as the generic build_arr branch
+            return Typed(col, T.ArrayType(res_t))
+        if isinstance(res_t, T.ArrayType):
+            # array-valued element results flatten one level with empty
+            # sequences dropped — same rule as the generic mapped step
+            col = F.flatten(F.filter(col, lambda r: r.isNotNull()))
+            return Typed(col, res_t)
+        return Typed(col, T.ArrayType(res_t))
 
     def _bound_step(self, bind_node, rhs_node, ctx: Typed, env: dict) -> Typed:
         """Compile ``X#$i.RHS`` / ``X@$v.RHS`` (B1.8 positional/focus
@@ -1778,6 +1930,32 @@ class Compiler:
 
     def _fn_boolean(self, a, ctx, env, raw):
         return Typed(self._truthy(a[0] if a else ctx), T.BooleanType())
+
+    def _fn_eval(self, a, ctx, env, raw):
+        """$eval with a LITERAL expression string and a schema-stable
+        context (round 10, verdict item 6): the literal parses ONCE at
+        compile time and the inner AST compiles against the context
+        argument's static type as its root — the dynamic-evaluation
+        surface becomes an ordinary typed projection (the round-9 version
+        required a LITERAL context and could only constant-fold). Truly
+        dynamic expression strings, and context expressions without a
+        compilable static type, stay tier 2. Without a context argument
+        the inner expression evaluates against the ROOT input and the
+        caller's environment stays visible (tier-2 eval_string semantics) —
+        both mirrored here via _root_ctx / env pass-through."""
+        if not raw or raw[0]["type"] != "string":
+            raise NotCompilable("$eval with a dynamic expression string")
+        try:
+            inner = parse(raw[0]["value"])
+        except Exception as e:  # noqa: BLE001 — tier 2 raises D3120 itself
+            raise NotCompilable(f"$eval of unparseable literal: {e}")
+        if len(raw) >= 2:
+            base = a[1]
+            if base is None or base.dtype is None:
+                raise NotCompilable("$eval context without a static type")
+        else:
+            base = getattr(self, "_root_ctx", None) or ctx
+        return self._c(inner, Typed(base.col, base.dtype), env)
 
     def _fn_not(self, a, ctx, env, raw):
         return Typed(~self._truthy(a[0] if a else ctx), T.BooleanType())

@@ -315,10 +315,18 @@ class Jsonata:
             steps = []
             self._collect_steps(node, steps)
             node["__steps"] = steps
+        # Nested paths INHERIT the enclosing step's ancestry (round 10):
+        # `Account.Order.Product.{'O': %.OrderID}` — the canonical parent
+        # example from the jsonata docs — evaluates `%.OrderID` as a path
+        # inside the constructor step, whose items must see the Product
+        # item's parents. Before this fix nested paths started with empty
+        # ancestry and the pair silently vanished.
+        anc = env.lookup("%ancestry%")
+        seed = tuple(anc) if isinstance(anc, (list, tuple)) else ()
         if isinstance(input, list) and not isinstance(input, JArray) and steps[0]["type"] != "variable":
-            items = [(v, (), ()) for v in input]
+            items = [(v, seed, ()) for v in input]
         else:
-            items = [(input, (), ())]
+            items = [(input, seed, ())]
         keep = False
         for i, step in enumerate(steps):
             if not items:

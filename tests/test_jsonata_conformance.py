@@ -847,8 +847,9 @@ def test_dual_tier_constant_corpus_sweep(spark):
                 compiled_n += 1
     assert not failures, failures[:5]
     # the sweep must be substantive, not vacuous
-    # round-8 constant folding lifted the share from ~300 to 371/384
-    assert compiled_n >= 350, (compiled_n, skipped)
+    # round-8 constant folding lifted the share from ~300 to 371/384;
+    # round-10 ($eval non-literal context, parent-in-step ancestry) to 377
+    assert compiled_n >= 370, (compiled_n, skipped)
     print(f"\nconstant-sweep compiled: {compiled_n}, interpreter-only: {skipped}")
 
 

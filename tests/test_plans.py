@@ -809,3 +809,31 @@ def test_pipeline_scores_each_document_exactly_once(spark, sf_dir):
     df = Q.QUERIES["curation_pipeline_docs"](spark, sf_dir)
     plan = plan_of(df)
     assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") == 1
+
+
+def test_unpruned_partitioned_scan_detector(spark, tmp_path):
+    """Round-10 plan-audit telemetry (verdict item 8): the C85 class of
+    finding — a hive-partitioned table scanned with NO partition filters —
+    must be caught mechanically. Pin the detector on all three shapes:
+    partitioned+unfiltered (flag), partitioned+pruned (clean),
+    unpartitioned (clean)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from tools.plan_audit import _unpruned_partitioned_scans
+
+    p = str(tmp_path / "t")
+    spark.range(100).withColumn(
+        "__p", F.pmod(F.col("id"), F.lit(4))
+    ).write.partitionBy("__p").parquet(p)
+    full = spark.read.parquet(p).filter(F.col("id") > 5)
+    pruned = spark.read.parquet(p).filter(F.col("__p") == 1)
+    u = str(tmp_path / "u")
+    spark.range(10).write.parquet(u)
+    unpart = spark.read.parquet(u)
+    assert _unpruned_partitioned_scans(full) == 1
+    assert _unpruned_partitioned_scans(pruned) == 0
+    assert _unpruned_partitioned_scans(unpart) == 0

@@ -37,6 +37,10 @@ ROWS_ONLY = {
     # tests/test_curation.py
     "compression_ratio_docs",
     "pack_bpe_budget_docs",
+    # streaming side effects (checkpoint + sinks) have no SQL analog; the
+    # query SELF-PINS stream == batch fold and raises on divergence
+    # (round 10, C85 demo gate)
+    "stream_incremental_dedup_docs",
 }
 
 

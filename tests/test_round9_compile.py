@@ -248,13 +248,19 @@ def test_eval_literal_constant_folds(spark):
     ):
         cval, want = _both_tiers(spark, expr, data)
         assert _agree(cval, want), (expr, cval, want)
-    # input-reading eval must NOT fold — tier 2 owns it
-    dfx = spark.createDataFrame([(7,)], "a long")
-    with pytest.raises(NotCompilable):
-        transform(dfx, "$eval('a + 1')", force_tier="compiled")
-    # and the interpreter gives the input-reading value
+    # input-reading eval must NOT fold to a constant — but as of round 10
+    # it COMPILES (the literal parses once, the inner AST compiles against
+    # the root schema: _fn_eval) and reads the input per row
+    dfx = spark.createDataFrame([(7,), (9,)], "a long")
+    out = transform(dfx, "$eval('a + 1')", force_tier="compiled")
+    assert sorted(r[0] for r in out.collect()) == [8, 10]
+    # and the interpreter gives the same input-reading value
     got = jsonata("$eval('a + 1')").evaluate({"a": 7})
     assert got == 8
+    # a DYNAMIC code string (the code is data) can never compile
+    dfd = spark.createDataFrame([("a + 1", 7)], "code string, a long")
+    with pytest.raises(NotCompilable):
+        transform(dfd, "$eval(code)", force_tier="compiled")
 
 
 def test_dynamic_key_objects_compile_to_maps(spark):
@@ -301,21 +307,24 @@ def test_root_variable_resolves_to_root_in_nested_contexts(spark):
 
 def test_parent_step_compiles_on_struct_paths(spark):
     """B1.6 ``%`` as a direct path step over non-fanout struct paths
-    compiles (the pre-step context is carried on the Typed); `%` at the
-    start of a nested path inside a block step routes to tier 2, whose
-    path machinery starts nested paths with empty ancestry."""
+    compiles (the pre-step context is carried on the Typed). Round 10:
+    nested paths inside block/constructor steps INHERIT the ancestry in
+    both tiers (tier 2 seeds nested paths from %ancestry%, tier 1 passes
+    the parent chain / elem_parents into the element context), so the
+    `a.(%.z)` shape now compiles and agrees instead of routing to tier 2."""
     cases = [
         ("a.b.%.k", {"a": {"b": {"x": 1}, "k": 9}, "k": 3}),
         ("a.%", {"a": {"b": 1}, "z": 2}),
         ("a.b.%.%", {"a": {"b": {"x": 1}}, "z": 2}),
         ("{'p': a.b.%.k}", {"a": {"b": {"x": 1}, "k": 9}}),
+        ("a.(%.z & '-' & b)", {"a": {"b": "B"}, "z": "Z"}),
     ]
     for expr, data in cases:
         cval, want = _both_tiers(spark, expr, data)
         assert _agree(cval, want), (expr, cval, want)
     df = spark.createDataFrame([(("B",), "Z")], "a struct<b: string>, z string")
-    with pytest.raises(NotCompilable):
-        transform(df, "a.(%.z & '-' & b)", force_tier="compiled")
+    out = transform(df, "a.(%.z & '-' & b)", force_tier="compiled")
+    assert out.collect()[0][0] == "Z-B"
 
 
 def test_transform_operator_is_projection(spark):

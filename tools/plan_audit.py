@@ -58,7 +58,43 @@ DELIBERATE: dict[str, set[str]] = {
         "inverted_index_terms",
         "q21_suppliers_kept_waiting",
     },
+    # UNPRUNED-PARTITIONED-SCAN (round-10, verdict item 8): a scan of a
+    # hive-partitioned table with NO catalyst partition filters reads all
+    # of history every run — the C85 class of finding (the flat sketch
+    # table re-scanned per micro-batch), now caught mechanically. Allowlist
+    # a query only when its partitioned read is pruned by EXPLICIT path
+    # selection before Spark (dedup._pruned_read — scan bytes pinned by
+    # tests/test_streaming.py::test_sketch_store_scan_bytes_sublinear) or
+    # when the full scan IS the workload (a one-off compaction).
+    "UNPRUNED-PARTITIONED-SCAN": set(),
 }
+
+
+def _unpruned_partitioned_scans(df) -> int:
+    """Count FileSourceScanExec nodes reading a PARTITIONED table with an
+    empty partitionFilters list — the layout says "prunable" but the query
+    scans every partition. py4j tree walk: the plan STRING prints
+    ``PartitionFilters: []`` for unpartitioned tables too, so text
+    matching cannot distinguish the C85 class."""
+    try:
+        jplan = df._jdf.queryExecution().executedPlan()
+        leaves = jplan.collectLeaves()
+        n = 0
+        for i in range(leaves.size()):
+            node = leaves.apply(i)
+            # unwrap InputAdapter/WholeStageCodegen wrappers
+            while node.children().size() == 1:
+                node = node.children().apply(0)
+            if node.getClass().getSimpleName() != "FileSourceScanExec":
+                continue
+            if (
+                node.relation().partitionSchema().nonEmpty()
+                and node.partitionFilters().isEmpty()
+            ):
+                n += 1
+        return n
+    except Exception:  # noqa: BLE001 — audit telemetry, never fail the build
+        return 0
 
 FEATURES = [
     ("ArrowEvalPython", "arrow-udf"),
@@ -100,6 +136,14 @@ def main() -> int:
             flags.append(f"{name}: BUILD-ERROR")
             continue
         feats = []
+        n_unpruned = _unpruned_partitioned_scans(df)
+        if n_unpruned:
+            label = "UNPRUNED-PARTITIONED-SCAN"
+            if name not in DELIBERATE[label]:
+                flags.append(f"{name}: {label}")
+            else:
+                label = label.lower()
+            feats.append(label if n_unpruned == 1 else f"{label}x{n_unpruned}")
         for needle, label in FEATURES:
             n = (
                 len(needle.findall(plan))
@@ -125,11 +169,14 @@ def main() -> int:
         "",
         f"Generated by `python tools/plan_audit.py {sf_dir} --write`. Labels:",
         "arrow-udf/mapInPandas/udtf = Arrow-batched Python stages;",
-        "ROW-AT-A-TIME-PY, CARTESIAN and UNBOUNDED-COLLECT (uppercase) are",
+        "ROW-AT-A-TIME-PY, CARTESIAN, UNBOUNDED-COLLECT and",
+        "UNPRUNED-PARTITIONED-SCAN (uppercase) are",
         "red flags unless allowlisted with a documented population bound",
         "(doc-length / parameter / output-size / bucket_cap — see",
         "DELIBERATE in tools/plan_audit.py; round-9 telemetry for the",
-        "round-8 LSH hot-bucket class of finding);",
+        "round-8 LSH hot-bucket class of finding; round-10 telemetry for",
+        "the C85 scan-all-history class: a partitioned table read with no",
+        "partition filters);",
         "bhj/smj/shj/bnlj = join strategies; pushdown =",
         "filters reached the parquet scan; single-part = a SinglePartition",
         "exchange exists (legitimate for one-row reductions and bounded",
