@@ -50,9 +50,12 @@ implicit array mapping with singleton unwrap, ``**`` with no name step,
 ``%`` across TWO+ fan-out levels, multi-pair or sequence-valued group-by
 (runtime D1009 / dynamic singleton unwrap), row-sequence order-by,
 recursion, ``$eval`` of a DYNAMIC code string (the code is data),
-words/roman/ordinal integer pictures, $match with anchors/lookaround/
-zero-length or group-under-alternation patterns, $replace with a limit
-argument or out-of-range group references.
+words/roman/ordinal integer pictures, $match with lookaround / interior
+anchors / zero-length or group-under-alternation patterns ($match with
+EDGE anchors — ^-prefixed / $-suffixed, at most one match at a known
+index — compiles as of round 10), $replace with out-of-range group
+references ($replace group refs UNDER a limit compile round 10: split
+finds the N-th-match boundary, regexp_replace rewrites the head).
 """
 
 from __future__ import annotations
@@ -1605,14 +1608,63 @@ class Compiler:
         p = rx.pattern
         if any(tok in p for tok in ("(?=", "(?!", "(?<", "\\b", "\\B")):
             raise NotCompilable("$match pattern with lookaround/boundaries")
-        if _re.search(r"(?<!\\)[\^$]", p):
-            raise NotCompilable("$match pattern with anchors")
         if rx.groups and any(c in p for c in "|?*"):
             raise NotCompilable(
                 "$match groups with alternation/optionality (tier 2)"
             )
         if _re.compile(rx.pattern, rx.flags).match(""):
             raise NotCompilable("$match zero-length-matchable pattern (D1004)")
+
+        def _unescaped(i: int) -> bool:
+            k = 0
+            while i - 1 - k >= 0 and p[i - 1 - k] == "\\":
+                k += 1
+            return k % 2 == 0
+
+        anchor_pos = [
+            m.start() for m in _re.finditer(r"[\^$]", p) if _unescaped(m.start())
+        ]
+        if anchor_pos:
+            # EDGE anchors compile (round 10): a ^-prefixed / $-suffixed
+            # pattern (no alternation, no multiline — where anchors stop
+            # meaning string edges) admits AT MOST ONE match at a KNOWN
+            # index — 0 when start-anchored, len(s) - len(match) when the
+            # match must END at the string end. Interior anchors (incl.
+            # char-class ^/$ — the scan is syntactic and conservative)
+            # stay tier 2.
+            starts = p.startswith("^") and 0 in anchor_pos
+            ends = p.endswith("$") and (len(p) - 1) in anchor_pos
+            interior = [
+                i
+                for i in anchor_pos
+                if not (starts and i == 0) and not (ends and i == len(p) - 1)
+            ]
+            if interior or "|" in p or (rx.flags & _re.M):
+                raise NotCompilable("$match pattern with non-edge anchors")
+            if len(raw) > 2 and (
+                raw[2]["type"] != "number" or int(raw[2]["value"]) < 1
+            ):
+                raise NotCompilable("$match with dynamic/degenerate limit")
+            pat = self._regex_java(rx)
+            s = a[0].col
+            m0 = F.regexp_extract(s, pat, 0)
+            idx = (
+                F.lit(0) if starts else (F.length(s) - F.length(m0))
+            ).cast("int")
+            groups = (
+                F.array(
+                    *[F.regexp_extract(s, pat, i) for i in range(1, rx.groups + 1)]
+                )
+                if rx.groups
+                else F.array().cast("array<string>")
+            )
+            one = F.struct(
+                m0.alias("match"), idx.alias("index"), groups.alias("groups")
+            )
+            col = F.when(s.rlike(pat), F.array(one)).otherwise(
+                F.array().cast(self._MATCH_RESULT_T)
+            )
+            return Typed(col, self._MATCH_RESULT_T)
         pat = self._regex_java(rx)
         s = a[0].col
         ms = F.regexp_extract_all(s, F.lit(pat), F.lit(0))
@@ -1657,20 +1709,279 @@ class Compiler:
         ).otherwise(F.array().cast(self._MATCH_RESULT_T))
         return Typed(col, self._MATCH_RESULT_T)
 
+    # XPath picture lookup tables (round 10 — mirror functions.py's
+    # _ONES/_TENS/_ROMAN exactly; the dual-tier tests pin the parity)
+    _W_ONES = [
+        "zero", "one", "two", "three", "four", "five", "six", "seven",
+        "eight", "nine", "ten", "eleven", "twelve", "thirteen", "fourteen",
+        "fifteen", "sixteen", "seventeen", "eighteen", "nineteen",
+    ]
+    _W_TENS = [
+        "", "", "twenty", "thirty", "forty", "fifty", "sixty", "seventy",
+        "eighty", "ninety",
+    ]
+    _ROMAN_H = ["", "c", "cc", "ccc", "cd", "d", "dc", "dcc", "dccc", "cm"]
+    _ROMAN_T = ["", "x", "xx", "xxx", "xl", "l", "lx", "lxx", "lxxx", "xc"]
+    _ROMAN_U = ["", "i", "ii", "iii", "iv", "v", "vi", "vii", "viii", "ix"]
+    _ORD_WORD_EXC = [
+        ("one", "first"), ("two", "second"), ("three", "third"),
+        ("five", "fifth"), ("eight", "eighth"), ("nine", "ninth"),
+        ("twelve", "twelfth"),
+    ]
+
+    def _roman_col(self, n):
+        """Lowercase roman numeral of a NON-NEGATIVE long Column:
+        repeat('m') for thousands + digit-table lookups. Zero -> ''."""
+        lut = lambda table, d: F.element_at(  # noqa: E731
+            F.array(*[F.lit(x) for x in table]), (d + 1).cast("int")
+        )
+        return F.concat(
+            F.repeat(F.lit("m"), (n / 1000).cast("int")),
+            lut(self._ROMAN_H, (n / 100) % 10),
+            lut(self._ROMAN_T, (n / 10) % 10),
+            lut(self._ROMAN_U, n % 10),
+        )
+
+    def _alpha_col(self, n):
+        """Bijective base-26 ('a'..'z','aa'..) of a POSITIVE long Column —
+        the 'a' picture. Unrolled to 14 steps (26^14 > 2^63). Non-positive
+        input yields '' (tier-2 loop body never runs)."""
+        acc0 = F.struct(n.cast("long").alias("rem"), F.lit("").alias("s"))
+
+        def step(acc, _):
+            rem = acc.getField("rem")
+            return F.when(rem <= 0, acc).otherwise(
+                F.struct(
+                    ((rem - 1) / 26).cast("long").alias("rem"),
+                    F.concat(
+                        F.char((rem - 1) % 26 + 97), acc.getField("s")
+                    ).alias("s"),
+                )
+            )
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(14)), acc0, step
+        ).getField("s")
+
+    def _w99(self, x):
+        ones = F.array(*[F.lit(w) for w in self._W_ONES])
+        tens = F.array(*[F.lit(w) for w in self._W_TENS])
+        xi = x.cast("int")
+        return F.when(
+            xi < 20, F.element_at(ones, xi + 1)
+        ).otherwise(
+            F.concat(
+                F.element_at(tens, (xi / 10).cast("int") + 1),
+                F.when(
+                    xi % 10 > 0,
+                    F.concat(F.lit("-"), F.element_at(ones, xi % 10 + 1)),
+                ).otherwise(F.lit("")),
+            )
+        )
+
+    def _w999(self, x):
+        h = (x / 100).cast("int")
+        r = x % 100
+        ones = F.array(*[F.lit(w) for w in self._W_ONES])
+        return F.when(
+            h > 0,
+            F.concat(
+                F.element_at(ones, h + 1),
+                F.lit(" hundred"),
+                F.when(
+                    r > 0, F.concat(F.lit(" and "), self._w99(r))
+                ).otherwise(F.lit("")),
+            ),
+        ).otherwise(self._w99(r))
+
+    def _words_col(self, n):
+        """English words of a long Column, tier-2 `_to_words` parity for
+        |n| < 10^15 (four scale groups, each head < 1000 — the same triplet
+        decomposition). Beyond that the tier-2 recursion nests heads >= 1000
+        at the trillion scale; a runtime guard errors rather than
+        mis-render (callers route LITERAL big values to tier 2 via the
+        fold path, and 10^15 exceeds any counting quantity)."""
+        absn = F.abs(n)
+        guard = F.when(
+            absn >= F.lit(10**15),
+            F.raise_error(
+                F.lit("compiled $formatInteger words supports |n| < 1e15")
+            ),
+        ).otherwise(F.lit(""))
+        groups = [
+            ((absn / F.lit(10**12)) % 1000, "trillion"),
+            ((absn / F.lit(10**9)) % 1000, "billion"),
+            ((absn / F.lit(10**6)) % 1000, "million"),
+            ((absn / F.lit(10**3)) % 1000, "thousand"),
+        ]
+        parts = [
+            F.when(
+                d.cast("long") > 0,
+                F.concat(self._w999(d.cast("long")), F.lit(" " + name)),
+            )
+            for d, name in groups
+        ]
+        scales = F.concat_ws(" ", *parts)  # nulls (absent groups) skip
+        u = absn % 1000
+        body = F.when(
+            u == 0,
+            F.when(scales == "", F.lit("zero")).otherwise(scales),
+        ).otherwise(
+            F.when(scales == "", self._w999(u)).otherwise(
+                F.concat(
+                    scales,
+                    F.when(u < 100, F.lit(" and ")).otherwise(F.lit(" ")),
+                    self._w999(u),
+                )
+            )
+        )
+        return F.concat(
+            guard, F.when(n < 0, F.lit("minus ")).otherwise(F.lit("")), body
+        )
+
+    def _words_ordinal_col(self, words):
+        """tier-2 `_to_words_ordinal`: rewrite the final word — exception
+        table, trailing-y -> ieth, else append th."""
+        out = F.when(
+            words.endswith("y"),
+            F.concat(
+                words.substr(F.lit(1), F.length(words) - 1), F.lit("ieth")
+            ),
+        ).otherwise(F.concat(words, F.lit("th")))
+        for ws, wo in self._ORD_WORD_EXC:
+            out = F.when(
+                words.endswith(ws),
+                F.concat(
+                    words.substr(F.lit(1), F.length(words) - len(ws)),
+                    F.lit(wo),
+                ),
+            ).otherwise(out)
+        return out
+
     def _fn_formatInteger(self, a, ctx, env, raw):
-        # zero-padded digit pictures only; words/roman/ordinal stay tier 2
+        """Digit pictures AND the XPath word/roman/alpha/ordinal pictures
+        (round 10 — closes the round-9 verdict's 'full XPath pictures'
+        residual): 'w'/'W'/'Ww' (+';o'), 'i'/'I', 'a'/'A', and '<digits>;o'
+        compile to pure Column lookup tables mirroring functions.py."""
         if len(raw) < 2 or raw[1]["type"] != "string":
             raise NotCompilable("$formatInteger with dynamic picture")
         pic = raw[1]["value"]
-        if not re.fullmatch(r"0+", pic):
-            raise NotCompilable(f"$formatInteger picture {pic!r} (tier 2)")
         n = F.round(self._num(a[0])).cast("long")
-        return Typed(F.format_string(f"%0{len(pic)}d", n), T.StringType())
+        ordinal = False
+        if ";o" in pic:
+            pic, ordinal = pic.split(";")[0], True
+        if pic in ("w", "W", "Ww"):
+            words = self._words_col(n)
+            if ordinal:
+                words = self._words_ordinal_col(words)
+            if pic == "W":
+                col = F.upper(words)
+            elif pic == "Ww":
+                # capitalize each space-separated word, tier-2 parity
+                # (hyphenated pairs capitalize only their first word)
+                col = F.array_join(
+                    F.transform(
+                        F.split(words, " "),
+                        lambda w: F.concat(
+                            F.upper(w.substr(F.lit(1), F.lit(1))),
+                            w.substr(F.lit(2), F.length(w) - 1),
+                        ),
+                    ),
+                    " ",
+                )
+            else:
+                col = words
+            return Typed(col, T.StringType())
+        if pic in ("i", "I"):
+            body = self._roman_col(F.abs(n))
+            if pic == "I":
+                body = F.upper(body)
+            col = F.concat(
+                F.when(n < 0, F.lit("-")).otherwise(F.lit("")), body
+            )
+            return Typed(col, T.StringType())
+        if pic in ("a", "A"):
+            body = self._alpha_col(n)
+            if pic == "A":
+                body = F.upper(body)
+            return Typed(body, T.StringType())
+        if re.fullmatch(r"[0-9]+", pic):
+            # all-digit picture = zero-pad to len(pic). Tier 2 pads |n| and
+            # PREPENDS the sign ('-007' for width 3), unlike Java's %0Nd
+            # whose width includes the sign ('-07') — round-10 parity fix
+            # for the round-8 zero-pad branch too.
+            s = F.concat(
+                F.when(n < 0, F.lit("-")).otherwise(F.lit("")),
+                F.format_string(f"%0{len(pic)}d", F.abs(n)),
+            )
+        else:
+            # grouped pictures ('#,##0' family) route through tier 2
+            raise NotCompilable(f"$formatInteger picture {pic!r} (tier 2)")
+        if ordinal:
+            # tier-2 _ordinal_suffix: th for 10..20 mod 100, else st/nd/rd —
+            # PYTHON mod (pmod), so negative n keeps tier-2's exact output
+            # (-1 % 10 == 9 -> 'th', not 'st')
+            mod100 = F.pmod(n, F.lit(100))
+            mod10 = F.pmod(n, F.lit(10))
+            suf = F.when(
+                (mod100 >= 10) & (mod100 <= 20), F.lit("th")
+            ).otherwise(
+                F.when(mod10 == 1, F.lit("st"))
+                .when(mod10 == 2, F.lit("nd"))
+                .when(mod10 == 3, F.lit("rd"))
+                .otherwise(F.lit("th"))
+            )
+            s = F.concat(s, suf)
+        return Typed(s, T.StringType())
 
     def _fn_parseInteger(self, a, ctx, env, raw):
         if len(raw) < 2 or raw[1]["type"] != "string":
             raise NotCompilable("$parseInteger with dynamic picture")
-        if not re.fullmatch(r"0+", raw[1]["value"]):
+        pic = raw[1]["value"]
+        if pic in ("i", "I"):
+            # roman parse (round 10): tier-2's reversed scan — subtract a
+            # value smaller than the one to its right — as one aggregate
+            # over the character positions, letter values via CASE.
+            # Invalid characters raise (tier-2 D3137 parity).
+            s = F.lower(a[0].col)
+            val = lambda c: (  # noqa: E731
+                F.when(c == "i", 1).when(c == "v", 5).when(c == "x", 10)
+                .when(c == "l", 50).when(c == "c", 100).when(c == "d", 500)
+                .when(c == "m", 1000)
+                .otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit("D3137: cannot parse roman numeral char "), c
+                        )
+                    ).cast("int")
+                )
+            )
+            acc0 = F.struct(
+                F.lit(0).cast("long").alias("total"),
+                F.lit(0).cast("int").alias("prev"),
+            )
+
+            def step(acc, i):
+                v = val(s.substr(i, F.lit(1)))
+                return F.struct(
+                    F.when(
+                        v < acc.getField("prev"),
+                        acc.getField("total") - v,
+                    )
+                    .otherwise(acc.getField("total") + v)
+                    .alias("total"),
+                    v.alias("prev"),
+                )
+
+            # reversed positions; empty string -> empty sequence -> 0
+            # (tier-2: the loop body never runs)
+            positions = F.when(
+                F.length(s) > 0,
+                F.sequence(F.length(s), F.lit(1), F.lit(-1)),
+            ).otherwise(F.array().cast("array<int>"))
+            total = F.aggregate(positions, acc0, step).getField("total")
+            return Typed(total, T.LongType())
+        if not re.fullmatch(r"0+", pic):
             raise NotCompilable("$parseInteger non-digit picture (tier 2)")
         return Typed(a[0].col.cast("long"), T.LongType())
 
@@ -2329,7 +2640,36 @@ class Compiler:
                 raise NotCompilable("$replace limit with dynamic replacement")
             rv = repl["value"].replace("$$", "\x00")
             if re.search(r"\$\d", rv):
-                raise NotCompilable("$replace limit with group refs (tier 2)")
+                # group refs UNDER a limit (round 10, the round-9 verdict's
+                # residual): groups don't survive a split, but the split
+                # still finds the boundary — the LAST element of
+                # split(s, pat, N+1) is the untouched remainder after the
+                # N-th match, so regexp_replace the HEAD (where group refs
+                # work, exactly the first <=N matches) and re-attach the
+                # tail. Literal patterns have no groups, so a $N there is
+                # out-of-range -> tier-2 error semantics.
+                if pat["type"] != "regex":
+                    raise NotCompilable(
+                        "$replace literal pattern with group refs (tier 2)"
+                    )
+                try:
+                    ngroups = re.compile(java_pat).groups
+                except re.error:
+                    raise NotCompilable("$replace regex not Python-validatable")
+                rv2 = repl["value"].replace("\\", "\\\\").replace("$$", "\x00")
+                for m in re.finditer(r"\$(\d+)", rv2):
+                    if int(m.group(1)) > ngroups:
+                        raise NotCompilable(
+                            "$replace group ref out of range (tier-2 semantics)"
+                        )
+                rv2 = re.sub(r"\$(?!\d)", "\\\\$", rv2).replace("\x00", "\\$")
+                parts = F.split(s, java_pat, limit + 1)
+                tail = F.element_at(parts, -1)
+                head = s.substr(F.lit(1), F.length(s) - F.length(tail))
+                return Typed(
+                    F.concat(F.regexp_replace(head, java_pat, rv2), tail),
+                    T.StringType(),
+                )
             rv = rv.replace("\x00", "$")
             return Typed(
                 F.array_join(F.split(s, java_pat, limit + 1), rv),

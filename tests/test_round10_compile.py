@@ -171,3 +171,112 @@ def test_eval_dynamic_string_stays_tier2(spark):
         transform(df, "$eval(code)", force_tier="compiled")
     out = transform(df, "$eval(code)")
     assert json.loads(out.collect()[0][0]) == 3
+
+
+REPLACE_LIMIT_GROUPREF_CASES = [
+    ("$replace('a1 b2 c3', /([a-z])(\\d)/, '$2$1', 2)", {"x": 1}),
+    ("$replace(s, /([a-z])(\\d)/, '$2$1', 2)", {"s": "a1 b2 c3"}),
+    ("$replace(s, /(\\w+)@(\\w+)/, '$2 at $1', 1)", {"s": "u@h x@y z@w"}),
+    ("$replace(s, /([0-9])/, '<$1>', 0)", {"s": "a1b2"}),       # limit 0: no-op
+    ("$replace(s, /([0-9])/, '<$1>', 9)", {"s": "a1b2"}),       # limit > matches
+    ("$replace(s, /(a+)/, '[$1]', 1)", {"s": "bbb"}),           # no match at all
+    ("$replace(s, /x(y)?z/, '($1)', 2)", {"s": "xz xyz xz"}),   # optional group
+]
+
+
+@pytest.mark.parametrize("expr,data", REPLACE_LIMIT_GROUPREF_CASES)
+def test_replace_group_refs_under_limit_compiles(spark, expr, data):
+    """Round-10: $replace with $N group refs AND a limit compiles (split
+    finds the N-th-match boundary, regexp_replace rewrites the head, tail
+    re-attaches) — the round-9 verdict's residual interpreter route."""
+    cval, want = _both_tiers(spark, expr, data)
+    assert _agree(cval, want), (expr, cval, want)
+
+
+MATCH_ANCHOR_CASES = [
+    ("$match(s, /^ab+/)", {"s": "abbbc ab"}),
+    ("$match(s, /^ab+/)", {"s": "xabb"}),              # no match at 0
+    ("$match(s, /b+$/)", {"s": "abb cbbb"}),           # ends at string end
+    ("$match(s, /b+$/)", {"s": "bba"}),                # no end match
+    ("$match(s, /^a(b+)c$/)", {"s": "abbc"}),          # full anchor + group
+    ("$match(s, /^a(b+)c$/)", {"s": "abbcx"}),
+    ("$match(s, /^\\d+/)", {"s": "123abc456"}),
+    ("$match(s, /^ab+/, 3)", {"s": "abbbc"}),          # limit with anchor
+]
+
+
+@pytest.mark.parametrize("expr,data", MATCH_ANCHOR_CASES)
+def test_match_edge_anchors_compile(spark, expr, data):
+    """Round-10: ^-prefixed / $-suffixed $match patterns compile — at most
+    one match at a statically-known index."""
+    cval, want = _both_tiers(spark, expr, data)
+    assert _agree(cval, want), (expr, cval, want)
+
+
+def test_match_interior_anchors_stay_tier2(spark):
+    from kafka_connect_jsonata_spark.jsonata.compiler import NotCompilable
+
+    df = spark.createDataFrame([("ab",)], "s string")
+    for expr in (
+        "$match(s, /a$b/)",      # interior $
+        "$match(s, /^a|b$/)",    # alternation splits the anchoring
+    ):
+        with pytest.raises(NotCompilable):
+            transform(df, expr, force_tier="compiled")
+
+
+FORMAT_INTEGER_CASES = [
+    ("$formatInteger(n, 'w')", {"n": 0}),
+    ("$formatInteger(n, 'w')", {"n": 12345678}),
+    ("$formatInteger(n, 'w')", {"n": 1000234}),
+    ("$formatInteger(n, 'w')", {"n": 1000034}),
+    ("$formatInteger(n, 'w')", {"n": 2000034000}),
+    ("$formatInteger(n, 'w')", {"n": -42}),
+    ("$formatInteger(n, 'W')", {"n": 999}),
+    ("$formatInteger(n, 'Ww')", {"n": -42}),
+    ("$formatInteger(n, 'w;o')", {"n": 21}),
+    ("$formatInteger(n, 'w;o')", {"n": 110}),
+    ("$formatInteger(n, 'w;o')", {"n": 12}),
+    ("$formatInteger(n, 'w;o')", {"n": 30}),
+    ("$formatInteger(n, 'i')", {"n": 1999}),
+    ("$formatInteger(n, 'I')", {"n": 1999}),
+    ("$formatInteger(n, 'i')", {"n": 0}),
+    ("$formatInteger(n, 'i')", {"n": -14}),
+    ("$formatInteger(n, 'i')", {"n": 4888}),
+    ("$formatInteger(n, 'a')", {"n": 28}),
+    ("$formatInteger(n, 'A')", {"n": 702}),
+    ("$formatInteger(n, '1')", {"n": 1234}),
+    ("$formatInteger(n, '1;o')", {"n": 12}),
+    ("$formatInteger(n, '1;o')", {"n": 21}),
+    ("$formatInteger(n, '1;o')", {"n": -1}),
+    ("$formatInteger(n, '001;o')", {"n": 123}),
+    ("$formatInteger(n, '00')", {"n": 7}),
+    ("$formatInteger(n, '001')", {"n": -7}),   # sign OUTSIDE the pad width
+    ("$formatInteger(n, '0000')", {"n": -7}),
+    ("$formatInteger(n, '21')", {"n": 7}),     # any all-digit pic = width
+]
+
+
+@pytest.mark.parametrize("expr,data", FORMAT_INTEGER_CASES)
+def test_format_integer_pictures_compile(spark, expr, data):
+    """Round-10: the XPath word/roman/alpha/ordinal pictures compile to
+    Column lookup tables — the round-9 verdict's 'full XPath pictures'
+    residual. NON-constant input (a column), so the constant-fold path
+    can't mask the compile."""
+    cval, want = _both_tiers(spark, expr, data)
+    assert _agree(cval, want), (expr, cval, want)
+
+
+PARSE_INTEGER_CASES = [
+    ("$parseInteger(s, 'i')", {"s": "mcmxcix"}),
+    ("$parseInteger(s, 'I')", {"s": "MCMXCIX"}),
+    ("$parseInteger(s, 'i')", {"s": "iiii"}),
+    ("$parseInteger(s, 'i')", {"s": "xliv"}),
+    ("$parseInteger(s, '000')", {"s": "042"}),
+]
+
+
+@pytest.mark.parametrize("expr,data", PARSE_INTEGER_CASES)
+def test_parse_integer_roman_compiles(spark, expr, data):
+    cval, want = _both_tiers(spark, expr, data)
+    assert _agree(cval, want), (expr, cval, want)
