@@ -1994,6 +1994,13 @@ def minhash_match_against_store(
         scan_metrics.update(_store_scan_bytes(spark, store_path, b_ref, sk_ref))
     if sk_ref is None:
         return empty
+    # ids are unique by store contract; duplicates only exist after an
+    # at-least-once REPLAY of a store append (foreachBatch crash window).
+    # Dedup here makes the append semantically idempotent — match output is
+    # row-identical with or without a replayed batch (test-pinned); the
+    # dedup runs on the PRUNED candidate-partition subset, never the whole
+    # store.
+    sk_ref = sk_ref.dropDuplicates(["id"])
     return _cross_verify(
         cand,
         sk_new,

@@ -283,6 +283,7 @@ def stream_incremental_dedup(
     seed: int = 0x5EED,
     available_now: bool = True,
     layout: str = "pruned",
+    stamp_batch_id: bool = False,
     **dedup_kw,
 ):
     """C85: the steady-state production ingest loop for fuzzy dedup —
@@ -326,10 +327,18 @@ def stream_incremental_dedup(
     per-batch cost is sketch(batch) + a PRUNED (band, bucket) equi-join +
     an output-sized verify; the sketch store grows by kept-batch rows
     only. ``foreachBatch`` gives the usual
-    checkpointed once-per-batch bookkeeping; the two appends are idempotent
-    per batch replay only if the writer dedups on batch id downstream —
-    production sinks that need exactly-once should stamp _batch_id (the
-    standard Spark guidance) — the semantics HERE pin the dedup math.
+    checkpointed once-per-batch bookkeeping. ``stamp_batch_id=True``
+    (round 10) upgrades the KEPT-DOCS sink to exactly-once under batch
+    replay: the output lands hive-partitioned by ``_batch_id`` with
+    dynamic partition overwrite, so a replayed micro-batch (crash between
+    the write and the checkpoint commit — the classic foreachBatch
+    at-least-once window) OVERWRITES its own partition instead of
+    double-appending. The sketch-store append stays plain append even
+    then: duplicate sketch rows are SEMANTICALLY idempotent for the dedup
+    math (candidate pairs go through dropDuplicates; the kept set is
+    unchanged — test-pinned), and ``compact_sketch_store`` restores
+    physical minimality at the next maintenance window. Default False:
+    the stamp adds a ``_batch_id`` column to the output table.
 
     ``available_now=True`` drains the source and stops (backfill / test
     mode); False runs continuously.
@@ -339,6 +348,20 @@ def stream_incremental_dedup(
     if layout not in ("pruned", "flat"):
         raise ValueError(f"layout must be 'pruned' or 'flat', got {layout!r}")
     params = dict(num_hashes=num_hashes, n_bands=n_bands, ngram=ngram, seed=seed)
+
+    def write_kept(kept: DataFrame, batch_id: int) -> None:
+        if stamp_batch_id:
+            # dynamic partition overwrite: a REPLAYED batch rewrites its
+            # own _batch_id partition — exactly-once for the output table
+            (
+                kept.withColumn("_batch_id", F.lit(int(batch_id)))
+                .write.option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .partitionBy("_batch_id")
+                .parquet(out_path)
+            )
+        else:
+            kept.write.mode("append").parquet(out_path)
 
     def sink(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -365,7 +388,7 @@ def stream_incremental_dedup(
                     **dedup_kw,
                 )
             kept = D.barrier(kept)
-            kept.write.mode("append").parquet(out_path)
+            write_kept(kept, _batch_id)
             D.write_sketch_store(
                 kept, sketch_path, id_col=id_col, text_col=text_col, **params
             )
@@ -397,7 +420,7 @@ def stream_incremental_dedup(
         # materialize once: both appends below reuse the same kept set
         # instead of re-running the dedup plan per write
         kept = D.barrier(kept)
-        kept.write.mode("append").parquet(out_path)
+        write_kept(kept, _batch_id)
         D.minhash_sketches(
             kept, id_col=id_col, text_col=text_col, **params
         ).write.mode("append").parquet(sketch_path)
@@ -498,13 +521,17 @@ def compact_sketch_store(
     conf = spark._jsc.hadoopConfiguration()
     HPath = jvm.org.apache.hadoop.fs.Path
 
-    def compact_half(sub: str, part_col: str, part_expr, n_parts: int):
+    def compact_half(sub: str, part_col: str, part_expr, n_parts: int, dedup_keys):
         src = HPath(f"{store_path}/{sub}")
         fs = src.getFileSystem(conf)
         df = spark.read.parquet(str(src))
         files_before = len(df.inputFiles())
         out = (
             df.drop(part_col)
+            # replayed at-least-once appends leave duplicate rows (readers
+            # dedup them on the fly — dedup.py); compaction is where the
+            # physical copies go away
+            .dropDuplicates(dedup_keys)
             .withColumn(part_col, part_expr)
             .repartition(part_col)  # whole partitions per task -> 1 file/dir
         )
@@ -525,12 +552,14 @@ def compact_sketch_store(
             "__p",
             F.pmod(F.col("bkt"), F.lit(int(new_meta["index_partitions"]))),
             int(new_meta["index_partitions"]),
+            ["band", "bkt", "id"],
         ),
         "sigs": compact_half(
             "sigs",
             "__q",
             F.pmod(F.xxhash64(F.col("id")), F.lit(int(new_meta["sig_partitions"]))),
             int(new_meta["sig_partitions"]),
+            ["id"],
         ),
     }
     D._write_sketch_store_meta(spark, store_path, new_meta)

@@ -816,3 +816,77 @@ def test_sketch_store_scan_bytes_sublinear(spark, tmp_path):
         f"scan bytes must not track history size: {s1} -> {s4} "
         f"(totals {tot1} -> {tot4})"
     )
+
+
+def test_stream_incremental_dedup_exactly_once_stamp(spark, sf_dir, tmp_path):
+    """Round-10 C85 hardening: with ``stamp_batch_id=True`` a REPLAYED
+    micro-batch (same batch id — the foreachBatch at-least-once window
+    after a crash between write and checkpoint commit) overwrites its own
+    ``_batch_id`` partition instead of double-appending; with the default
+    append sink the same replay doubles the output. Replay is simulated by
+    re-running the same source through a FRESH checkpoint (batch ids
+    restart at 0)."""
+    from kafka_connect_jsonata_spark.streaming.transform import (
+        stream_incremental_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    src = tmp_path / "src"
+    docs.coalesce(1).write.parquet(str(src / "b1"))
+    params = dict(num_hashes=32, n_bands=8, threshold=0.9)
+    schema = docs.schema
+
+    def deliver(out, sk, ckpt, stamp):
+        stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+        stream_incremental_dedup(
+            stream, out, sk, ckpt, stamp_batch_id=stamp, **params
+        )
+
+    # stamped: first delivery + replay -> unchanged row count
+    out_s = str(tmp_path / "out_stamped")
+    deliver(out_s, str(tmp_path / "sk1"), str(tmp_path / "ck1"), True)
+    n1 = spark.read.parquet(out_s).count()
+    ids1 = sorted(r[0] for r in spark.read.parquet(out_s).select("doc_id").collect())
+    deliver(out_s, str(tmp_path / "sk1b"), str(tmp_path / "ck1b"), True)
+    after = spark.read.parquet(out_s)
+    assert after.count() == n1
+    assert sorted(r[0] for r in after.select("doc_id").collect()) == ids1
+    assert "_batch_id" in after.columns
+    # unstamped: the same replay double-appends (the documented
+    # at-least-once behavior the stamp exists to fix)
+    out_a = str(tmp_path / "out_append")
+    deliver(out_a, str(tmp_path / "sk2"), str(tmp_path / "ck2"), False)
+    na = spark.read.parquet(out_a).count()
+    deliver(out_a, str(tmp_path / "sk2b"), str(tmp_path / "ck2b"), False)
+    assert spark.read.parquet(out_a).count() == 2 * na
+
+
+def test_sketch_store_double_append_is_semantically_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """Duplicate sketch rows (an at-least-once replay of the store append)
+    must not change any match result — candidate pairs dedup — so the
+    store needs no transactional sink; compaction restores physical
+    minimality."""
+    from kafka_connect_jsonata_spark.functions import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 != 0)
+    store = str(tmp_path / "store")
+    dedup.write_sketch_store(hist, store, num_hashes=32, n_bands=8)
+    once = sorted(
+        tuple(r)
+        for r in dedup.minhash_match_against_store(
+            batch, store, threshold=0.9
+        ).collect()
+    )
+    # replayed append: the SAME history lands twice
+    dedup.write_sketch_store(hist, store, num_hashes=32, n_bands=8)
+    twice = sorted(
+        tuple(r)
+        for r in dedup.minhash_match_against_store(
+            batch, store, threshold=0.9
+        ).collect()
+    )
+    assert twice == once and once
