@@ -1295,13 +1295,28 @@ class Compiler:
             idx = int(_math.floor(idx))
             pos = idx + 1 if idx >= 0 else idx
             return Typed(F.element_at(base.col, pos), dt.elementType)
-        # boolean predicate -> filter(); singleton unwrap not represented
+        # boolean predicate -> filter(); singleton unwrap not represented.
+        # Elements carry the base's constant parent chain so `%` inside
+        # the predicate compiles (`Product[%.OrderID = 'o1']`, round 10 —
+        # matches the tier-2 single-name-step ancestry rule); a fan-out
+        # base has no constant chain and the parent step routes to tier 2.
         elem_ctx_t = dt.elementType
+        # tier 2 extends the predicate ancestry ONLY for a bare name-step
+        # base — gate identically so `(a.b)[%.x]`-style shapes agree
+        eparents = (
+            getattr(base, "elem_parents", ())
+            if node["expr"].get("type") == "name"
+            else ()
+        )
 
         def mk(x):
-            return self._c(pred, Typed(x, elem_ctx_t), env)
+            return self._c(pred, Typed(x, elem_ctx_t, parents=eparents), env)
 
-        probe = self._c(pred, Typed(F.lit(None).cast(elem_ctx_t), elem_ctx_t), env)
+        probe = self._c(
+            pred,
+            Typed(F.lit(None).cast(elem_ctx_t), elem_ctx_t, parents=eparents),
+            env,
+        )
         _numeric = (T.LongType, T.IntegerType, T.DoubleType, T.FloatType,
                     T.ShortType, T.ByteType, T.DecimalType)
         if isinstance(probe.dtype, _numeric) or (
@@ -1317,7 +1332,7 @@ class Compiler:
             n = F.size(base.col)
 
             def keep(x, i):
-                pv = self._c(pred, Typed(x, elem_ctx_t), env)
+                pv = self._c(pred, Typed(x, elem_ctx_t, parents=eparents), env)
                 arr = (
                     pv.col
                     if isinstance(pv.dtype, T.ArrayType)

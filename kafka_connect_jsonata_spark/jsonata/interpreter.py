@@ -416,7 +416,18 @@ class Jsonata:
         base = self._eval(node["expr"], input, env)
         if is_undef(base):
             return UNDEFINED
-        return self._apply_predicate(base, node["predicate"], input, env)
+        penv = env
+        if node["expr"].get("type") == "name" and isinstance(input, dict):
+            # `%` inside the predicate refers to each element's PARENT —
+            # for a single name-step base (`Product[%.OrderID = 'o1']`,
+            # the jsonata-docs filter idiom) that parent is `input` itself;
+            # extend the ancestry so nested predicate paths see it
+            # (round 10; deeper bases keep the enclosing ancestry only).
+            anc = env.lookup("%ancestry%")
+            anc = list(anc) if isinstance(anc, (list, tuple)) else []
+            penv = env.child()
+            penv.bind("%ancestry%", anc + [input])
+        return self._apply_predicate(base, node["predicate"], input, penv)
 
     def _apply_predicate(self, base, pred, ctx_input, env):
         if isinstance(base, JSeq):

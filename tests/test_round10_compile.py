@@ -280,3 +280,44 @@ PARSE_INTEGER_CASES = [
 def test_parse_integer_roman_compiles(spark, expr, data):
     cval, want = _both_tiers(spark, expr, data)
     assert _agree(cval, want), (expr, cval, want)
+
+
+FILTER_PARENT_CASES = [
+    # the jsonata-docs filter idiom: select children by a PARENT property
+    ("foo[%.k = 1].v", {"k": 1, "foo": [{"v": "a"}, {"v": "b"}]}),
+    ("foo[%.k = 2].v", {"k": 1, "foo": [{"v": "a"}, {"v": "b"}]}),
+    ("o.lines[%.kind = 'x'].q", {"o": {"kind": "x", "lines": [{"q": 1}, {"q": 2}]}}),
+    ("o.lines[q > %.floor].q", {"o": {"floor": 1, "lines": [{"q": 1}, {"q": 2}, {"q": 3}]}}),
+]
+
+
+@pytest.mark.parametrize("expr,data", FILTER_PARENT_CASES)
+def test_parent_in_filter_predicate(spark, expr, data):
+    """Round-10: `%` inside a filter predicate resolves to the element's
+    parent in BOTH tiers (single name-step base, the tier-2 ancestry
+    rule); values agree."""
+    cval, want = _both_tiers(spark, expr, data)
+    assert _agree(cval, want), (expr, cval, want)
+
+
+def test_parent_in_filter_over_fanout_routes_to_tier2(spark):
+    """A fan-out base has per-element parents — compiled filter must NOT
+    fold a wrong constant; tier 2 (with the round-10 ancestry rule) owns
+    it and the auto tier gives the right rows."""
+    data = {"Account": {"Order": [
+        {"OrderID": "o1", "Product": [{"SKU": "p1"}, {"SKU": "p2"}]},
+        {"OrderID": "o2", "Product": [{"SKU": "p3"}]}]}}
+    from kafka_connect_jsonata_spark.jsonata.interpreter import jsonata
+
+    got = jsonata("Account.Order.Product[%.OrderID='o1'].SKU").evaluate(data)
+    assert got == ["p1", "p2"]
+    df = (
+        spark.createDataFrame([(json.dumps(data),)], "j string")
+        .selectExpr(
+            "from_json(j, schema_of_json('%s')) as root"
+            % json.dumps(data).replace("'", "\\'")
+        )
+        .select("root.*")
+    )
+    out = transform(df, "Account.Order.Product[%.OrderID='o1'].SKU")
+    assert json.loads(out.collect()[0][0]) == ["p1", "p2"]
