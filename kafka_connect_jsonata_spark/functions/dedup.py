@@ -1976,6 +1976,20 @@ def minhash_match_against_store(
         if scan_metrics is not None:
             scan_metrics.update(index_bytes=0, sigs_bytes=0)
         return empty
+    # Second pruning level (round 10): restrict the index rows to the
+    # batch's OWN bucket ids before the join — semantically free (only
+    # matching buckets can join). Evaluated as an InSet post-scan (NOT
+    # pushed to parquet: Spark's In pushdown builds a values-deep OR chain
+    # in parquet-mr and overflows the stack beyond a few hundred values —
+    # the reason spark.sql.parquet.pushdown.inFilterThreshold defaults to
+    # 10), it cuts the join's build input to matching buckets only. The
+    # I/O-level lever for batches whose bucket set covers most partitions
+    # remains P itself: grow index_partitions with the corpus
+    # (compact_sketch_store) so scanned bytes stay
+    # min(B*n_bands, P)/P x index_bytes = O(batch) at constant partition
+    # size. The bkt list is bounded by batch_rows * n_bands.
+    bkts = [r[0] for r in b_new.select("bkt").distinct().collect()]
+    b_ref = b_ref.filter(F.col("bkt").isin(bkts))
     cand = barrier(
         b_new.join(b_ref.withColumnRenamed("id", "__rid"), ["band", "bkt"])
         .select("id", "__rid")

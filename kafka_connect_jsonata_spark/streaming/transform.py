@@ -521,7 +521,7 @@ def compact_sketch_store(
     conf = spark._jsc.hadoopConfiguration()
     HPath = jvm.org.apache.hadoop.fs.Path
 
-    def compact_half(sub: str, part_col: str, part_expr, n_parts: int, dedup_keys):
+    def compact_half(sub: str, part_col: str, part_expr, n_parts: int, dedup_keys, sort_key):
         src = HPath(f"{store_path}/{sub}")
         fs = src.getFileSystem(conf)
         df = spark.read.parquet(str(src))
@@ -534,6 +534,11 @@ def compact_sketch_store(
             .dropDuplicates(dedup_keys)
             .withColumn(part_col, part_expr)
             .repartition(part_col)  # whole partitions per task -> 1 file/dir
+            # sort by the prune key within each file: same-bucket rows
+            # become adjacent (better compression, tight row-group stats
+            # for any future range predicates) and the per-bucket join
+            # probes read clustered pages
+            .sortWithinPartitions(sort_key)
         )
         tmp = HPath(f"{store_path}/{sub}__compact_tmp")
         out.write.mode("overwrite").partitionBy(part_col).parquet(str(tmp))
@@ -553,6 +558,7 @@ def compact_sketch_store(
             F.pmod(F.col("bkt"), F.lit(int(new_meta["index_partitions"]))),
             int(new_meta["index_partitions"]),
             ["band", "bkt", "id"],
+            "bkt",
         ),
         "sigs": compact_half(
             "sigs",
@@ -560,6 +566,7 @@ def compact_sketch_store(
             F.pmod(F.xxhash64(F.col("id")), F.lit(int(new_meta["sig_partitions"]))),
             int(new_meta["sig_partitions"]),
             ["id"],
+            "id",
         ),
     }
     D._write_sketch_store_meta(spark, store_path, new_meta)
