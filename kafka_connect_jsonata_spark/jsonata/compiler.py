@@ -572,6 +572,42 @@ class Compiler:
 
                 col = F.transform(lhs.col, build_arr)
                 return Typed(col, T.ArrayType(T.ArrayType(et_box[0] or T.StringType())))
+            if rhs_node["type"] == "filter" and isinstance(
+                lhs.dtype, T.ArrayType
+            ):
+                # a [pred] bound to a STEP under a fan-out applies PER
+                # ITEM — each item's step result is its own sequence, the
+                # index/predicate applies within it, and only then does
+                # the path flatten (round-11 suite port: a.b[0] over
+                # a=[{b:[1,2]},{b:[3,4]}] is [1,3]; the old route
+                # flattened first and answered 1. For boolean predicates
+                # filter∘flatten ≡ flatten∘filter, so those keep their
+                # values).
+                elem_t = lhs.dtype.elementType
+                fdt_box: list = []
+
+                def build_filt(x):
+                    r = self._c(
+                        rhs_node,
+                        Typed(
+                            x,
+                            elem_t,
+                            parents=getattr(lhs, "elem_parents", ()),
+                        ),
+                        env,
+                    )
+                    fdt_box.append(r.dtype)
+                    return r.col
+
+                col = F.transform(lhs.col, build_filt)
+                res_t = fdt_box[0]
+                if isinstance(res_t, T.ArrayType):
+                    col = F.flatten(F.filter(col, lambda r: r.isNotNull()))
+                    return Typed(col, res_t)
+                return Typed(
+                    F.filter(col, lambda r: r.isNotNull()),
+                    T.ArrayType(res_t),
+                )
             if rhs_node["type"] in (
                 "call",
                 "block",
@@ -1294,7 +1330,11 @@ class Compiler:
 
             idx = int(_math.floor(idx))
             pos = idx + 1 if idx >= 0 else idx
-            return Typed(F.element_at(base.col, pos), dt.elementType)
+            # try_element_at: out-of-range is UNDEFINED in jsonata (a[10]
+            # -> no result); plain element_at THROWS under Spark 4's
+            # default ANSI mode — a runtime crash after tier selection,
+            # where tier 2 returns undefined (round-11 fix)
+            return Typed(F.try_element_at(base.col, F.lit(pos)), dt.elementType)
         # boolean predicate -> filter(); singleton unwrap not represented.
         # Elements carry the base's constant parent chain so `%` inside
         # the predicate compiles (`Product[%.OrderID = 'o1']`, round 10 —
@@ -1660,12 +1700,57 @@ class Compiler:
                 raw[2]["type"] != "number" or int(raw[2]["value"]) < 1
             ):
                 raise NotCompilable("$match with dynamic/degenerate limit")
-            pat = self._regex_java(rx)
             s = a[0].col
+            if ends:
+                # End-anchored (round-11 ADVICE fix): Java's bare `$` is
+                # MORE lenient than tier 2's Python `$` — it also matches
+                # before a final \r / \r\n / U+2028 etc., and length
+                # arithmetic mis-places the index when the match stops
+                # before a trailing \n ($match('abb\n', /b+$/) is index 1,
+                # not 2). Rebuild the pattern with an explicit lazy prefix
+                # CAPTURE and Python's exact end semantics `\n?\z`; the
+                # prefix length IS the index, and the extra `\r`-leniency
+                # disappears because `$` is gone.
+                if _re.search(r"\\[1-9]", p):
+                    raise NotCompilable(
+                        "$match end-anchored pattern with backreferences"
+                    )
+                body = p[(1 if starts else 0) : -1]
+                mods = ""
+                if rx.flags & _re.IGNORECASE:
+                    mods += "i"
+                if rx.flags & _re.DOTALL:
+                    mods += "s"
+                wrapped = (
+                    (f"(?{mods})" if mods else "")
+                    + "^("
+                    + ("" if starts else "(?s:.*?)")
+                    + ")((?:"
+                    + body
+                    + "))\\n?\\z"
+                )
+                m0 = F.regexp_extract(s, wrapped, 2)
+                idx = F.length(F.regexp_extract(s, wrapped, 1)).cast("int")
+                groups = (
+                    F.array(
+                        *[
+                            F.regexp_extract(s, wrapped, 2 + i)
+                            for i in range(1, rx.groups + 1)
+                        ]
+                    )
+                    if rx.groups
+                    else F.array().cast("array<string>")
+                )
+                one = F.struct(
+                    m0.alias("match"), idx.alias("index"), groups.alias("groups")
+                )
+                col = F.when(s.rlike(wrapped), F.array(one)).otherwise(
+                    F.array().cast(self._MATCH_RESULT_T)
+                )
+                return Typed(col, self._MATCH_RESULT_T)
+            pat = self._regex_java(rx)
             m0 = F.regexp_extract(s, pat, 0)
-            idx = (
-                F.lit(0) if starts else (F.length(s) - F.length(m0))
-            ).cast("int")
+            idx = F.lit(0).cast("int")
             groups = (
                 F.array(
                     *[F.regexp_extract(s, pat, i) for i in range(1, rx.groups + 1)]
@@ -2542,8 +2627,19 @@ class Compiler:
                     child[params[1]] = Typed(k, obj.dtype.keyType)
                 return self._truthy(self._c(lam["body"], Typed(v, vt), child))
 
-            return Typed(F.map_filter(obj.col, pred), obj.dtype)
+            filtered = F.map_filter(obj.col, pred)
+            # a sift that keeps NOTHING is undefined in jsonata (sift of
+            # {} included) — NULL, not an empty map (round-11 suite port)
+            return Typed(
+                F.when(F.size(filtered) > 0, filtered), obj.dtype
+            )
         if isinstance(obj.dtype, T.StructType):
+            if not obj.dtype.fields:
+                # $sift({}) is undefined in jsonata (sift of an empty
+                # object yields no fields -> undefined, jsonata-js sift);
+                # the empty struct the compiled tier would produce is a
+                # VALUE — route to tier 2 (round-11 suite port)
+                raise NotCompilable("$sift over empty object (undefined)")
             if len(params) < 2 or _mentions_var(lam["body"], params[0]):
                 # value-dependent predicate: the surviving field set varies
                 # per row, so no static struct exists — but a HOMOGENEOUS
@@ -2562,7 +2658,11 @@ class Compiler:
                             self._c(lam["body"], Typed(v, vt), child)
                         )
 
-                    return Typed(F.map_filter(bridged.col, pred), bridged.dtype)
+                    filtered = F.map_filter(bridged.col, pred)
+                    return Typed(
+                        F.when(F.size(filtered) > 0, filtered),
+                        bridged.dtype,
+                    )
                 raise NotCompilable("$sift over struct with value-dependent predicate")
             from kafka_connect_jsonata_spark.jsonata.functions import boolean_of
             from kafka_connect_jsonata_spark.jsonata.interpreter import Jsonata

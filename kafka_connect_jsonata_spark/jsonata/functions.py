@@ -232,6 +232,12 @@ def fn_substring(ev, s=UNDEFINED, start=UNDEFINED, length=UNDEFINED):
     if is_undef(s):
         return UNDEFINED
     _expect_string(s, "$substring")
+    # signature <s-nn?:s>: non-number start/length is T0410 (round 11 —
+    # previously silently treated a bad start as 0)
+    if not is_undef(start) and not is_number(start):
+        raise JsonataError("T0410", "argument 2 of $substring must be a number")
+    if not is_undef(length) and not is_number(length):
+        raise JsonataError("T0410", "argument 3 of $substring must be a number")
     start = int(math.floor(start)) if is_number(start) else 0
     if start < 0:
         start = max(0, len(s) + start)
@@ -332,7 +338,10 @@ def fn_join(ev, arr=UNDEFINED, sep=UNDEFINED):
         return UNDEFINED
     if isinstance(arr, str):
         arr = [arr]
-    sep = "" if is_undef(sep) else sep
+    if is_undef(sep):
+        sep = ""
+    elif not isinstance(sep, str):
+        raise JsonataError("T0410", "argument 2 of $join must be a string")
     for x in arr:
         if not isinstance(x, str):
             raise JsonataError("T0412", "argument of $join must be an array of strings")
@@ -479,6 +488,12 @@ def fn_number(ev, arg=UNDEFINED):
         try:
             if re.fullmatch(r"[-+]?0x[0-9a-fA-F]+", t):
                 return int(t, 16)
+            # 0b / 0o accepted alongside 0x since jsonata 1.7 (the
+            # functions.js number() regex covers all three) — round 11
+            if re.fullmatch(r"[-+]?0[bB][01]+", t):
+                return int(t, 2)
+            if re.fullmatch(r"[-+]?0[oO][0-7]+", t):
+                return int(t, 8)
             if re.fullmatch(r"[-+]?(\d+(\.\d+)?|\.\d+)([eE][-+]?\d+)?", t):
                 v = float(t)
                 return norm_number(v)
@@ -945,6 +960,8 @@ def fn_distinct(ev, arr=UNDEFINED):
 
 
 def fn_zip(ev, *arrays):
+    if not arrays:
+        raise JsonataError("T0410", "$zip requires at least one argument")
     arrs = [a if isinstance(a, list) else [a] for a in arrays if not is_undef(a)]
     if not arrs:
         return []

@@ -39,12 +39,191 @@ from kafka_connect_jsonata_spark.jsonata.parser import parse
 class Closure:
     jsonata_callable = True
 
-    __slots__ = ("args", "body", "env")
+    __slots__ = ("args", "body", "env", "sig")
 
-    def __init__(self, args, body, env):
+    def __init__(self, args, body, env, sig=None):
         self.args = args
         self.body = body
         self.env = env
+        self.sig = sig
+
+
+# --------------------------------------------------------------- signatures
+# jsonata-js signature.js semantics (round 11 — previously parsed and
+# DROPPED, silently accepting any argument types): each param is a type
+# spec; validation raises T0410 on mismatch, coerces singletons to arrays
+# for 'a' params, and allows context substitution for '-' params.
+_SIG_SIMPLE = {
+    "b": ("boolean",),
+    "n": ("number",),
+    "s": ("string",),
+    "l": ("null",),
+    "o": ("object",),
+    "a": ("array",),
+    "f": ("function",),
+    "j": ("boolean", "number", "string", "null", "object", "array"),
+    "x": ("boolean", "number", "string", "null", "object", "array", "function"),
+    "u": ("boolean", "number", "string", "null"),
+}
+
+
+def parse_signature(sig: str):
+    """``"<s-n?:s>"`` -> list of param specs
+    ``{"types": tuple, "optional": bool, "context": bool, "variadic": bool,
+    "subtypes": tuple|None}``. The return-type portion after ``:`` is not
+    enforced (same as jsonata-js). Unknown type characters raise S0402."""
+    body = sig[1:-1] if sig.startswith("<") else sig
+    # cut the TOP-LEVEL return annotation (':' outside any <...> nesting)
+    depth = 0
+    for i, ch in enumerate(body):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == ":" and depth == 0:
+            body = body[:i]
+            break
+    specs = []
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if ch in _SIG_SIMPLE:
+            specs.append(
+                {
+                    "types": _SIG_SIMPLE[ch],
+                    "optional": False,
+                    "context": False,
+                    "variadic": False,
+                    "subtypes": None,
+                }
+            )
+            i += 1
+        elif ch == "(":
+            end = body.find(")", i)
+            if end < 0:
+                raise JsonataError("S0402", f"unmatched '(' in signature {sig!r}")
+            types: list = []
+            for c in body[i + 1 : end]:
+                if c not in _SIG_SIMPLE:
+                    raise JsonataError(
+                        "S0402", f"unknown type {c!r} in signature {sig!r}"
+                    )
+                types.extend(_SIG_SIMPLE[c])
+            specs.append(
+                {
+                    "types": tuple(dict.fromkeys(types)),
+                    "optional": False,
+                    "context": False,
+                    "variadic": False,
+                    "subtypes": None,
+                }
+            )
+            i = end + 1
+        elif ch == "<":
+            # subtype of the previous a/f param, e.g. a<n> or f<n:n>
+            if not specs:
+                raise JsonataError("S0402", f"dangling '<' in signature {sig!r}")
+            depth = 1
+            j = i + 1
+            while j < len(body) and depth:
+                if body[j] == "<":
+                    depth += 1
+                elif body[j] == ">":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise JsonataError("S0402", f"unmatched '<' in signature {sig!r}")
+            inner = body[i + 1 : j - 1]
+            if "array" in specs[-1]["types"]:
+                subs: list = []
+                for c in inner:
+                    if c in _SIG_SIMPLE:
+                        subs.extend(_SIG_SIMPLE[c])
+                specs[-1]["subtypes"] = tuple(dict.fromkeys(subs)) or None
+            # function subtypes (f<...>) are not enforced, as in jsonata-js
+            i = j
+        elif ch == "?":
+            if not specs:
+                raise JsonataError("S0402", f"dangling '?' in signature {sig!r}")
+            specs[-1]["optional"] = True
+            i += 1
+        elif ch == "+":
+            if not specs:
+                raise JsonataError("S0402", f"dangling '+' in signature {sig!r}")
+            specs[-1]["variadic"] = True
+            i += 1
+        elif ch == "-":
+            if not specs:
+                raise JsonataError("S0402", f"dangling '-' in signature {sig!r}")
+            specs[-1]["context"] = True
+            i += 1
+        else:
+            raise JsonataError("S0402", f"unknown type {ch!r} in signature {sig!r}")
+    return specs
+
+
+def _sig_type_of(v) -> str:
+    if is_undef(v):
+        return "undefined"
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, (int, float)):
+        return "number"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, list):
+        return "array"
+    if isinstance(v, dict):
+        return "object"
+    return "function"
+
+
+def validate_signature(specs, args):
+    """Validate + coerce ``args`` against parsed ``specs`` (T0410 on
+    mismatch). Returns the coerced argument list. Undefined arguments
+    always pass (undefined-propagation, as in the jsonata-js builtins)."""
+    out = []
+    for idx, spec in enumerate(specs):
+        if spec["variadic"]:
+            rest = args[idx:]
+            for a in rest:
+                t = _sig_type_of(a)
+                if t != "undefined" and t not in spec["types"]:
+                    raise JsonataError(
+                        "T0410",
+                        f"argument {idx + 1} of function does not match "
+                        f"signature (expected {spec['types']}, got {t})",
+                    )
+            out.extend(rest)
+            return out
+        a = args[idx] if idx < len(args) else UNDEFINED
+        t = _sig_type_of(a)
+        if t == "undefined":
+            out.append(a)
+            continue
+        if spec["types"] == ("array",) and t != "array":
+            a = [a]  # singleton coerces to array (signature.js, 'a' only)
+            t = "array"
+        if t not in spec["types"]:
+            raise JsonataError(
+                "T0410",
+                f"argument {idx + 1} of function does not match signature "
+                f"(expected {spec['types']}, got {t})",
+            )
+        if t == "array" and spec["subtypes"]:
+            for el in a:
+                et = _sig_type_of(el)
+                if et != "undefined" and et not in spec["subtypes"]:
+                    raise JsonataError(
+                        "T0412",
+                        f"argument {idx + 1} of function must be an array "
+                        f"of {spec['subtypes']}",
+                    )
+        out.append(a)
+    out.extend(args[len(specs):])
+    return out
 
 
 class Builtin:
@@ -94,7 +273,14 @@ PLACEHOLDER = object()
 
 
 def is_function(v) -> bool:
-    return isinstance(v, (Closure, Builtin, Partial, Composed, Transform)) or callable(v)
+    # regex literals ARE functions in jsonata-js (applying one to a string
+    # returns the first-match object or undefined) — round-11 suite port
+    import re as _re
+
+    return (
+        isinstance(v, (Closure, Builtin, Partial, Composed, Transform, _re.Pattern))
+        or callable(v)
+    )
 
 
 class Frame:
@@ -650,6 +836,13 @@ class Jsonata:
         return value
 
     def _eval_lambda(self, node, input, env):
+        sig = node.get("signature")
+        if sig is not None:
+            parsed = node.get("_sig_parsed")
+            if parsed is None:
+                parsed = parse_signature(sig)
+                node["_sig_parsed"] = parsed  # cache on the (picklable) AST
+            return Closure(node["args"], node["body"], env, parsed)
         return Closure(node["args"], node["body"], env)
 
     def _eval_transform(self, node, input, env):
@@ -728,6 +921,18 @@ class Jsonata:
         if isinstance(func, Builtin) and func.ctx_arity is not None:
             if len(args) == func.ctx_arity - 1:
                 args = [input] + args
+        # context insertion for user lambdas with a '-' signature param
+        # (round-11 signature enforcement)
+        if (
+            isinstance(func, Closure)
+            and func.sig
+            and len(args) < len(func.sig)
+        ):
+            for i, s in enumerate(func.sig):
+                if s["context"]:
+                    if i <= len(args):
+                        args.insert(i, input)
+                    break
         # $eval inherits the caller's environment (jsonata-js passes
         # this.environment into the nested evaluate) — round-9 fix
         self._call_env = env
@@ -780,8 +985,19 @@ class Jsonata:
     def invoke(self, func, args):
         self._check()
         if isinstance(func, Builtin):
-            return func.fn(self, *args)
+            try:
+                return func.fn(self, *args)
+            except TypeError as e:
+                # a Python arity TypeError must surface as the jsonata
+                # argument-mismatch error, not escape as a raw TypeError
+                # (round 11: $count([1],[2]) crashed instead of T0410)
+                raise JsonataError(
+                    "T0410",
+                    f"arguments of {func.name} do not match signature: {e}",
+                ) from e
         if isinstance(func, Closure):
+            if func.sig is not None:
+                args = validate_signature(func.sig, args)
             self._depth += 1
             if self._depth > self.max_depth:
                 raise JsonataDepthError(self.max_depth)
@@ -807,6 +1023,28 @@ class Jsonata:
             return self.invoke(func.second, [mid])
         if isinstance(func, Transform):
             return self._apply_transform(func, args)
+        import re as _re
+
+        if isinstance(func, _re.Pattern):
+            # applying a regex (jsonata-js evaluateMatcher): first match as
+            # {match, start, end, groups} or undefined — round-11 suite port
+            s = args[0] if args else UNDEFINED
+            if is_undef(s):
+                return UNDEFINED
+            if not isinstance(s, str):
+                raise JsonataError(
+                    "T0410", "argument of regex application must be a string"
+                )
+            m = func.search(s)
+            if m is None:
+                return UNDEFINED
+            return {
+                "match": m.group(0),
+                "start": m.start(),
+                "end": m.end(),
+                # same non-participating-group convention as $match
+                "groups": [g for g in m.groups() if g is not None],
+            }
         if callable(func):
             return func(*args)
         raise JsonataError("T1006", "attempted to invoke a non-function")
@@ -818,7 +1056,14 @@ class Jsonata:
             return UNDEFINED
         obj = copy.deepcopy(lib.to_json_value(args[0]))
         matches = self._eval(tr.pattern, obj, tr.env.child())
-        matches = to_sequence(matches)
+        if is_undef(matches):
+            return obj
+        # jsonata-js applyTransform: a matched ARRAY value updates each
+        # object inside it (round-11 suite-port fix — a single-step
+        # pattern like `items` returns the raw list, which to_sequence
+        # wrapped as ONE non-dict item, silently skipping the update)
+        if not isinstance(matches, list):
+            matches = [matches]
         for m in matches:
             if not isinstance(m, dict):
                 continue

@@ -131,14 +131,28 @@ class Parser:
             if op == "%":
                 return {"type": "parent", "pos": t.position}
             if op == "(":
-                # block: (e1; e2; ...)
+                # block: (e1; e2; ...). An empty block `()` and a trailing
+                # `;` before `)` are parse errors in jsonata-js (S0211 —
+                # `)` in operand position) — round-11 suite port.
                 exprs = []
                 while not self._is_op(")"):
                     exprs.append(self.expression(0))
                     if self._is_op(";"):
                         self.advance(";", prefix=True)
+                        if self._is_op(")"):
+                            raise JsonataParseError(
+                                "S0211",
+                                "the symbol ')' cannot be used as a unary "
+                                "operator",
+                                self.token.position,
+                            )
                     else:
                         break
+                if not exprs:
+                    raise JsonataParseError(
+                        "S0211", "the symbol ')' cannot be used as a unary operator",
+                        t.position,
+                    )
                 self.advance(")")
                 return {"type": "block", "expressions": exprs, "pos": t.position}
             if op == "[":
@@ -218,9 +232,12 @@ class Parser:
                 break
         self.advance(")")
         # optional signature after the param list — function($x)<n:n>{...}
-        # (the jsonata-js placement) — parsed and skipped like the in-list
-        # form; arity/type enforcement stays dynamic
+        # (the jsonata-js placement). Round 11: the signature SOURCE is
+        # captured so the interpreter can enforce it (T0410) — previously
+        # parsed-and-dropped, which silently accepted any argument types.
+        signature = None
         if self._is_op("<"):
+            sig_start = self.token.position
             depth = 0
             while True:
                 if self._is_op("<"):
@@ -228,13 +245,18 @@ class Parser:
                 elif self._is_op(">"):
                     depth -= 1
                     if depth == 0:
+                        sig_end = self.token.position
                         self.advance(prefix=True)
                         break
                 self.advance(prefix=True)
+            signature = self.tokenizer.source[sig_start : sig_end + 1]
         self.advance("{", prefix=True)
         body = self.expression(0)
         self.advance("}")
-        return {"type": "lambda", "args": args, "body": body, "pos": t.position}
+        node = {"type": "lambda", "args": args, "body": body, "pos": t.position}
+        if signature is not None:
+            node["signature"] = signature
+        return node
 
     # ------------------------------------------------------------------ led
     def led(self, t: Token, left: dict) -> dict:

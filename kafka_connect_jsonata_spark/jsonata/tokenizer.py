@@ -122,8 +122,24 @@ class Tokenizer:
                     hexs = src[self.pos + 1 : self.pos + 5]
                     if len(hexs) < 4 or not re.fullmatch(r"[0-9a-fA-F]{4}", hexs):
                         raise JsonataParseError("S0104", "invalid \\u escape", self.pos)
-                    out.append(chr(int(hexs, 16)))
+                    cp = int(hexs, 16)
                     self.pos += 5
+                    # surrogate PAIRS combine into one astral codepoint
+                    # (JS string semantics — jsonata-js suite "literals";
+                    # round 11: two adjacent \u escapes previously stayed
+                    # two unpaired surrogates in the Python string)
+                    if 0xD800 <= cp <= 0xDBFF and src.startswith(
+                        "\\u", self.pos
+                    ):
+                        lows = src[self.pos + 2 : self.pos + 6]
+                        if re.fullmatch(r"[0-9a-fA-F]{4}", lows or ""):
+                            lo = int(lows, 16)
+                            if 0xDC00 <= lo <= 0xDFFF:
+                                cp = 0x10000 + ((cp - 0xD800) << 10) + (
+                                    lo - 0xDC00
+                                )
+                                self.pos += 6
+                    out.append(chr(cp))
                 elif e in ESCAPES:
                     out.append(ESCAPES[e])
                     self.pos += 1

@@ -582,6 +582,526 @@ GROUPS["scoping"] = [
     ("$formatNumber(123456, '00.0e0')", None, "12.3e4"),
 ]
 
+# ---------------------------------------------------------------------------
+# round-11 suite port: the remaining public jsonata-js test-suite groups
+# (group names follow the suite's directory names) — literals/comments/
+# conditionals/operators/constructors/descendent/wildcards/predicates/
+# quoted selectors/missing paths/closures/partial application/tail
+# recursion/apply/variables/context/regex-as-function/transforms/sorting/
+# lambdas/signature enforcement/flattening/function edge cases. Authored
+# against jsonata-js 2.x documented semantics; every case double-checked
+# through the tier-2 interpreter, divergences fixed in-round (surrogate
+# pairs, transform-over-array, regex-as-function, $number 0b/0o,
+# signature enforcement, builtin arity errors, empty-block parse).
+# ---------------------------------------------------------------------------
+
+GROUPS["literals"] = [
+    ('"hello"', None, 'hello'),
+    ("'hello'", None, 'hello'),
+    ('"\\u0061"', None, 'a'),
+    ('"\\uD834\\uDD1E"', None, '𝄞'),
+    ('$length("\\uD834\\uDD1E")', None, 1),
+    ('"\\t"', None, '\t'),
+    ('"\\n"', None, '\n'),
+    ('"\\\\"', None, '\\'),
+    ('"\\/"', None, '/'),
+    ('"\\""', None, '"'),
+    ('42', None, 42),
+    ('-42', None, -42),
+    ('3.14159', None, 3.14159),
+    ('1e2', None, 100),
+    ('1E2', None, 100),
+    ('1e-2', None, 0.01),
+    ('10e2', None, 1000),
+    ('true', None, True),
+    ('false', None, False),
+    ('null', None, None),
+]
+
+GROUPS["comments"] = [
+    ('/* comment */ 1 + 1', None, 2),
+    ('1 + /* inline */ 1', None, 2),
+    ('1 + 1 /* trailing */', None, 2),
+    ("/* multi\nline */ 'x'", None, 'x'),
+    ('/* a /* not nested */ 2', None, 2),
+]
+
+GROUPS["conditionals"] = [
+    ('true ? 1 : 2', None, 1),
+    ('false ? 1 : 2', None, 2),
+    ("1 < 2 ? 'a' : 'b'", None, 'a'),
+    ('true ? false ? 1 : 2 : 3', None, 2),
+    ('false ? 1 : false ? 2 : 3', None, 3),
+    ('(true ? 1 : 2) + 10', None, 11),
+    ("'' ? 'y' : 'n'", None, 'n'),
+    ("'x' ? 'y' : 'n'", None, 'y'),
+    ("0 ? 'y' : 'n'", None, 'n'),
+    ("[] ? 'y' : 'n'", None, 'n'),
+    ("{'a':1} ? 'y' : 'n'", None, 'y'),
+    ("a ? 'y' : 'n'", {'a': 0}, 'n'),
+]
+
+GROUPS["comparison_ops"] = [
+    ('3 > 2', None, True),
+    ('3 <= 3', None, True),
+    ("'a' >= 'a'", None, True),
+    ("'abc' < 'abd'", None, True),
+    ('3 = 3.0', None, True),
+    ('0 = -0', None, True),
+    ("1 != '1'", None, True),
+    ('null = null', None, True),
+    ('[] = []', None, True),
+    ('[1,[2]] = [1,[2]]', None, True),
+    ("{'a':[1]} = {'a':[1]}", None, True),
+    ('true = 1', None, False),
+    ('false = 0', None, False),
+    ('nothing <= 1', {'a': 1}, UNDEFINED),
+    ('1 < nothing', {'a': 1}, UNDEFINED),
+]
+
+GROUPS["inclusion_op"] = [
+    ('1 in [1,2]', None, True),
+    ('3 in [1,2]', None, False),
+    ("'a' in 'a'", None, True),
+    ("'a' in ['b','a']", None, True),
+    ('nothing in [1]', {'a': 1}, False),
+    ('1 in nothing', {'a': 1}, False),
+    ('null in [null]', None, True),
+    ('[1] in [[1],[2]]', None, True),
+]
+
+GROUPS["numeric_ops"] = [
+    ('2 + 3 * 4', None, 14),
+    ('(2 + 3) * 4', None, 20),
+    ('10 - 3 - 2', None, 5),
+    ('10 / 4', None, 2.5),
+    ('7 % 3', None, 1),
+    ('-7 % 3', None, -1),
+    ('7 % -3', None, 1),
+    ('7.5 % 2', None, 1.5),
+    ('-5', None, -5),
+    ('-(2+3)', None, -5),
+    ('- a', {'a': 4}, -4),
+    ('2*3 + 4*5', None, 26),
+    ('0.1 + 0.2', None, 0.30000000000000004),
+    ('5 + nothing', {'a': 1}, UNDEFINED),
+    ('nothing * 2', {'a': 1}, UNDEFINED),
+    ('- nothing', {'a': 1}, UNDEFINED),
+]
+
+GROUPS["string_concat"] = [
+    ("'a' & 'b' & 'c'", None, 'abc'),
+    ('1 & 2 & 3', None, '123'),
+    ("[1,2] & ''", None, '[1,2]'),
+    ("{'a':1} & ''", None, '{"a":1}'),
+    ("true & '!'", None, 'true!'),
+    ("null & '!'", None, 'null!'),
+    ("1.5 & ''", None, '1.5'),
+    ("'' & 1e21", None, '1e+21'),
+    ("'a' & nothing & 'b'", {'x': 1}, 'ab'),
+]
+
+GROUPS["boolean_expr"] = [
+    ('true and false', None, False),
+    ('true or false', None, True),
+    ('$not(1=1)', None, False),
+    ('1=1 and 2=2', None, True),
+    ('1=2 or 2=3 or 3=3', None, True),
+    ('$boolean([[0]])', None, False),
+    ('$boolean([[], []])', None, False),
+    ('$boolean([0, 0.5])', None, True),
+    ("$boolean('0')", None, True),
+    ('a and b', {'a': 1, 'b': 0}, False),
+    ('a or b', {'a': 0, 'b': 0}, False),
+    ('nothing and true', {'a': 1}, False),
+    ('nothing or true', {'a': 1}, True),
+    ("false and $error('x')", None, False),
+]
+
+GROUPS["null_semantics"] = [
+    ('null', None, None),
+    ('[null]', None, [None]),
+    ('[null, null]', None, [None, None]),
+    ('$exists(null)', None, True),
+    ('null = null', None, True),
+    ('null != null', None, False),
+    ("{'a': null}", None, {'a': None}),
+    ('a', {'a': None}, None),
+    ('a = null', {'a': None}, True),
+    ('$string(null)', None, 'null'),
+]
+
+GROUPS["range_op"] = [
+    ('[0..4]', None, [0, 1, 2, 3, 4]),
+    ('[0..4].($*2)', None, [0, 2, 4, 6, 8]),
+    ('[-2..2]', None, [-2, -1, 0, 1, 2]),
+    ('[2..2]', None, [2]),
+    ('[2..1]', None, []),
+    ('[1..3, 5..6]', None, [1, 2, 3, 5, 6]),
+    ('[1..$count([1,2,3])]', None, [1, 2, 3]),
+    ('[a..b]', {'a': 2, 'b': 4}, [2, 3, 4]),
+    ('[nothing..3]', {'a': 1}, []),
+    ('[1..nothing]', {'a': 1}, []),
+]
+
+GROUPS["array_ctor"] = [
+    ('[]', None, []),
+    ('[1]', None, [1]),
+    ('[[1,2],[3]]', None, [[1, 2], [3]]),
+    ('[[1,2],3]', None, [[1, 2], 3]),
+    ("['a', 1, true, null]", None, ['a', 1, True, None]),
+    ('[a, b]', {'a': [1, 2], 'b': 3}, [[1, 2], 3]),
+    ('[a.c, b]', {'a': {'c': 1}, 'b': 2}, [1, 2]),
+    ('$count([[1,2],[3]])', None, 2),
+    ('[[1,2],[3]][0]', None, [1, 2]),
+    ('[1, [2, [3, [4]]]]', None, [1, [2, [3, [4]]]]),
+    ('[[]]', None, [[]]),
+]
+
+GROUPS["object_ctor"] = [
+    ('{}', None, {}),
+    ("{'a': 1}", None, {'a': 1}),
+    ("{'a': [1,2]}", None, {'a': [1, 2]}),
+    ("{'a': {'b': 1}}", None, {'a': {'b': 1}}),
+    ("{'k' & 1: 'v'}", None, {'k1': 'v'}),
+    ("{$uppercase('k'): 1}", None, {'K': 1}),
+    ("{'a': 1+1, 'b': 'x' & 'y'}", None, {'a': 2, 'b': 'xy'}),
+]
+
+GROUPS["descendent_op"] = [
+    ('**.x', {'a': {'x': 1}, 'b': {'c': {'x': 2}}}, [1, 2]),
+    ('a.**.x', {'a': {'b': {'x': 1}}, 'x': 9}, 1),
+    ('$count(**)', {'a': {'b': 1, 'c': [2, 3]}}, 5),
+    ('**.b', {'a': [{'b': 1}, {'b': 2}]}, [1, 2]),
+    ('$sum(**.n)', {'a': {'n': 1, 'b': {'n': 2, 'c': {'n': 3}}}}, 6),
+]
+
+GROUPS["wildcards2"] = [
+    ('*', {'a': 1, 'b': 2}, [1, 2]),
+    ('*.x', {'p': {'x': 1}, 'q': {'x': 2}}, [1, 2]),
+    ('*.*', {'p': {'x': 1}, 'q': {'y': 2}}, [1, 2]),
+    ('a.*', {'a': {'x': 1, 'y': [2, 3]}}, [1, 2, 3]),
+    ('*[0]', {'a': [1, 2], 'b': 3}, 1),
+]
+
+GROUPS["predicates2"] = [
+    ('a[b > 1]', {'a': [{'b': 1}, {'b': 2}, {'b': 3}]}, [{'b': 2}, {'b': 3}]),
+    ('a[b > 1][0]', {'a': [{'b': 1}, {'b': 2}, {'b': 3}]}, {'b': 2}),
+    ('a[b][0]', {'a': [{'b': True, 'c': 1}, {'b': False, 'c': 2}]}, {'b': True, 'c': 1}),
+    ("a[b='x'][c=1]", {'a': [{'b': 'x', 'c': 1}, {'b': 'x', 'c': 2}]}, {'b': 'x', 'c': 1}),
+    ('a[$ > 2]', {'a': [1, 2, 3, 4]}, [3, 4]),
+    ('a[0=1]', {'a': [1, 2]}, UNDEFINED),
+    ('a[$%2=0]', {'a': [1, 2, 3, 4]}, [2, 4]),
+    ('a[-1]', {'a': [1, 2, 3]}, 3),
+    ('a[[0,2]]', {'a': ['x', 'y', 'z']}, ['x', 'z']),
+    ('a[[-2,-1]]', {'a': [1, 2, 3]}, [2, 3]),
+]
+
+GROUPS["quoted_selectors"] = [
+    ('`hello world`', {'hello world': 1}, 1),
+    ('a.`b c`', {'a': {'b c': 2}}, 2),
+    ('`a`.`b`', {'a': {'b': 3}}, 3),
+]
+
+GROUPS["missing_paths"] = [
+    ('a.b.c.d', {'a': 1}, UNDEFINED),
+    ('a.b + 1', {'a': {}}, UNDEFINED),
+    ('$string(a.b)', {'a': {}}, UNDEFINED),
+    ('$length(a.b)', {'a': {}}, UNDEFINED),
+    ('[a.b]', {'a': {}}, []),
+    ("{'x': a.b}", {'a': {}}, {}),
+    ('a.b = a.b', {'a': {}}, False),
+]
+
+GROUPS["closures"] = [
+    ('($x := 5; $f := function(){ $x }; $f())', None, 5),
+    ('($mk := function($a){ function($b){ $a + $b } }; $add2 := $mk(2); $add2(3))', None, 5),
+    ('($x := 1; $f := function(){ $x }; ($x := 2; $f()))', None, 1),
+    ('($cnt := function($arr){ $count($arr) }; $cnt([1,2,3]))', None, 3),
+    ("($compose := function($f, $g){ function($x){ $f($g($x)) } }; $h := $compose($uppercase, $lowercase); $h('MiXeD'))", None, 'MIXED'),
+]
+
+GROUPS["partial_application"] = [
+    ('($add := function($a,$b){$a+$b}; $add5 := $add(5, ?); $add5(3))', None, 8),
+    ('($add := function($a,$b){$a+$b}; $addTo := $add(?, 10); $addTo(3))', None, 13),
+    ("($rep := $replace(?, 'a', 'b'); $rep('banana'))", None, 'bbnbnb'),
+    ("($p := $substring('hello', ?); $p(2))", None, 'llo'),
+    ('($f := $string(?); $f(42))', None, '42'),
+]
+
+GROUPS["tail_recursion"] = [
+    ('($loop := function($n, $acc){ $n = 0 ? $acc : $loop($n - 1, $acc + $n) }; $loop(100, 0))', None, 5050),
+    ("($count_down := function($n){ $n <= 0 ? 'done' : $count_down($n - 1) }; $count_down(300))", None, 'done'),
+    ('($fact := function($n, $acc){ $n <= 1 ? $acc : $fact($n - 1, $n * $acc) }; $fact(20, 1))', None, 2432902008176640000),
+]
+
+GROUPS["fn_application"] = [
+    ('5 ~> $string', None, '5'),
+    ("'x' ~> $uppercase ~> $length", None, 1),
+    ('[1,2,3] ~> $sum ~> $string', None, '6'),
+    ('2 ~> function($x){$x * 3} ~> function($x){$x + 1}', None, 7),
+    ("'abc' ~> $substring(1)", None, 'bc'),
+    ("'abc' ~> $substring(1, 1)", None, 'b'),
+    ('12 ~> $formatBase(2)', None, '1100'),
+]
+
+GROUPS["variables"] = [
+    ('$x', None, UNDEFINED),
+    ('($x := 2)', None, 2),
+    ('($x := 2; $x * $x)', None, 4),
+    ("($x := 'a'; $y := $x & 'b'; $y)", None, 'ab'),
+    ('($a := [1,2]; $a[0])', None, 1),
+    ("($o := {'k': 1}; $o.k)", None, 1),
+    ('($f := $sum; $f([1,2]))', None, 3),
+]
+
+GROUPS["context_ops"] = [
+    ('$', 5, 5),
+    ('$ + 1', 5, 6),
+    ('$.a', {'a': 1}, 1),
+    ('$$', {'a': 1}, {'a': 1}),
+    ('a.($ + $$.b)', {'a': 1, 'b': 10}, 11),
+    ('a.b.($$.c)', {'a': {'b': 1}, 'c': 5}, 5),
+    ('[1,2,3].($ * $)', None, [1, 4, 9]),
+]
+
+GROUPS["regex_fns"] = [
+    ("$match('aXbXc', /x/i)[0].index", None, 1),
+    ("$count($match('a1b2c3', /\\d/))", None, 3),
+    ("$match('a1b22c', /\\d+/)[1].match", None, '22'),
+    ("$split('a1b22c333', /\\d+/)", None, ['a', 'b', 'c', '']),
+    ("$replace('a1b2', /\\d/, '#')", None, 'a#b#'),
+    ("$contains('hello', /ell/)", None, True),
+    ("'ab' ~> /b/ ", None, {'match': 'b', 'start': 1, 'end': 2, 'groups': []}),
+    ("('ab' ~> /b/).match", None, 'b'),
+    ("'xy' ~> /b/ ", None, UNDEFINED),
+    ("$filter(['ab','cd','ae'], /a/)", None, ['ab', 'ae']),
+    ('$type(/x/)', None, 'function'),
+]
+
+GROUPS["transforms2"] = [
+    ("$ ~> |a|{'b': b * 2}|", {'a': {'b': 3}}, {'a': {'b': 6}}),
+    ("$ ~> |a|{'n': 1}, ['x']|", {'a': {'x': 2, 'y': 3}}, {'a': {'y': 3, 'n': 1}}),
+    ("$ ~> |items|{'done': true}|", {'items': [{'i': 1}, {'i': 2}]}, {'items': [{'i': 1, 'done': True}, {'i': 2, 'done': True}]}),
+    ("({'a': 1} ~> |$|{'b': 2}|).b", None, 2),
+    ("$ ~> |nomatch|{'x': 1}|", {'a': 1}, {'a': 1}),
+    ("($t := |$|{'u': 1}|; {'a': 2} ~> $t)", None, {'a': 2, 'u': 1}),
+]
+
+GROUPS["sorting2"] = [
+    ('$sort([3,1,2])', None, [1, 2, 3]),
+    ("$sort(['b','c','a'])", None, ['a', 'b', 'c']),
+    ('a^(b)', {'a': [{'b': 3}, {'b': 1}, {'b': 2}]}, [{'b': 1}, {'b': 2}, {'b': 3}]),
+    ('a^(>b)', {'a': [{'b': 1}, {'b': 2}]}, [{'b': 2}, {'b': 1}]),
+    ('a^(b).c', {'a': [{'b': 2, 'c': 'y'}, {'b': 1, 'c': 'x'}]}, ['x', 'y']),
+    ('$sort([2,1])[0]', None, 1),
+    ('[9,8,7]^($)', None, [7, 8, 9]),
+]
+
+GROUPS["lambdas2"] = [
+    ('function(){ 42 }()', None, 42),
+    ('function($x){ $x + 1 }(2)', None, 3),
+    ("function($x, $y){ $x & $y }('a', 'b')", None, 'ab'),
+    ('(function($x){ function($y){ $x + $y } })(1)(2)', None, 3),
+    ('$map([1,2], function($x){ [$x, $x] })', None, [[1, 1], [2, 2]]),
+]
+
+GROUPS["fn_string2"] = [
+    ('$string($sum)', None, ''),
+    ('$string(true)', None, 'true'),
+    ('$string(nothing)', {'a': 1}, UNDEFINED),
+    ("$string({'a': [1, {'b': null}]})", None, '{"a":[1,{"b":null}]}'),
+    ("$string([true, 'x'])", None, '[true,"x"]'),
+    ('$string(2, false)', None, '2'),
+    ("$string({'a':1}, true)", None, '{\n  "a": 1\n}'),
+]
+
+GROUPS["fn_misc"] = [
+    ("$length('𝄞')", None, 1),
+    ("$substring('𝄞abc', 1, 2)", None, 'ab'),
+    ("$uppercase('straße')", None, 'STRASSE'),
+    ("$pad('é', 3, '-')", None, 'é--'),
+    ("$split('abc', '')", None, ['a', 'b', 'c']),
+    ("$join(['a','b'])", None, 'ab'),
+    ("$substringBefore('a=b=c', '=')", None, 'a'),
+    ("$substringAfter('a=b=c', '=')", None, 'b=c'),
+    ("$trim(' \t\na  b \n ')", None, 'a b'),
+    ("$contains('', '')", None, True),
+    ("$number('0b101')", None, 5),
+    ("$number('0o17')", None, 15),
+    ('$abs(-0.0)', None, 0.0),
+    ('$exists($)', None, True),
+]
+
+GROUPS["signatures"] = [
+    ("($f := function($x)<s:s>{ $x }; $f('a'))", None, 'a'),
+    ('($f := function($x)<b:b>{ $x }; $f(true))', None, True),
+    ('($f := function($x)<a:n>{ $count($x) }; $f([1,2]))', None, 2),
+    ("($f := function($x)<a<s>:n>{ $count($x) }; $f(['a','b']))", None, 2),
+    ("($f := function($x)<o:o>{ $x }; $f({'a':1}))", None, {'a': 1}),
+    ('($f := function($x)<j>{ $x }; $f(5))', None, 5),
+    ('($f := function($x)<x>{ 1 }; $f(5))', None, 1),
+    ('($f := function($x)<a:n>{ $count($x) }; $f(5))', None, 1),
+    ('($f := function($x)<(ns):s>{ $string($x) }; $f(5))', None, '5'),
+    ('(5).($add2 := function($x, $y)<n-n:n>{ $x + $y }; $add2(2))', None, 7),
+]
+
+GROUPS["encoding2"] = [
+    ("$encodeUrlComponent('a b&c')", None, 'a%20b%26c'),
+    ("$decodeUrlComponent('a%20b')", None, 'a b'),
+    ("$encodeUrl('a b')", None, 'a%20b'),
+    ("$decodeUrl('a%20b')", None, 'a b'),
+    ("$base64encode('')", None, ''),
+    ("$base64decode('')", None, ''),
+    ("$base64encode('a')", None, 'YQ=='),
+]
+
+GROUPS["blocks"] = [
+    ('(1)', None, 1),
+    ('(1; 2)', None, 2),
+    ('($x := 1; $y := 2; $x + $y)', None, 3),
+    ('(a; b)', {'a': 1, 'b': 2}, 2),
+    ('($x := a; $x + 1)', {'a': 4}, 5),
+]
+
+GROUPS["fields"] = [
+    ('a', {'a': 'hello'}, 'hello'),
+    ('a.b.c', {'a': {'b': {'c': [1, 2]}}}, [1, 2]),
+    ('`true`', {'true': 1}, 1),
+    ('`function`', {'function': 2}, 2),
+    ('`a b`.`c.d`', {'a b': {'c.d': 3}}, 3),
+]
+
+GROUPS["flattening"] = [
+    # per-item step predicates under a fan-out (round-11 tier-1 fix:
+    # [idx] binds to the step BEFORE the path flattens)
+    ('a.b[1]', {'a': [{'b': [1, 2]}, {'b': [3]}]}, 2),
+    ('a.b[-1]', {'a': [{'b': [1, 2]}, {'b': [3, 4]}]}, [2, 4]),
+    ('a.b[[0,1]]', {'a': [{'b': [1, 2, 9]}, {'b': [3, 4]}]}, [1, 2, 3, 4]),
+    ('a.b[$ > 1]', {'a': [{'b': [1, 2]}, {'b': [3]}]}, [2, 3]),
+    ('a.b[0]', {'a': [{'b': 1}, {'b': 2}]}, [1, 2]),
+    ('a.b', {'a': [{'b': 1}, {'b': [2, 3]}]}, [1, 2, 3]),
+    ('a.b', {'a': {'b': [[1], [2]]}}, [[1], [2]]),
+    ('[a.b]', {'a': [{'b': 1}, {'b': 2}]}, [1, 2]),
+    ('a.b[0]', {'a': [{'b': [1, 2]}, {'b': [3, 4]}]}, [1, 3]),
+    ('(a.b)[0]', {'a': [{'b': [1, 2]}, {'b': [3, 4]}]}, 1),
+    ('a.b[0][]', {'a': {'b': 5}}, [5]),
+    ('$.a', {'a': [1, [2]]}, [1, [2]]),
+    ('a[0].b', {'a': [{'b': 1}, {'b': 2}]}, 1),
+]
+
+GROUPS["hof2"] = [
+    ("$each({'a':1,'b':2}, function($v,$k){$v})", None, [1, 2]),
+    ("$sift({'a':1}, function($v,$k,$o){ $o.a = 1 })", None, {'a': 1}),
+    ('$single([5], function($v){true})', None, 5),
+    ('$map([1,2,3], $sum)', None, [1, 2, 3]),
+    ('$reduce([1,2,3,4], $append)', None, [1, 2, 3, 4]),
+    ("$filter([{'a':1},{'a':2}], function($v){$v.a>1})", None, {'a': 2}),
+    ('$map([], function($v){$v})', None, UNDEFINED),
+    ('$filter([], function($v){true})', None, UNDEFINED),
+]
+
+GROUPS["string_fns2"] = [
+    ("$pad('x', 0)", None, 'x'),
+    ("$pad('', 2, '*')", None, '**'),
+    ('$string(123456789.123456789)', None, '123456789.12345679'),
+    ("$substring('hello', 0, -1)", None, ''),
+    ("$substring('hello', 10)", None, ''),
+    ("$uppercase('')", None, ''),
+    ("$split('', 'x')", None, ['']),
+    ("$split('', '')", None, []),
+    ("$join([], '')", None, ''),
+    ("$replace('aaa', 'a', 'b', 0)", None, 'aaa'),
+    ("$replace('', 'a', 'b')", None, ''),
+    ("$contains('abc', '')", None, True),
+    ("$length(' ')", None, 1),
+    ("$trim('abc')", None, 'abc'),
+    ("$substringBefore('', 'a')", None, ''),
+    ("$substringAfter('', 'a')", None, ''),
+]
+
+GROUPS["numeric_fns2"] = [
+    ('$round(0.5)', None, 0),
+    ('$round(1.5)', None, 2),
+    ('$round(-0.5)', None, 0),
+    ('$round(1.25, 1)', None, 1.2),
+    ('$round(1.35, 1)', None, 1.4),
+    ('$round(123.456, -1)', None, 120),
+    ('$round(123.456, -2)', None, 100),
+    ('$floor(0.999999)', None, 0),
+    ('$ceil(0.000001)', None, 1),
+    ('$power(0, 0)', None, 1),
+    ('$power(-2, 3)', None, -8),
+    ('$sqrt(0)', None, 0),
+    ("$number('  12  ')", None, 12),
+    ("$number('1.5e3')", None, 1500),
+    ("$number('-0')", None, 0),
+    ('$formatBase(0, 2)', None, '0'),
+    ('$formatBase(0.9, 2)', None, '1'),
+    ('$formatBase(-255, 16)', None, '-ff'),
+]
+
+GROUPS["array_fns2"] = [
+    ('$append(nothing, 1)', {'x': 1}, 1),
+    ('$append(1, nothing)', {'x': 1}, 1),
+    ('$count(nothing)', {'x': 1}, 0),
+    ("$reverse('a')", None, ['a']),
+    ('$reverse([1])', None, [1]),
+    ('$sort([])', None, []),
+    ('$sort(5)', None, [5]),
+    ('$distinct(nothing)', {'x': 1}, UNDEFINED),
+    ('$zip([1,2])', None, [[1], [2]]),
+    ('$shuffle([])', None, []),
+    ('$shuffle([7])', None, [7]),
+    ('$distinct([null, null])', None, [None]),
+    ('$distinct([[1],[1],[2]])', None, [[1], [2]]),
+]
+
+GROUPS["object_fns2"] = [
+    ("$keys({'a':1}.'b')", None, UNDEFINED),
+    ("$keys('str')", None, UNDEFINED),
+    ('$keys([1,2])', None, UNDEFINED),
+    ("$lookup({'a': {'b': 1}}, 'a')", None, {'b': 1}),
+    ("$merge({'a':1})", None, {'a': 1}),
+    ('$merge([{}])', None, {}),
+    ("$spread([{'a':1,'b':2},{'c':3}])", None, [{'a': 1}, {'b': 2}, {'c': 3}]),
+    ("$spread('x')", None, 'x'),
+    ('$spread([])', None, UNDEFINED),
+    ('$each({}, function($v,$k){$v})', None, UNDEFINED),
+    ('$sift({}, function($v){true})', None, UNDEFINED),
+]
+
+GROUPS["parent_op"] = [
+    ('a.b.%', {'a': {'b': 1, 'c': 2}}, {'b': 1, 'c': 2}),
+    ('a.b.%.c', {'a': {'b': 1, 'c': 2}}, 2),
+    ("items.{'n': name, 'p': %.order}", {'order': 7, 'items': [{'name': 'x'}]}, {'n': 'x', 'p': 7}),
+    ('a.b.%.%.r', {'r': 9, 'a': {'b': {'z': 0}}}, 9),
+]
+
+GROUPS["context_subst"] = [
+    ("'abc' ~> $uppercase", None, 'ABC'),
+    ('a.$uppercase()', {'a': 'x'}, 'X'),
+    ("['a','b'].$uppercase()", None, ['A', 'B']),
+    ('a.$length()', {'a': 'abc'}, 3),
+    ('a.($uppercase($))', {'a': 'x'}, 'X'),
+    ('Account.Order.$sum(Product.Price)', {'Account': {'Order': [{'Product': [{'Price': 1}, {'Price': 2}]}, {'Product': [{'Price': 3}]}]}}, [3, 3]),
+]
+
+GROUPS["order_by2"] = [
+    ('a^($)', {'a': [2, 1]}, [1, 2]),
+    ('a^($)', {'a': [1]}, 1),
+    ('a^(b)', {'a': [{'b': 'y'}, {'b': 'x'}]}, [{'b': 'x'}, {'b': 'y'}]),
+    ('a^(b)', {'a': [{'b': 1}, {}]}, [{'b': 1}, {}]),
+    ('a^(b)[0]', {'a': [{'b': 2}, {'b': 1}]}, {'b': 1}),
+    ('a^(x).y', {'a': [{'x': 2, 'y': 'b'}, {'x': 1, 'y': 'a'}]}, ['a', 'b']),
+]
+
+GROUPS["deep_nesting"] = [
+    ('a.b.c.d.e', {'a': {'b': {'c': {'d': {'e': 42}}}}}, 42),
+    ('l1.l2[x>1].l3.v', {'l1': {'l2': [{'x': 1, 'l3': {'v': 'no'}}, {'x': 2, 'l3': {'v': 'yes'}}]}}, 'yes'),
+    ('o.a[0].b[1].c', {'o': {'a': [{'b': [{'c': 1}, {'c': 2}]}]}}, 2),
+]
+
 GROUPS["errors"] = [
     "$sqrt(-1)",
     "1/0",
@@ -608,6 +1128,53 @@ GROUPS["errors"] = [
     "$sort([1,'a'])",
     "$single([1,2], function($v){ $v > 5 })",
     "1 < 2 < 3",
+    # round-11 suite port
+    "'it''s'",
+    'not(true)',
+    '[1..2.5]',
+    "['a'..'c']",
+    "{'a':1, 'a':2}",
+    'null < 1',
+    'null + 1',
+    'true + 1',
+    '[1] + 1',
+    "'a' - 'b'",
+    '{} * 2',
+    "$substring('abc', 'x')",
+    '$substring(5, 1)',
+    '$lowercase(5)',
+    "$split('abc', 5)",
+    '$join([1,2])',
+    "$join('a', 5)",
+    "$sum(['a'])",
+    "$sum([1,'a'])",
+    "$max(['a','b'])",
+    "$average(['a'])",
+    "$abs('a')",
+    "$floor('a')",
+    '$power(99, 999999)',
+    '$sqrt(-4)',
+    '$formatBase(10, 1)',
+    '$formatBase(10, 37)',
+    '$count([1],[2])',
+    '$boolean(1,2)',
+    "$keys('a','b')",
+    "{'a'",
+    '[1;2]',
+    '@ $',
+    '2 ** 3',
+    '($f := function($x)<s:s>{ $x }; $f(5))',
+    "($f := function($x)<n>{ $x }; $f('a'))",
+    '($f := function($x)<z>{ 1 }; $f(5))',
+    "($f := function($x)<a<n>:n>{ $count($x) }; $f(['a']))",
+    '($f := function($x)<(ns):s>{ $string($x) }; $f(true))',
+    '()',
+    '(1; 2; )',
+    '`$`?',
+    '$single([1,2], function($v){true})',
+    '$single([], function($v){true})',
+    '$power(-8, 1/3)',
+    '$zip()',
 ]
 
 
@@ -848,8 +1415,10 @@ def test_dual_tier_constant_corpus_sweep(spark):
     assert not failures, failures[:5]
     # the sweep must be substantive, not vacuous
     # round-8 constant folding lifted the share from ~300 to 371/384;
-    # round-10 ($eval non-literal context, parent-in-step ancestry) to 377
-    assert compiled_n >= 370, (compiled_n, skipped)
+    # round-10 ($eval non-literal context, parent-in-step ancestry) to 377;
+    # round-11 grows the corpus itself by ~420 suite-port cases — measured
+    # 631 compiled / 22 interpreter-only on the grown corpus
+    assert compiled_n >= 620, (compiled_n, skipped)
     print(f"\nconstant-sweep compiled: {compiled_n}, interpreter-only: {skipped}")
 
 
@@ -874,6 +1443,21 @@ def test_dual_tier_context_corpus_sweep(spark):
             return int(v)
         return v
 
+    # documented typed-tier deviation (SURVEY §4 "missing-vs-null"): SQL
+    # NULL conflates null-the-value with absent, so equality/sorting ON a
+    # null value differs by design; plus cases whose data mixes TYPES in
+    # one array position (long vs array) — spark.read.json can only infer
+    # them as strings, so the compiled tier never sees the real shape
+    # (test-harness representability, not an engine deviation).
+    CONTEXT_EXEMPT = {
+        ("a = null", '{"a": null}'),     # null-conflation (documented)
+        # missing-key sort: compiled sees SQL NULL where jsonata has an
+        # absent key (same conflation)
+        ("a^(b)", '{"a": [{"b": 1}, {}]}'),
+        # heterogeneous array item types -> spark.read.json infers strings
+        ("a.b", '{"a": [{"b": 1}, {"b": [2, 3]}]}'),
+        ("$.a", '{"a": [1, [2]]}'),
+    }
     compiled_n = skipped = 0
     failures = []
     for group, cases in GROUPS.items():
@@ -881,6 +1465,9 @@ def test_dual_tier_context_corpus_sweep(spark):
             continue
         for expr, data, expected in cases:
             if not isinstance(data, dict) or not data:
+                continue
+            if (expr, json.dumps(data, sort_keys=True)) in CONTEXT_EXEMPT:
+                skipped += 1
                 continue
             try:
                 # json inference keeps ints/doubles typed (createDataFrame
@@ -921,8 +1508,9 @@ def test_dual_tier_context_corpus_sweep(spark):
             else:
                 compiled_n += 1
     assert not failures, failures[:5]
-    # round-9 binds/keep-array/expression-step tranche lifted 30 -> 35
-    assert compiled_n >= 34, (compiled_n, skipped)
+    # round-9 binds/keep-array/expression-step tranche lifted 30 -> 35;
+    # round-11 suite port + per-item step predicates: measured 124
+    assert compiled_n >= 115, (compiled_n, skipped)
     print(f"\ncontext-sweep compiled: {compiled_n}, interpreter-only: {skipped}")
 
 

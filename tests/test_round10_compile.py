@@ -202,6 +202,16 @@ MATCH_ANCHOR_CASES = [
     ("$match(s, /^a(b+)c$/)", {"s": "abbcx"}),
     ("$match(s, /^\\d+/)", {"s": "123abc456"}),
     ("$match(s, /^ab+/, 3)", {"s": "abbbc"}),          # limit with anchor
+    # round-11 ADVICE fix: trailing-newline / CR edge cases — Python `$`
+    # matches before a FINAL \n only; index must point at the match, not
+    # length(s)-length(match)
+    ("$match(s, /b+$/)", {"s": "abb\n"}),              # idx 1, not 2
+    ("$match(s, /b+$/)", {"s": "abb\r"}),              # Java-lenient: no match
+    ("$match(s, /b+$/)", {"s": "abb\r\n"}),            # no match (CR blocks)
+    ("$match(s, /b+$/)", {"s": "abb\n\n"}),            # only ONE final \n
+    ("$match(s, /b+$/)", {"s": "bb\nbb\n"}),           # idx 3
+    ("$match(s, /(B+)$/i)", {"s": "aBB\n"}),           # group + flag + \n
+    ("$match(s, /^a(b+)$/)", {"s": "abb\n"}),          # both anchors + \n
 ]
 
 

@@ -33,7 +33,10 @@ def _both_tiers(spark, expr, data):
         spark.createDataFrame([(json.dumps(data),)], "j string")
         .selectExpr(
             "from_json(j, schema_of_json('%s')) as root"
-            % json.dumps(data).replace("'", "\\'")
+            # escape backslashes FIRST: a \n inside a JSON string must
+            # reach schema_of_json as the two characters \ n, not a raw
+            # control char (round-11: trailing-newline $match cases)
+            % json.dumps(data).replace("\\", "\\\\").replace("'", "\\'")
         )
         .select("root.*")
     )
