@@ -283,7 +283,7 @@ def stream_incremental_dedup(
     seed: int = 0x5EED,
     available_now: bool = True,
     layout: str = "pruned",
-    stamp_batch_id: bool = False,
+    stamp_batch_id: bool = True,
     **dedup_kw,
 ):
     """C85: the steady-state production ingest loop for fuzzy dedup —
@@ -337,8 +337,15 @@ def stream_incremental_dedup(
     then: duplicate sketch rows are SEMANTICALLY idempotent for the dedup
     math (candidate pairs go through dropDuplicates; the kept set is
     unchanged — test-pinned), and ``compact_sketch_store`` restores
-    physical minimality at the next maintenance window. Default False:
-    the stamp adds a ``_batch_id`` column to the output table.
+    physical minimality at the next maintenance window.
+
+    ``stamp_batch_id`` defaults to **True** as of round 11 (it was opt-in
+    for one round): the at-least-once double-append window is precisely
+    the crash case production users won't test, so exactly-once is the
+    default contract. MIGRATION: the output table gains a ``_batch_id``
+    hive-partition column — readers that did ``SELECT *`` see one extra
+    int column; pass ``stamp_batch_id=False`` to keep the round-10
+    plain-append layout (at-least-once under replay).
 
     ``available_now=True`` drains the source and stops (backfill / test
     mode); False runs continuously.
@@ -455,31 +462,72 @@ def compact_sketch_table(
 
     MUST run while ingest is quiesced (no ``foreachBatch`` in flight):
     plain parquet dirs have no transaction log, so the swap is
-    write-to-temp + delete + rename — the standard maintenance window
-    pattern for non-tabular sinks. Returns
+    write-to-temp + rename-aside + rename-into-place (``_swap_dirs``) —
+    the old data survives at ``<dir>__old`` until the new data is in
+    place, so no crash state reads as an empty table. Returns
     ``(files_before, files_after)``. Row content is preserved exactly
     (test-pinned, including that a subsequent incremental batch produces
     the identical kept set)."""
     import math
 
-    df = spark.read.parquet(sketch_path)
-    files_before = len(df.inputFiles())
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     HPath = jvm.org.apache.hadoop.fs.Path
     src = HPath(sketch_path)
     fs = src.getFileSystem(conf)
+    _recover_swap(fs, src, "compact_sketch_table")
+    df = spark.read.parquet(sketch_path)
+    files_before = len(df.inputFiles())
     total_bytes = fs.getContentSummary(src).getLength()
     n = max(1, math.ceil(total_bytes / target_file_bytes))
     tmp = HPath(sketch_path.rstrip("/") + "__compact_tmp")
     df.repartition(n).write.mode("overwrite").parquet(str(tmp))
-    fs.delete(src, True)
+    _swap_dirs(fs, src, tmp, "compact_sketch_table")
+    return files_before, n
+
+
+def _swap_dirs(fs, src, tmp, who: str) -> None:
+    """Crash-safe directory swap (round-11 ADVICE fix): rename ``src``
+    ASIDE to ``src__old``, rename ``tmp`` into place, then delete the
+    aside copy. The round-10 delete-then-rename left a crash window where
+    ``src`` was simply GONE — and a missing store half reads as EMPTY
+    history downstream, silently keeping every near-dup. With the aside
+    order every crash state is recoverable: the old data survives intact
+    at ``src__old`` until the new data is in place, and
+    :func:`~kafka_connect_jsonata_spark.functions.dedup._check_store_halves`
+    recognizes the intermediate states. Callers run :func:`_recover_swap`
+    BEFORE reading ``src`` so a prior crash heals first."""
+    old = src.suffix("__old")
+    if fs.exists(old):
+        fs.delete(old, True)  # _recover_swap already adjudicated it
+    if not fs.rename(src, old):
+        raise IOError(f"{who}: rename {src} -> {old} failed")
     if not fs.rename(tmp, src):
+        # put the old data back so readers never see a missing dir
+        fs.rename(old, src)
         raise IOError(
-            f"compact_sketch_table: rename {tmp} -> {src} failed; "
+            f"{who}: rename {tmp} -> {src} failed; original data restored, "
             "compacted data is intact at the temp path"
         )
-    return files_before, n
+    fs.delete(old, True)
+
+
+def _recover_swap(fs, src, who: str) -> None:
+    """Heal the residue of a crashed :func:`_swap_dirs` before touching
+    ``src``: if the aside copy exists and ``src`` is missing, the crash
+    hit between the two renames — the aside copy IS the data, restore it;
+    if both exist the swap completed (crash before cleanup) — drop the
+    aside copy. A stale ``__compact_tmp`` from a crashed WRITE is always
+    safe to drop."""
+    old = src.suffix("__old")
+    if fs.exists(old):
+        if fs.exists(src):
+            fs.delete(old, True)
+        elif not fs.rename(old, src):
+            raise IOError(f"{who}: could not restore {old} -> {src}")
+    tmp = src.suffix("__compact_tmp")
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
 
 
 def compact_sketch_store(
@@ -503,8 +551,12 @@ def compact_sketch_store(
     xxhash64(id)), so re-partitioning just moves rows between dirs.
 
     MUST run quiesced (no foreachBatch in flight) — plain parquet dirs
-    have no transaction log; the swap per half is write-to-temp + delete +
-    rename, same as :func:`compact_sketch_table`. Returns
+    have no transaction log; the swap per half is the crash-safe
+    rename-aside of :func:`_swap_dirs`, same as
+    :func:`compact_sketch_table` — a crash can leave ``<half>__old`` /
+    ``<half>__compact_tmp`` residue but never a MISSING half, and the
+    store readers raise on detectable corruption instead of treating it
+    as empty history. Returns
     ``{"index": (files_before, files_after), "sigs": (...)}``."""
     from kafka_connect_jsonata_spark.functions import dedup as D
 
@@ -524,6 +576,7 @@ def compact_sketch_store(
     def compact_half(sub: str, part_col: str, part_expr, n_parts: int, dedup_keys, sort_key):
         src = HPath(f"{store_path}/{sub}")
         fs = src.getFileSystem(conf)
+        _recover_swap(fs, src, "compact_sketch_store")
         df = spark.read.parquet(str(src))
         files_before = len(df.inputFiles())
         out = (
@@ -543,12 +596,7 @@ def compact_sketch_store(
         tmp = HPath(f"{store_path}/{sub}__compact_tmp")
         out.write.mode("overwrite").partitionBy(part_col).parquet(str(tmp))
         files_after = len(spark.read.parquet(str(tmp)).inputFiles())
-        fs.delete(src, True)
-        if not fs.rename(tmp, src):
-            raise IOError(
-                f"compact_sketch_store: rename {tmp} -> {src} failed; "
-                "compacted data is intact at the temp path"
-            )
+        _swap_dirs(fs, src, tmp, "compact_sketch_store")
         return files_before, files_after
 
     res = {
@@ -571,6 +619,82 @@ def compact_sketch_store(
     }
     D._write_sketch_store_meta(spark, store_path, new_meta)
     return res
+
+
+def maintain_sketch_store(
+    spark,
+    store_path: str,
+    target_partition_bytes: int = 128 << 20,
+    max_partitions: int = 1 << 20,
+    small_file_factor: float = 4.0,
+) -> dict:
+    """Round-11 verdict item 2: the auto-maintenance POLICY over
+    :func:`compact_sketch_store`. P/Q were previously manual knobs — a
+    store created small silently degrades to full scans as history grows
+    (partition size = history_bytes / P), and the operator had to know
+    SCALE.md's sizing rule. This measures the store and applies it:
+
+    - **grow**: when a half's bytes / partitions exceeds
+      ``target_partition_bytes``, re-partition that half to the next
+      power of two that restores the target (never shrinks — P is also
+      the scan-fraction denominator);
+    - **compact**: when per-batch appends have left more than
+      ``small_file_factor`` files per partition (small-file decay), even
+      at unchanged P/Q.
+
+    Call it from the maintenance window (quiesced, like
+    ``compact_sketch_store`` itself) on whatever cadence the ingest runs —
+    the policy is idempotent and a no-op when neither trigger fires.
+    Returns ``{"action": "compacted"|"noop", "index_partitions": P',
+    "sig_partitions": Q', "index_bytes": ..., "sigs_bytes": ...,
+    "index_files": ..., "sigs_files": ...}``."""
+    from kafka_connect_jsonata_spark.functions import dedup as D
+
+    meta = D.read_sketch_store_meta(spark, store_path)
+    if meta is None:
+        raise ValueError(f"no sketch store at {store_path}")
+    D._check_store_halves(spark, store_path)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+
+    def stat(sub: str) -> tuple[int, int]:
+        p = HPath(f"{store_path}/{sub}")
+        fs = p.getFileSystem(conf)
+        cs = fs.getContentSummary(p)
+        return int(cs.getLength()), int(cs.getFileCount())
+
+    index_bytes, index_files = stat("index")
+    sigs_bytes, sigs_files = stat("sigs")
+    P = int(meta["index_partitions"])
+    Q = int(meta["sig_partitions"])
+    want_p = max(
+        P, min(max_partitions, D._pow2ceil(-(-index_bytes // target_partition_bytes)))
+    )
+    want_q = max(
+        Q, min(max_partitions, D._pow2ceil(-(-sigs_bytes // target_partition_bytes)))
+    )
+    decayed = (
+        index_files > small_file_factor * P or sigs_files > small_file_factor * Q
+    )
+    out = dict(
+        index_partitions=want_p,
+        sig_partitions=want_q,
+        index_bytes=index_bytes,
+        sigs_bytes=sigs_bytes,
+        index_files=index_files,
+        sigs_files=sigs_files,
+    )
+    if (want_p == P and want_q == Q and not decayed) or (
+        index_files == 0 and sigs_files == 0
+    ):
+        out["action"] = "noop"
+        return out
+    compact_sketch_store(
+        spark, store_path, index_partitions=want_p, sig_partitions=want_q
+    )
+    out["action"] = "compacted"
+    return out
 
 
 def stream_to_partitioned_sink(

@@ -819,13 +819,14 @@ def test_sketch_store_scan_bytes_sublinear(spark, tmp_path):
 
 
 def test_stream_incremental_dedup_exactly_once_stamp(spark, sf_dir, tmp_path):
-    """Round-10 C85 hardening: with ``stamp_batch_id=True`` a REPLAYED
+    """Round-10 C85 hardening, DEFAULT as of round 11: a REPLAYED
     micro-batch (same batch id — the foreachBatch at-least-once window
     after a crash between write and checkpoint commit) overwrites its own
-    ``_batch_id`` partition instead of double-appending; with the default
-    append sink the same replay doubles the output. Replay is simulated by
-    re-running the same source through a FRESH checkpoint (batch ids
-    restart at 0)."""
+    ``_batch_id`` partition instead of double-appending. The default path
+    (no stamp argument) IS the exactly-once path; ``stamp_batch_id=False``
+    opts back into the round-10 plain-append (at-least-once) layout.
+    Replay is simulated by re-running the same source through a FRESH
+    checkpoint (batch ids restart at 0)."""
     from kafka_connect_jsonata_spark.streaming.transform import (
         stream_incremental_dedup,
     )
@@ -836,24 +837,23 @@ def test_stream_incremental_dedup_exactly_once_stamp(spark, sf_dir, tmp_path):
     params = dict(num_hashes=32, n_bands=8, threshold=0.9)
     schema = docs.schema
 
-    def deliver(out, sk, ckpt, stamp):
+    def deliver(out, sk, ckpt, stamp=None):
         stream = spark.readStream.schema(schema).parquet(f"{src}/*")
-        stream_incremental_dedup(
-            stream, out, sk, ckpt, stamp_batch_id=stamp, **params
-        )
+        kw = {} if stamp is None else {"stamp_batch_id": stamp}
+        stream_incremental_dedup(stream, out, sk, ckpt, **kw, **params)
 
-    # stamped: first delivery + replay -> unchanged row count
+    # DEFAULT path: first delivery + replay -> unchanged row count
     out_s = str(tmp_path / "out_stamped")
-    deliver(out_s, str(tmp_path / "sk1"), str(tmp_path / "ck1"), True)
+    deliver(out_s, str(tmp_path / "sk1"), str(tmp_path / "ck1"))
     n1 = spark.read.parquet(out_s).count()
     ids1 = sorted(r[0] for r in spark.read.parquet(out_s).select("doc_id").collect())
-    deliver(out_s, str(tmp_path / "sk1b"), str(tmp_path / "ck1b"), True)
+    deliver(out_s, str(tmp_path / "sk1b"), str(tmp_path / "ck1b"))
     after = spark.read.parquet(out_s)
     assert after.count() == n1
     assert sorted(r[0] for r in after.select("doc_id").collect()) == ids1
     assert "_batch_id" in after.columns
-    # unstamped: the same replay double-appends (the documented
-    # at-least-once behavior the stamp exists to fix)
+    # opt-out (stamp_batch_id=False): the same replay double-appends (the
+    # documented at-least-once behavior the default exists to fix)
     out_a = str(tmp_path / "out_append")
     deliver(out_a, str(tmp_path / "sk2"), str(tmp_path / "ck2"), False)
     na = spark.read.parquet(out_a).count()
@@ -890,3 +890,369 @@ def test_sketch_store_double_append_is_semantically_idempotent(
         ).collect()
     )
     assert twice == once and once
+
+
+def test_sketch_store_missing_half_raises(spark, sf_dir, tmp_path):
+    """Round-11 ADVICE fix: meta present but a half dir missing is a
+    crashed compaction, NOT an empty history — both the match path and
+    the append path must raise instead of silently keeping every
+    near-dup of history / recreating the dir."""
+    import shutil
+
+    from kafka_connect_jsonata_spark.functions import dedup
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    store = str(tmp_path / "store")
+    dedup.write_sketch_store(docs, store, num_hashes=32, n_bands=8)
+    shutil.rmtree(store + "/index")
+    with pytest.raises(IOError, match="corrupt"):
+        dedup.minhash_match_against_store(docs, store, threshold=0.9)
+    with pytest.raises(IOError, match="corrupt"):
+        dedup.write_sketch_store(docs, store, num_hashes=32, n_bands=8)
+    # residue from a crashed _swap_dirs is named in the error
+    (tmp_path / "store" / "index__old").mkdir()
+    with pytest.raises(IOError, match="index__old"):
+        dedup.minhash_match_against_store(docs, store, threshold=0.9)
+
+
+def test_sketch_store_created_empty_is_valid(spark, sf_dir, tmp_path):
+    """A store created but never appended to (or whose batch produced no
+    sketch rows) has EMPTY half dirs — that is a legitimately empty
+    history, and a match against it returns no pairs (the corruption
+    guard must not fire)."""
+    from kafka_connect_jsonata_spark.functions import dedup
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    store = str(tmp_path / "store")
+    # create via a zero-row append: meta + empty dirs
+    dedup.write_sketch_store(
+        docs.filter(F.lit(False)), store, num_hashes=32, n_bands=8
+    )
+    assert dedup.read_sketch_store_meta(spark, store) is not None
+    out = dedup.minhash_match_against_store(docs, store, threshold=0.5)
+    assert out.count() == 0
+
+
+def test_swap_dirs_crash_states_recover(spark, sf_dir, tmp_path):
+    """_swap_dirs leaves every crash state recoverable: (a) aside copy +
+    missing src -> next compaction restores it; (b) aside copy + src
+    present (crash before cleanup) -> aside copy is dropped. Match
+    results are unchanged through both."""
+    import shutil
+
+    from kafka_connect_jsonata_spark.functions import dedup
+    from kafka_connect_jsonata_spark.streaming.transform import (
+        compact_sketch_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 != 0)
+    store = str(tmp_path / "store")
+    dedup.write_sketch_store(hist, store, num_hashes=32, n_bands=8)
+    want = sorted(
+        tuple(r)
+        for r in dedup.minhash_match_against_store(
+            batch, store, threshold=0.9
+        ).collect()
+    )
+    assert want
+
+    # (a) crash between rename-aside and rename-into-place: src missing,
+    # __old holds the data. The NEXT compaction restores then re-compacts.
+    shutil.move(store + "/index", store + "/index__old")
+    with pytest.raises(IOError, match="corrupt"):
+        dedup.minhash_match_against_store(batch, store, threshold=0.9)
+    compact_sketch_store(spark, store)
+    got = sorted(
+        tuple(r)
+        for r in dedup.minhash_match_against_store(
+            batch, store, threshold=0.9
+        ).collect()
+    )
+    assert got == want
+
+    # (b) crash after rename-into-place but before aside cleanup: both
+    # present; compaction drops the stale aside copy and proceeds.
+    shutil.copytree(store + "/sigs", store + "/sigs__old")
+    compact_sketch_store(spark, store)
+    import os
+
+    assert not os.path.exists(store + "/sigs__old")
+    got = sorted(
+        tuple(r)
+        for r in dedup.minhash_match_against_store(
+            batch, store, threshold=0.9
+        ).collect()
+    )
+    assert got == want
+
+
+def test_auto_store_partitions_rule():
+    """Creation-time sizing implements the SCALE.md rule: P >= batch
+    bucket count / target fraction, power-of-two, clamped; Q = P/4."""
+    from kafka_connect_jsonata_spark.functions.dedup import (
+        auto_store_partitions,
+    )
+
+    P, Q = auto_store_partitions(1000, 16, target_scan_fraction=0.1)
+    assert P == 65536 and Q == P // 4  # 16k buckets / 0.1 -> 160k -> capped
+    P, Q = auto_store_partitions(5, 8, target_scan_fraction=0.1)
+    assert P == 512 and Q == 128  # 40 / 0.1 -> 400 -> 512
+    P, Q = auto_store_partitions(1, 1)
+    assert P == 64 and Q == 64  # floor
+    P, Q = auto_store_partitions(10**9, 64)
+    assert P == 65536  # cap
+
+
+def test_sketch_store_auto_maintenance_growth(spark, tmp_path):
+    """Round-11 verdict item 2 done-criterion: epochs of corpus growth
+    with NO manual P/Q choice anywhere — creation auto-sizes from the
+    first batch, maintain_sketch_store() grows P/Q from measured bytes —
+    keep the per-batch scan fraction under the pinned bound, with match
+    parity against the flat reference matcher preserved."""
+    from kafka_connect_jsonata_spark.functions import dedup
+    from kafka_connect_jsonata_spark.streaming.transform import (
+        maintain_sketch_store,
+    )
+
+    def synth(n, tag, base=0):
+        return spark.range(n).select(
+            (F.col("id") + base).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.sha2(
+                        F.concat_ws(
+                            "-", F.lit(tag), F.col("id").cast("string"), F.lit(str(i))
+                        ),
+                        256,
+                    )
+                    for i in range(4)
+                ],
+            ).alias("text"),
+        )
+
+    params = dict(num_hashes=16, n_bands=8, ngram=5)
+    store = str(tmp_path / "store")
+    # creation: auto P from a SMALL typical batch
+    dedup.write_sketch_store(
+        synth(5, "b0"), store, expected_batch_rows=5, **params
+    )
+    meta0 = dedup.read_sketch_store_meta(spark, store)
+    assert meta0["index_partitions"] == 512  # 5*8/0.1 -> 400 -> 512
+
+    history = [synth(5, "b0")]
+    p_seen = [512]
+    fracs = []
+    for epoch in range(3):
+        grow = synth(150, f"e{epoch}", base=10_000 + epoch * 1000)
+        dedup.write_sketch_store(grow, store, **params)
+        history.append(grow)
+        res = maintain_sketch_store(
+            spark, store, target_partition_bytes=1024
+        )
+        p_seen.append(res["index_partitions"])
+        # probe batch: scan fraction stays bounded as the corpus grows
+        probe = synth(5, "probe", base=90_000 + epoch)
+        m: dict = {}
+        dedup.minhash_match_against_store(
+            probe, store, threshold=0.9, scan_metrics=m
+        ).count()
+        frac = (m["index_bytes"] + m["sigs_bytes"]) / (
+            m["index_total_bytes"] + m["sigs_total_bytes"]
+        )
+        fracs.append(frac)
+    assert max(fracs) < 0.35, fracs
+    # the byte-driven policy actually GREW the layout across epochs
+    assert p_seen[-1] > p_seen[0], p_seen
+    assert all(b >= a for a, b in zip(p_seen, p_seen[1:])), p_seen
+
+    # parity: store-backed match == flat reference matcher on the final corpus
+    hist_df = history[0]
+    for h in history[1:]:
+        hist_df = hist_df.unionByName(h)
+    batch = synth(3, "new", base=95_000).unionByName(
+        hist_df.limit(2).select(
+            (F.col("doc_id") + 70_000).alias("doc_id"), "text"
+        )
+    )
+    got = sorted(
+        tuple(r)
+        for r in dedup.minhash_match_against_store(
+            batch, store, threshold=0.9
+        ).collect()
+    )
+    flat = sorted(
+        tuple(r)
+        for r in dedup.minhash_match_against(
+            batch,
+            None,
+            threshold=0.9,
+            **params,
+            ref_sketches=dedup.minhash_sketches(hist_df, **params),
+        ).collect()
+    )
+    assert got == flat and got
+
+
+def test_maintain_sketch_store_small_file_decay(spark, sf_dir, tmp_path):
+    """The second maintenance trigger: many per-batch appends at
+    unchanged P leave file count >> partitions; maintain() compacts even
+    when no growth is needed, and a healthy store is a no-op."""
+    from kafka_connect_jsonata_spark.functions import dedup
+    from kafka_connect_jsonata_spark.streaming.transform import (
+        maintain_sketch_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = str(tmp_path / "store")
+    d = docs.limit(40)
+    dedup.write_sketch_store(
+        d, store, num_hashes=16, n_bands=8, index_partitions=64,
+        sig_partitions=64,
+    )
+    for i in range(6):
+        dedup.write_sketch_store(
+            d.select((F.col("doc_id") + 1000 * (i + 1)).alias("doc_id"), "text"),
+            store, num_hashes=16, n_bands=8,
+        )
+    res = maintain_sketch_store(
+        spark, store, target_partition_bytes=1 << 30, small_file_factor=4.0
+    )
+    assert res["action"] == "compacted"
+    res2 = maintain_sketch_store(
+        spark, store, target_partition_bytes=1 << 30, small_file_factor=4.0
+    )
+    assert res2["action"] == "noop"
+    assert res2["index_files"] <= res["index_files"]
+
+
+def test_sketch_store_delete_no_ghost_matches(spark, sf_dir, tmp_path):
+    """Round-11 verdict item 3: takedown. Delete N docs from the store ->
+    re-matching produces NO ghost matches against the removed ids; the
+    surviving matches equal a from-scratch store built without those
+    docs; deletion is idempotent; the ids-only (no text) path agrees."""
+    from kafka_connect_jsonata_spark.functions import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 != 0)
+    gone = hist.limit(10)
+    gone_ids = {r[0] for r in gone.select("doc_id").collect()}
+
+    store = str(tmp_path / "store")
+    dedup.write_sketch_store(hist, store, num_hashes=32, n_bands=8)
+    before = dedup.minhash_match_against_store(batch, store, threshold=0.5)
+    assert before.filter(F.col("ref_doc_id").isin(gone_ids)).count() > 0, (
+        "test needs the doomed docs to match something before deletion"
+    )
+
+    res = dedup.delete_from_sketch_store(gone, store)
+    assert res["index_rows_removed"] > 0 and res["sigs_rows_removed"] == 10
+
+    after = dedup.minhash_match_against_store(batch, store, threshold=0.5)
+    assert after.filter(F.col("ref_doc_id").isin(gone_ids)).count() == 0
+
+    # parity with a from-scratch store that never saw the deleted docs
+    store2 = str(tmp_path / "store2")
+    dedup.write_sketch_store(
+        hist.join(gone.select("doc_id"), "doc_id", "left_anti"),
+        store2, num_hashes=32, n_bands=8,
+        index_partitions=dedup.read_sketch_store_meta(spark, store)[
+            "index_partitions"
+        ],
+        sig_partitions=dedup.read_sketch_store_meta(spark, store)[
+            "sig_partitions"
+        ],
+    )
+    got = sorted(tuple(r) for r in after.collect())
+    want = sorted(
+        tuple(r)
+        for r in dedup.minhash_match_against_store(
+            batch, store2, threshold=0.5
+        ).collect()
+    )
+    assert got == want and got
+
+    # idempotent: deleting the same ids again removes nothing
+    res2 = dedup.delete_from_sketch_store(gone, store)
+    assert res2["index_rows_removed"] == 0 and res2["sigs_rows_removed"] == 0
+
+    # ids-only path (content-free takedown list) on a fresh store agrees
+    store3 = str(tmp_path / "store3")
+    dedup.write_sketch_store(hist, store3, num_hashes=32, n_bands=8)
+    res3 = dedup.delete_from_sketch_store(
+        gone.select("doc_id"), store3, text_col=None
+    )
+    assert res3["sigs_rows_removed"] == 10
+    got3 = sorted(
+        tuple(r)
+        for r in dedup.minhash_match_against_store(
+            batch, store3, threshold=0.5
+        ).collect()
+    )
+    assert got3 == want
+
+
+def test_sketch_store_delete_mid_stream(spark, sf_dir, tmp_path):
+    """Deletion between micro-batches leaves the streaming path intact:
+    batches after the takedown keep docs that only matched the removed
+    history."""
+    from kafka_connect_jsonata_spark.functions import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    store = str(tmp_path / "store")
+    dedup.write_sketch_store(hist, store, num_hashes=32, n_bands=8)
+
+    # a "batch" of exact copies of two history docs
+    twins_src = hist.limit(2)
+    twins = twins_src.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    kept_before = dedup.minhash_dedup_incremental_store(
+        twins, store, threshold=0.9
+    )
+    assert kept_before.count() == 0  # both drop: history twins
+
+    dedup.delete_from_sketch_store(twins_src, store)
+    kept_after = sorted(
+        r[0]
+        for r in dedup.minhash_dedup_incremental_store(
+            twins, store, threshold=0.9
+        ).select("doc_id").collect()
+    )
+    # the copies may still match OTHER history docs (the corpus plants
+    # near-dup clusters) — the invariant is parity with a history that
+    # never contained the deleted docs, not a fixed count
+    want = sorted(
+        r[0]
+        for r in dedup.minhash_dedup_incremental(
+            twins,
+            None,
+            threshold=0.9,
+            num_hashes=32,
+            n_bands=8,
+            ref_sketches=dedup.minhash_sketches(
+                hist.join(twins_src.select("doc_id"), "doc_id", "left_anti"),
+                num_hashes=32,
+                n_bands=8,
+            ),
+        ).select("doc_id").collect()
+    )
+    assert kept_after == want
+
+
+def test_delete_from_parquet_table(spark, sf_dir, tmp_path):
+    from kafka_connect_jsonata_spark.functions import dedup
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    out = str(tmp_path / "out")
+    docs.write.parquet(out)
+    gone = docs.limit(7).select("doc_id")
+    removed = dedup.delete_from_parquet_table(spark, out, gone)
+    assert removed == 7
+    left = spark.read.parquet(out)
+    assert left.count() == 43
+    assert left.join(gone, "doc_id", "left_semi").count() == 0
