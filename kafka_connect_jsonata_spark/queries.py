@@ -5167,8 +5167,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_events": funnel_events,
     "pii_redact_docs": pii_redact_docs,
     "q20_potential_promotion_suppliers": q20_potential_promotion_suppliers,
-    "q8_market_share": q8_market_share,
-    "q9_product_type_profit": q9_product_type_profit,
+    "ngram_jaccard_dups": ngram_jaccard_dups,
+    "minhash_lsh_dups": minhash_lsh_dups,
     "jsonata_transform_update": jsonata_transform_update,
     "quantile_filter_docs": quantile_filter_docs,
     "minhash_dedup_incr_docs": minhash_dedup_incr_docs,
@@ -5178,10 +5178,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup_pairs": semantic_dedup_pairs,
     "dsir_gumbel_docs": dsir_gumbel_docs,
     "q7_volume_shipping": q7_volume_shipping,
-    "q13_customer_distribution": q13_customer_distribution,
+    "dedup_group_ids": dedup_group_ids,
     "simhash_dup_pairs_docs": simhash_dup_pairs_docs,
-    "q15_top_supplier": q15_top_supplier,
-    "q16_parts_supplier_relationship": q16_parts_supplier_relationship,
+    "scrub_spans_docs": scrub_spans_docs,
+    "zipf_fit_docs": zipf_fit_docs,
     "knn_graph_edges": knn_graph_edges,
     "curation_pipeline_v3_docs": curation_pipeline_v3_docs,
     # -- past the gate window: oracle-registered siblings (builder sweep) --
@@ -5204,8 +5204,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_dedup_boiler_docs": minhash_dedup_boiler_docs,
     # round-9 window demotions (families stay represented in-window by
     # dup_span_removal_docs / char_entropy_docs):
-    "scrub_spans_docs": scrub_spans_docs,
-    "zipf_fit_docs": zipf_fit_docs,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_parts_supplier_relationship": q16_parts_supplier_relationship,
     # round-9 TPC-H completion (all 22 classic shapes now adapted):
     "q1_pricing_summary": q1_pricing_summary,
     "q10_returned_items": q10_returned_items,
@@ -5219,9 +5219,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_quality": repetition_quality,
     "clean_lines_docs": clean_lines_docs,
     "text_doc_stats": text_doc_stats,
-    "ngram_jaccard_dups": ngram_jaccard_dups,
-    "dedup_group_ids": dedup_group_ids,
-    "minhash_lsh_dups": minhash_lsh_dups,
+    "q8_market_share": q8_market_share,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q9_product_type_profit": q9_product_type_profit,
     "curation_pipeline_docs": curation_pipeline_docs,
     "dsir_select_docs": dsir_select_docs,
     "vocab_coverage_docs": vocab_coverage_docs,
