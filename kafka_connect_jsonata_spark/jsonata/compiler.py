@@ -1535,6 +1535,37 @@ class Compiler:
         # ArrayType can hold
         if name == "merge":
             return self._fn_merge([], ctx, env, args)
+        if name in ("count", "exists") and len(args) == 1:
+            # bare ** under an aggregate consumer (round 11, verdict item
+            # 6): the VALUE of `**` is type-heterogeneous (structs +
+            # scalars — no single ArrayType), but its CARDINALITY is a
+            # static arithmetic over the closed-world schema: structs
+            # count 1 + their members, arrays fan out per element without
+            # counting themselves (jsonata-js recurseDescendants), scalars
+            # count 1. $count(**)/$exists(**) therefore compile even
+            # though ** alone stays tier 2.
+            dnode = args[0]
+            base = None
+            if dnode["type"] == "descendant":
+                base = ctx
+            elif (
+                dnode["type"] == "path_op"
+                and dnode["rhs"]["type"] == "descendant"
+            ):
+                try:
+                    base = self._c(dnode["lhs"], ctx, env)
+                except StaticallyUndefined:
+                    # missing.** is an empty sequence: count 0 / exists false
+                    return (
+                        Typed(F.lit(0), T.IntegerType())
+                        if name == "count"
+                        else Typed(F.lit(False), T.BooleanType())
+                    )
+            if base is not None:
+                cnt = self._descendant_count(base.col, base.dtype)
+                if name == "count":
+                    return Typed(cnt.cast("int"), T.IntegerType())
+                return Typed(cnt > 0, T.BooleanType())
 
         def arg_of(a):
             if a["type"] in ("lambda", "regex") or self._is_fn_ref(a, env):
@@ -2332,6 +2363,43 @@ class Compiler:
     def _fn_average(self, a, ctx, env, raw):
         s = F.aggregate(a[0].col, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
         return Typed(s / F.size(a[0].col), T.DoubleType())
+
+    def _descendant_count(self, col, dt):
+        """Emitted-position count of jsonata-js recurseDescendants over a
+        closed-world schema: objects push themselves then recurse into
+        values, arrays recurse into members WITHOUT pushing themselves,
+        scalars push. SQL NULL reads as ABSENT (the documented
+        missing-vs-null conflation), contributing 0."""
+        if isinstance(dt, T.StructType):
+            inner = F.lit(0)
+            for f in dt.fields:
+                inner = inner + self._descendant_count(
+                    col.getField(f.name), f.dataType
+                )
+            return F.when(col.isNotNull(), inner + 1).otherwise(F.lit(0))
+        if isinstance(dt, T.ArrayType):
+            et = dt.elementType
+            if isinstance(et, (T.StructType, T.ArrayType)):
+                per = F.aggregate(
+                    col,
+                    F.lit(0),
+                    lambda acc, x: acc + self._descendant_count(x, et),
+                )
+                return F.coalesce(per, F.lit(0))
+            return F.coalesce(F.size(col), F.lit(0))
+        if isinstance(dt, T.MapType):
+            # a map IS an object: pushes itself + recurses into values
+            vt = dt.valueType
+            if isinstance(vt, (T.StructType, T.ArrayType, T.MapType)):
+                per = F.aggregate(
+                    F.map_values(col),
+                    F.lit(0),
+                    lambda acc, x: acc + self._descendant_count(x, vt),
+                )
+            else:
+                per = F.size(col)
+            return F.when(col.isNotNull(), per + 1).otherwise(F.lit(0))
+        return F.when(col.isNotNull(), F.lit(1)).otherwise(F.lit(0))
 
     def _fn_count(self, a, ctx, env, raw):
         v = a[0] if a else ctx

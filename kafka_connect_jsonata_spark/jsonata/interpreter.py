@@ -14,6 +14,7 @@ can't translate (``**``, ``%``, ``$eval``, recursion, schema-as-data).
 from __future__ import annotations
 
 import math
+import re as _re
 import sys
 import time
 
@@ -275,8 +276,6 @@ PLACEHOLDER = object()
 def is_function(v) -> bool:
     # regex literals ARE functions in jsonata-js (applying one to a string
     # returns the first-match object or undefined) — round-11 suite port
-    import re as _re
-
     return (
         isinstance(v, (Closure, Builtin, Partial, Composed, Transform, _re.Pattern))
         or callable(v)
@@ -1023,8 +1022,6 @@ class Jsonata:
             return self.invoke(func.second, [mid])
         if isinstance(func, Transform):
             return self._apply_transform(func, args)
-        import re as _re
-
         if isinstance(func, _re.Pattern):
             # applying a regex (jsonata-js evaluateMatcher): first match as
             # {match, start, end, groups} or undefined — round-11 suite port

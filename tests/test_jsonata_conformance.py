@@ -769,6 +769,13 @@ GROUPS["object_ctor"] = [
 ]
 
 GROUPS["descendent_op"] = [
+    # round-11 compiled cardinality: $count/$exists over bare ** and
+    # path-suffixed ** (tier 1 computes the static position arithmetic)
+    ('$count(**)', {'a': [{'x': 1}, {'y': [2, 3]}], 'z': 's'}, 7),
+    ('$count(a.**)', {'a': {'b': {'c': 1}}, 'd': 9}, 3),
+    ('$count(missing.**)', {'a': 1}, 0),
+    ('$exists(**)', {'a': 1}, True),
+    ('$count(**)', {'deep': {'n': [[1, 2], [3]]}}, 5),
     ('**.x', {'a': {'x': 1}, 'b': {'c': {'x': 2}}}, [1, 2]),
     ('a.**.x', {'a': {'b': {'x': 1}}, 'x': 9}, 1),
     ('$count(**)', {'a': {'b': 1, 'c': [2, 3]}}, 5),

@@ -310,17 +310,17 @@ def test_parent_in_filter_predicate(spark, expr, data):
     assert _agree(cval, want), (expr, cval, want)
 
 
-def test_parent_in_filter_over_fanout_routes_to_tier2(spark):
-    """A fan-out base has per-element parents — compiled filter must NOT
-    fold a wrong constant; tier 2 (with the round-10 ancestry rule) owns
-    it and the auto tier gives the right rows."""
+def test_parent_in_filter_over_fanout_compiles(spark):
+    """Round-10 pinned this shape as tier-2-only (a fan-out base loses
+    per-element parents after flattening). The round-11 per-item filter
+    branch compiles the [pred] against EACH element of the fan-out, so
+    the element's parent rides along — now the compiled tier must give
+    the right rows itself, never a wrong constant fold."""
     data = {"Account": {"Order": [
         {"OrderID": "o1", "Product": [{"SKU": "p1"}, {"SKU": "p2"}]},
         {"OrderID": "o2", "Product": [{"SKU": "p3"}]}]}}
     from kafka_connect_jsonata_spark.jsonata.interpreter import jsonata
 
-    got = jsonata("Account.Order.Product[%.OrderID='o1'].SKU").evaluate(data)
-    assert got == ["p1", "p2"]
     df = (
         spark.createDataFrame([(json.dumps(data),)], "j string")
         .selectExpr(
@@ -329,5 +329,9 @@ def test_parent_in_filter_over_fanout_routes_to_tier2(spark):
         )
         .select("root.*")
     )
-    out = transform(df, "Account.Order.Product[%.OrderID='o1'].SKU")
-    assert json.loads(out.collect()[0][0]) == ["p1", "p2"]
+    for oid, want in (("o1", ["p1", "p2"]), ("o2", ["p3"])):
+        expr = "Account.Order.Product[%%.OrderID='%s'].SKU" % oid
+        got2 = jsonata(expr).evaluate(data)
+        assert got2 == (want if len(want) > 1 else want[0])
+        out = transform(df, expr, force_tier="compiled")
+        assert out.collect()[0][0] == want, (expr, out.collect())
