@@ -38,16 +38,18 @@ tier-2 exactness.
 
 Round 10 widens the path surface: ``%`` parent inside constructor /
 expression steps — the jsonata-docs idiom ``Product.{'O': %.OrderID}`` —
-compiles, including across ONE real fan-out level (nested transform
-carrying per-element parents, ``_fanout_parent_step``; constant-parent
-arrays carry ``Typed.elem_parents``); positional/focus binds crossing an
+compiles, including across fan-out levels (nested transforms carrying
+per-element parents, ``_fanout_parent_step`` — round 10 one level,
+round 11 ANY depth: ``a.b.c.{'t': %.%.t}``; constant-parent arrays
+carry ``Typed.elem_parents``); positional/focus binds crossing an
 outer fan-out (``items.parts#$i`` — global enumeration over the flattened
 inner path); and ``$eval`` with a LITERAL expression string compiles
 against the root schema or a schema-stable context argument (``_fn_eval``).
 
 Deliberately NOT compiled (fall back to tier 2) when DATA-dependent:
-implicit array mapping with singleton unwrap, ``**`` with no name step,
-``%`` across TWO+ fan-out levels, multi-pair or sequence-valued group-by
+implicit array mapping with singleton unwrap, ``**`` with no name step
+as a VALUE (its CARDINALITY compiles: $count(**)/$exists(**), round
+11), multi-pair or sequence-valued group-by
 (runtime D1009 / dynamic singleton unwrap), row-sequence order-by,
 recursion, ``$eval`` of a DYNAMIC code string (the code is data),
 words/roman/ordinal integer pictures, $match with lookaround / interior
@@ -998,65 +1000,114 @@ class Compiler:
         return Typed(col, T.StructType(fields))
 
     def _fanout_parent_step(self, node, ctx: Typed, env: dict) -> Typed | None:
-        """Compile ``L.y.EXPR`` where ``L`` fans out to array<struct>, ``y``
-        is an array-valued field of the element struct, and ``EXPR`` reads
-        ``%`` — one fan-out level of the jsonata parent idiom
-        (``Account.Order.Product.{'O': %.OrderID}``, round 10). The generic
-        path flattens ``L.y`` first, losing which parent each element came
-        from; here the transform NESTS instead — outer over L's elements
-        (each becomes its elements' compile-time parent), inner over the
-        y array — and flattens after, so the result sequence is identical.
-        Returns None when the shape doesn't match (caller falls through to
-        the generic branch, where ``%`` raises NotCompilable -> tier 2);
-        a second ``%`` level across ANOTHER fan-out raises inside the inner
-        compile and routes to tier 2 the same way."""
-        if (
-            node["lhs"]["type"] != "path_op"
-            or node["lhs"]["rhs"]["type"] != "name"
-        ):
-            return None
-        yname = node["lhs"]["rhs"]["value"]
-        cL = self._c(node["lhs"]["lhs"], ctx, env)
-        if not (
-            isinstance(cL.dtype, T.ArrayType)
-            and isinstance(cL.dtype.elementType, T.StructType)
-        ):
-            return None
-        es = cL.dtype.elementType
-        if yname not in es.fieldNames():
-            return None
-        y_t = es[yname].dataType
-        if not (
-            isinstance(y_t, T.ArrayType)
-            # element expressions compile against a concrete element type
-            and not isinstance(y_t.elementType, T.NullType)
-        ):
-            return None
+        """Compile ``...steps....EXPR`` where the name-step chain fans out
+        through array<struct> fields and ``EXPR`` reads ``%`` (round 10:
+        one level — ``Account.Order.Product.{'O': %.OrderID}``; round 11:
+        ANY depth — ``a.b.c.{'t': %.%.t}``). The generic path flattens
+        each fan-out as it goes, losing which parent an element came
+        from; here the transforms NEST instead, each level appending its
+        element to the compile-time parent chain, and the result flattens
+        once per fan-out on the way out — so the sequence is identical.
+        Returns None when the shape doesn't match (caller falls through
+        to the generic branch, where ``%`` raises NotCompilable ->
+        tier 2)."""
         rhs_node = node["rhs"]
+        # peel the TRAILING name steps off the lhs chain
+        steps: list[str] = []
+        cur = node["lhs"]
+        while cur["type"] == "path_op" and cur["rhs"]["type"] == "name":
+            steps.append(cur["rhs"]["value"])
+            cur = cur["lhs"]
+        if cur["type"] == "name":
+            steps.append(cur["value"])
+            base = ctx
+        else:
+            base = self._c(cur, ctx, env)
+        steps.reverse()
+        if not steps:
+            return None
         dt_box: list = []
 
-        def outer(x):
-            parent_t = Typed(x, es, parents=getattr(cL, "elem_parents", ()))
-            chain = parent_t.parents + (parent_t,)
+        def leaf(t: Typed):
+            r = self._c(rhs_node, t, env)
+            dt_box.append(r.dtype)
+            return r.col
 
-            def inner(e):
-                r = self._c(
-                    rhs_node, Typed(e, y_t.elementType, parents=chain), env
+        def walk(names: list[str], t: Typed):
+            """-> (Column, fanout_depth). Each fan-out level is one layer
+            of transform() nesting; leaf() runs with the full chain."""
+            name, rest = names[0], names[1:]
+            if (
+                not isinstance(t.dtype, T.StructType)
+                or name not in t.dtype.fieldNames()
+            ):
+                raise NotCompilable(
+                    f"fan-out parent chain: no struct field {name!r}"
                 )
-                dt_box.append(r.dtype)
-                return r.col
+            ft = t.dtype[name].dataType
+            col = t.col.getField(name)
+            chain = t.parents + (t,)
+            if isinstance(ft, T.StructType):
+                nxt = Typed(col, ft, parents=chain)
+                if rest:
+                    return walk(rest, nxt)
+                return leaf(nxt), 0
+            if isinstance(ft, T.ArrayType) and isinstance(
+                ft.elementType, T.StructType
+            ):
+                et = ft.elementType
+                if rest:
+                    dbox: list = []
 
-            return F.transform(x.getField(yname), inner)
+                    def per(e):
+                        c2, d2 = walk(rest, Typed(e, et, parents=chain))
+                        dbox.append(d2)
+                        return c2
 
-        col = F.flatten(
-            F.filter(F.transform(cL.col, outer), lambda r: r.isNotNull())
-        )
-        res_t = dt_box[0] if dt_box else None
-        if res_t is None:
+                    return F.transform(col, per), dbox[0] + 1
+                return (
+                    F.transform(
+                        col, lambda e: leaf(Typed(e, et, parents=chain))
+                    ),
+                    1,
+                )
+            raise NotCompilable(
+                f"fan-out parent chain: step {name!r} is not struct-valued"
+            )
+
+        try:
+            if isinstance(base.dtype, T.StructType):
+                col, depth = walk(steps, base)
+            elif isinstance(base.dtype, T.ArrayType) and isinstance(
+                base.dtype.elementType, T.StructType
+            ):
+                ep = getattr(base, "elem_parents", ())
+                et0 = base.dtype.elementType
+                dbox0: list = []
+
+                def per0(e):
+                    c2, d2 = walk(steps, Typed(e, et0, parents=ep))
+                    dbox0.append(d2)
+                    return c2
+
+                col, depth = F.transform(base.col, per0), None
+                depth = dbox0[0] + 1
+            else:
+                return None
+        except NotCompilable:
             return None
+        res_t = dt_box[0] if dt_box else None
+        if res_t is None or depth == 0:
+            return None  # no fan-out: the generic nested-path compile owns it
+        # depth transform layers nest the leaf results depth-deep; depth-1
+        # flattens collapse them to ONE array of leaf results
+        for _ in range(depth - 1):
+            col = F.flatten(F.filter(col, lambda r: r.isNotNull()))
         if rhs_node["type"] == "array":
             # `seq.[...]` KEEPS per-element arrays (the keep-cons idiom) —
-            # no extra flatten, same as the generic build_arr branch
+            # one flatten too many above? No: depth flattens collapse the
+            # NESTING; the constructed per-element arrays are the
+            # elements themselves, kept whole
             return Typed(col, T.ArrayType(res_t))
         if isinstance(res_t, T.ArrayType):
             # array-valued element results flatten one level with empty

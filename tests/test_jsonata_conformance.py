@@ -1079,6 +1079,20 @@ GROUPS["object_fns2"] = [
 ]
 
 GROUPS["parent_op"] = [
+    # round-11: % across MULTIPLE fan-out levels (now also compiled —
+    # nested transforms carry the full ancestor chain)
+    ("a.b.c.{'v': v, 'top': %.%.t}",
+     {"a": [{"t": "T1", "b": [{"c": [{"v": 1}, {"v": 2}]}]},
+            {"t": "T2", "b": [{"c": [{"v": 3}]}]}]},
+     [{"v": 1, "top": "T1"}, {"v": 2, "top": "T1"}, {"v": 3, "top": "T2"}]),
+    ("x.y.z.w.{'v': n, 'a3': %.%.%.tag}",
+     {"x": [{"tag": "A", "y": [{"z": [{"w": [{"n": 1}, {"n": 2}]}]}]},
+            {"tag": "B", "y": [{"z": [{"w": [{"n": 3}]}]}]}]},
+     [{"v": 1, "a3": "A"}, {"v": 2, "a3": "A"}, {"v": 3, "a3": "B"}]),
+    ("a.b.(%.t)",
+     {"a": [{"t": "T1", "b": [{"u": 1}]},
+            {"t": "T2", "b": [{"u": 2}, {"u": 3}]}]},
+     ["T1", "T2", "T2"]),
     ('a.b.%', {'a': {'b': 1, 'c': 2}}, {'b': 1, 'c': 2}),
     ('a.b.%.c', {'a': {'b': 1, 'c': 2}}, 2),
     ("items.{'n': name, 'p': %.order}", {'order': 7, 'items': [{'name': 'x'}]}, {'n': 'x', 'p': 7}),

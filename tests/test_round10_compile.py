@@ -105,9 +105,11 @@ def test_parent_fanout_is_pure_projection(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
-def test_parent_under_two_fanouts_routes_to_tier2(spark):
-    """`%.%` where BOTH levels are fan-outs exceeds the one-level nested
-    transform — must still be CORRECT via tier 2 (never a wrong value)."""
+def test_parent_under_two_fanouts_compiles(spark):
+    """Round 10 capped the nested-transform parent compile at ONE fan-out
+    level; round 11 generalizes it to any depth — `%.%` across two
+    fan-outs must now compile with the right per-ancestor values (and the
+    auto tier keeps giving the same rows either way)."""
     data = {
         "a": [
             {"k": 1, "b": [{"m": 10, "c": [{"x": "u"}]},
@@ -131,12 +133,15 @@ def test_parent_under_two_fanouts_routes_to_tier2(spark):
         )
         .select("root.*")
     )
-    out = transform(df, expr)
-    got = json.loads(out.collect()[0][0])
+    out = transform(df, expr, force_tier="compiled")
+    def norm(v):
+        if hasattr(v, "asDict"):
+            return {k: norm(x) for k, x in v.asDict().items()}
+        if isinstance(v, list):
+            return [norm(x) for x in v]
+        return v
+    got = norm(out.collect()[0][0])
     assert got == want, (got, want)
-    from kafka_connect_jsonata_spark.jsonata.compiler import NotCompilable
-    with pytest.raises(NotCompilable):
-        transform(df, expr, force_tier="compiled")
 
 
 EVAL_CASES = [
