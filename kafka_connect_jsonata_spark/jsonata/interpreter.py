@@ -49,6 +49,38 @@ class Closure:
         self.sig = sig
 
 
+class _TailCall:
+    """Trampoline sentinel (round-11 TCO, as in jsonata-js): a closure
+    call in TAIL position of a lambda body returns this instead of
+    recursing; ``invoke`` loops on it, so tail recursion runs in constant
+    stack — ``$loop(1000000, 0)`` works where the depth guard would
+    otherwise fire at 1000. Non-tail recursion keeps the guard."""
+
+    __slots__ = ("func", "args")
+
+    def __init__(self, func, args):
+        self.func = func
+        self.args = args
+
+
+def _mark_tail_calls(node) -> None:
+    """Statically mark call nodes in TAIL position of a lambda body:
+    the body itself, the last expression of a block, and both branches
+    of a conditional. Does NOT descend into nested lambda definitions
+    (their bodies get marked when THEY become closures) or any non-tail
+    position. Idempotent — the AST is shared via the parse cache."""
+    t = node.get("type")
+    if t == "call":
+        node["_tail"] = True
+    elif t == "block":
+        if node["expressions"]:
+            _mark_tail_calls(node["expressions"][-1])
+    elif t == "condition":
+        _mark_tail_calls(node["then"])
+        if node["else"] is not None:
+            _mark_tail_calls(node["else"])
+
+
 # --------------------------------------------------------------- signatures
 # jsonata-js signature.js semantics (round 11 — previously parsed and
 # DROPPED, silently accepting any argument types): each param is a type
@@ -835,6 +867,9 @@ class Jsonata:
         return value
 
     def _eval_lambda(self, node, input, env):
+        if not node.get("_tails_marked"):
+            _mark_tail_calls(node["body"])
+            node["_tails_marked"] = True
         sig = node.get("signature")
         if sig is not None:
             parsed = node.get("_sig_parsed")
@@ -932,6 +967,15 @@ class Jsonata:
                     if i <= len(args):
                         args.insert(i, input)
                     break
+        # TCO: a closure call in tail position of an executing lambda body
+        # unwinds to the enclosing invoke()'s trampoline instead of
+        # growing the stack (round 11, jsonata-js parity)
+        if (
+            node.get("_tail")
+            and isinstance(func, Closure)
+            and self._depth > 0
+        ):
+            return _TailCall(func, args)
         # $eval inherits the caller's environment (jsonata-js passes
         # this.environment into the nested evaluate) — round-9 fix
         self._call_env = env
@@ -995,16 +1039,29 @@ class Jsonata:
                     f"arguments of {func.name} do not match signature: {e}",
                 ) from e
         if isinstance(func, Closure):
-            if func.sig is not None:
-                args = validate_signature(func.sig, args)
             self._depth += 1
             if self._depth > self.max_depth:
                 raise JsonataDepthError(self.max_depth)
             try:
-                frame = func.env.child()
-                for i, name in enumerate(func.args):
-                    frame.bind(name, args[i] if i < len(args) else UNDEFINED)
-                return unwrap(self._eval(func.body, args[0] if args else UNDEFINED, frame))
+                while True:  # trampoline: tail calls loop, constant stack
+                    if func.sig is not None:
+                        args = validate_signature(func.sig, args)
+                    frame = func.env.child()
+                    for i, name in enumerate(func.args):
+                        frame.bind(
+                            name, args[i] if i < len(args) else UNDEFINED
+                        )
+                    result = unwrap(
+                        self._eval(
+                            func.body,
+                            args[0] if args else UNDEFINED,
+                            frame,
+                        )
+                    )
+                    if isinstance(result, _TailCall):
+                        func, args = result.func, result.args
+                        continue
+                    return result
             finally:
                 self._depth -= 1
         if isinstance(func, Partial):

@@ -837,6 +837,15 @@ GROUPS["partial_application"] = [
 ]
 
 GROUPS["tail_recursion"] = [
+    # round-11 TCO (jsonata-js parity): tail calls run in constant stack,
+    # far past the 1000-frame recursion guard; non-tail recursion keeps it
+    ("($loop := function($n, $acc){ $n = 0 ? $acc : $loop($n - 1, $acc + $n) };"
+     " $loop(50000, 0))", None, 1250025000),
+    ("($even := function($n){$n = 0 ? true : $odd($n-1)};"
+     " $odd := function($n){$n = 0 ? false : $even($n-1)}; $even(20000))",
+     None, True),
+    ("($g := function($x){ ($y := $x + 1; $y > 5000 ? $y : $g($y)) }; $g(0))",
+     None, 5001),
     ('($loop := function($n, $acc){ $n = 0 ? $acc : $loop($n - 1, $acc + $n) }; $loop(100, 0))', None, 5050),
     ("($count_down := function($n){ $n <= 0 ? 'done' : $count_down($n - 1) }; $count_down(300))", None, 'done'),
     ('($fact := function($n, $acc){ $n <= 1 ? $acc : $fact($n - 1, $n * $acc) }; $fact(20, 1))', None, 2432902008176640000),
@@ -1149,6 +1158,9 @@ GROUPS["errors"] = [
     "$sort([1,'a'])",
     "$single([1,2], function($v){ $v > 5 })",
     "1 < 2 < 3",
+    # non-tail recursion past the depth guard still errors (TCO must not
+    # disable the guard)
+    "($f := function($n){ $n <= 1 ? 1 : $n * $f($n-1) }; $f(5000))",
     # round-11 suite port
     "'it''s'",
     'not(true)',

@@ -214,9 +214,24 @@ def test_group_duplicate_key_error():
 
 
 def test_depth_guard():
+    # NON-tail infinite recursion trips the depth guard. (A TAIL-position
+    # self-call runs in constant stack since the round-11 TCO and is
+    # bounded by the TIMEOUT guard instead — see test_timeout_guard.)
     with pytest.raises(JsonataError) as exc:
-        ev("($f := function($n){ $f($n+1) }; $f(0))", max_depth=100)
+        ev("($f := function($n){ $f($n+1) + 0 }; $f(0))", max_depth=100)
     assert "U1002" in str(exc.value)
+
+
+def test_infinite_tail_recursion_hits_timeout_not_stack():
+    # TCO means an infinite tail loop cannot blow the stack; the
+    # wall-clock guard is what stops it (same shape as jsonata-js)
+    with pytest.raises(JsonataError) as exc:
+        ev(
+            "($f := function($n){ $f($n+1) }; $f(0))",
+            timeout_ms=200,
+            max_depth=100,
+        )
+    assert "U1001" in str(exc.value)
 
 
 def test_timeout_guard():

@@ -575,12 +575,22 @@ def test_transform_safe_routes_errors_to_dead_letters(spark):
     assert len(dlq) == 1 and dlq[0]["error_code"] == "D3137"
 
     # guard failures route to the DLQ instead of failing the job:
-    # unbounded recursion trips the depth guard (U1002)
-    rec = "($f := function($n) { $f($n + 1) }; $f(0))"
+    # unbounded NON-tail recursion trips the depth guard (U1002). (A
+    # tail-position self-call runs in constant stack since the round-11
+    # TCO and is bounded by the U1001 timeout instead.)
+    rec = "($f := function($n) { $f($n + 1) + 0 }; $f(0))"
     guard = transform_safe(df.limit(1), rec, EngineConfig(max_depth=50))
     g = guard.collect()
     assert len(g) == 1 and g[0]["status"] == "error"
     assert g[0]["error_code"] == "U1002"
+    # infinite TAIL recursion: timeout guard owns it, still DLQ-routed
+    tail = "($f := function($n) { $f($n + 1) }; $f(0))"
+    guard2 = transform_safe(
+        df.limit(1), tail, EngineConfig(max_depth=50, timeout_ms=300)
+    )
+    g2 = guard2.collect()
+    assert len(g2) == 1 and g2[0]["status"] == "error"
+    assert g2[0]["error_code"] == "U1001"
 
 
 def test_sql_registered_jsonata(spark):
