@@ -284,6 +284,8 @@ def stream_incremental_dedup(
     available_now: bool = True,
     layout: str = "pruned",
     stamp_batch_id: bool = True,
+    maintain_every: int | None = None,
+    maintain_kw: dict | None = None,
     **dedup_kw,
 ):
     """C85: the steady-state production ingest loop for fuzzy dedup —
@@ -347,6 +349,13 @@ def stream_incremental_dedup(
     int column; pass ``stamp_batch_id=False`` to keep the round-10
     plain-append layout (at-least-once under replay).
 
+    ``maintain_every=N`` (pruned layout) runs
+    :func:`maintain_sketch_store` after every N-th micro-batch —
+    foreachBatch executes batches serially, so the call point is a
+    quiesced window by construction; ``maintain_kw`` passes the policy's
+    thresholds through. Default off: long-running jobs that prefer an
+    external maintenance window keep full control.
+
     ``available_now=True`` drains the source and stops (backfill / test
     mode); False runs continuously.
     """
@@ -399,6 +408,12 @@ def stream_incremental_dedup(
             D.write_sketch_store(
                 kept, sketch_path, id_col=id_col, text_col=text_col, **params
             )
+            if maintain_every and (_batch_id + 1) % maintain_every == 0:
+                # foreachBatch runs batches SERIALLY, so this point is a
+                # quiesced window by construction — the auto-maintenance
+                # policy (byte-driven P/Q growth + small-file compaction)
+                # can run inline on a cadence (round 11)
+                maintain_sketch_store(spark, sketch_path, **(maintain_kw or {}))
             return
         try:
             ref_sk = spark.read.parquet(sketch_path)
@@ -639,8 +654,8 @@ def maintain_sketch_store(
       power of two that restores the target (never shrinks — P is also
       the scan-fraction denominator);
     - **compact**: when per-batch appends have left more than
-      ``small_file_factor`` files per partition (small-file decay), even
-      at unchanged P/Q.
+      ``small_file_factor`` files per POPULATED partition dir
+      (small-file decay), even at unchanged P/Q.
 
     Call it from the maintenance window (quiesced, like
     ``compact_sketch_store`` itself) on whatever cadence the ingest runs —
@@ -658,14 +673,19 @@ def maintain_sketch_store(
     conf = spark._jsc.hadoopConfiguration()
     HPath = jvm.org.apache.hadoop.fs.Path
 
-    def stat(sub: str) -> tuple[int, int]:
+    def stat(sub: str) -> tuple[int, int, int]:
         p = HPath(f"{store_path}/{sub}")
         fs = p.getFileSystem(conf)
         cs = fs.getContentSummary(p)
-        return int(cs.getLength()), int(cs.getFileCount())
+        # directoryCount includes the root itself; the rest are the
+        # POPULATED partition dirs — the small-file baseline (an
+        # auto-sized store is mostly-empty dirs, so comparing files to P
+        # would never fire)
+        dirs = max(1, int(cs.getDirectoryCount()) - 1)
+        return int(cs.getLength()), int(cs.getFileCount()), dirs
 
-    index_bytes, index_files = stat("index")
-    sigs_bytes, sigs_files = stat("sigs")
+    index_bytes, index_files, index_dirs = stat("index")
+    sigs_bytes, sigs_files, sigs_dirs = stat("sigs")
     P = int(meta["index_partitions"])
     Q = int(meta["sig_partitions"])
     want_p = max(
@@ -675,7 +695,8 @@ def maintain_sketch_store(
         Q, min(max_partitions, D._pow2ceil(-(-sigs_bytes // target_partition_bytes)))
     )
     decayed = (
-        index_files > small_file_factor * P or sigs_files > small_file_factor * Q
+        index_files > small_file_factor * index_dirs
+        or sigs_files > small_file_factor * sigs_dirs
     )
     out = dict(
         index_partitions=want_p,

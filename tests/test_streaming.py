@@ -1256,3 +1256,65 @@ def test_delete_from_parquet_table(spark, sf_dir, tmp_path):
     left = spark.read.parquet(out)
     assert left.count() == 43
     assert left.join(gone, "doc_id", "left_semi").count() == 0
+
+
+def test_stream_incremental_dedup_inline_maintenance(spark, sf_dir, tmp_path):
+    """maintain_every: the auto-maintenance policy runs inline between
+    micro-batches (foreachBatch is serial, so the call point is quiesced
+    by construction) — the kept set is unchanged vs the unmaintained run
+    and the store stays physically healthy (files bounded)."""
+    import os as _os
+
+    from kafka_connect_jsonata_spark.functions import dedup
+    from kafka_connect_jsonata_spark.streaming.transform import (
+        stream_incremental_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    parts = [docs.filter(F.col("doc_id") % 3 == m) for m in range(3)]
+    src = tmp_path / "src"
+    for m, part in enumerate(parts):
+        d = str(src / f"b{m}")
+        part.coalesce(1).write.parquet(d)
+        for name in _os.listdir(d):
+            _os.utime(
+                _os.path.join(d, name),
+                (1_700_000_000 + m, 1_700_000_000 + m),
+            )
+    params = dict(num_hashes=32, n_bands=8, threshold=0.9)
+
+    def run(out, sk, ckpt, **kw):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+        stream_incremental_dedup(stream, out, sk, ckpt, **params, **kw)
+        return sorted(
+            r[0]
+            for r in spark.read.parquet(out).select("doc_id").collect()
+        )
+
+    plain = run(
+        str(tmp_path / "out_a"), str(tmp_path / "sk_a"), str(tmp_path / "ck_a")
+    )
+    maintained = run(
+        str(tmp_path / "out_b"),
+        str(tmp_path / "sk_b"),
+        str(tmp_path / "ck_b"),
+        maintain_every=2,
+        maintain_kw=dict(target_partition_bytes=1 << 30, small_file_factor=1.0),
+    )
+    assert maintained == plain and plain
+    # the cadence actually compacted: per-partition file count is bounded
+    # (3 appends would otherwise leave >=3 file sets; factor 1.0 forces a
+    # compaction at batch 2, so at most the post-compaction + 1 append)
+    meta = dedup.read_sketch_store_meta(spark, str(tmp_path / "sk_b"))
+    idx = spark.read.parquet(str(tmp_path / "sk_b") + "/index")
+    import collections
+
+    per_dir = collections.Counter(
+        f.rsplit("/", 2)[1] for f in idx.inputFiles()
+    )
+    assert max(per_dir.values()) <= 2, per_dir.most_common(3)
+    assert meta is not None
