@@ -452,6 +452,22 @@ GROUPS["advanced"] = [
     ("$string(0.0000001)", None, "1e-7"),
 ]
 
+# suite groups function-now / function-millis: $now()/$millis() are
+# nondeterministic, so the cases pin INVARIANTS (shape, intra-evaluation
+# stability — jsonata pins ONE timestamp per evaluation) rather than
+# values; raw outputs stay out so the dual-tier sweep can't flake on
+# wall-clock skew between tiers.
+GROUPS["datetime_now"] = [
+    ("$type($millis())", None, "number"),
+    ("$type($now())", None, "string"),
+    ("$length($now()) = 24", None, True),          # ISO-8601 Z millis form
+    ("$substring($now(), -1)", None, "Z"),
+    ("($m := $millis(); $m = $m)", None, True),
+    ("$fromMillis($millis()) = $now()", None, True),  # ONE timestamp/eval
+    ("$millis() >= $toMillis('2020-01-01T00:00:00Z')", None, True),
+    ("$number($now('[Y0001]')) >= 2020", None, True),
+]
+
 GROUPS["dates2"] = [
     ("$fromMillis(1510067557121, '[Y0001]-[M01]-[D01]')", None, "2017-11-07"),
     ("$toMillis('2017-11-07T15:12:37.121Z')", None, 1510067557121),
