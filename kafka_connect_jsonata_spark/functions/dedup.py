@@ -2213,7 +2213,9 @@ def delete_from_sketch_store(
     the documented fallback for content-free takedown lists.
 
     Rewrites are PARTITION-LOCAL and layout-preserving: only the dirs the
-    deleted rows live in are rewritten (filter via a broadcast anti-join)
+    deleted rows live in are rewritten (anti-join; AQE broadcasts the
+    usual small takedown list, a BULK retraction shuffles instead of
+    being forced through driver memory)
     and swapped in with the crash-safe rename-aside order; a partition
     whose rows are all deleted is removed outright (absent partition ==
     empty partition for the pruned reader). A crash mid-swap leaves
@@ -2252,7 +2254,10 @@ def delete_from_sketch_store(
         )
         pvals = [
             r[0]
-            for r in idx_all.join(F.broadcast(ids), "id", "left_semi")
+            # no broadcast HINT: a takedown list is usually tiny (AQE
+            # broadcasts it automatically under the threshold), but a
+            # bulk retraction must not be forced through driver memory
+            for r in idx_all.join(ids, "id", "left_semi")
             .select("__p")
             .distinct()
             .collect()  # bounded by P
@@ -2285,7 +2290,7 @@ def delete_from_sketch_store(
         )
         before = src.count()
         kept = barrier(
-            src.join(F.broadcast(ids), "id", "left_anti")
+            src.join(ids, "id", "left_anti")  # AQE broadcasts small lists
         )
         after = kept.count()
         tmp_root = f"{base}__delete_tmp"
@@ -2333,7 +2338,7 @@ def delete_from_parquet_table(
 ) -> int:
     """Companion takedown for the KEPT-DOCS output table the streaming
     dedup writes next to the store: rewrite the table without the given
-    ids (broadcast anti-join) and swap it in crash-safely. The docs
+    ids (AQE-sized anti-join) and swap it in crash-safely. The docs
     table has no id-aligned physical layout (it is ordered by arrival
     batch), so this is a full rewrite — run it in the same quiesced
     maintenance window as the store delete. Returns rows removed."""
@@ -2343,7 +2348,7 @@ def delete_from_parquet_table(
     HPath = jvm.org.apache.hadoop.fs.Path
     tbl = spark.read.parquet(path)
     keys = ids.select(F.col(ids.columns[0]).alias(id_col)).distinct()
-    kept = barrier(tbl.join(F.broadcast(keys), id_col, "left_anti"))
+    kept = barrier(tbl.join(keys, id_col, "left_anti"))  # AQE-sized join
     removed = tbl.count() - kept.count()
     tmp = HPath(path.rstrip("/") + "__delete_tmp")
     fs.delete(tmp, True)

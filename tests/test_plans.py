@@ -425,7 +425,9 @@ def test_interpreter_repartition_is_conditional(spark, sf_dir, tmp_path):
 
     wide = transform(
         spark.read.parquet(wide_dir),
-        "{'n': $count(**)}",  # ** is NotCompilable -> interpreter tier
+        # bare ** as a VALUE is NotCompilable -> interpreter tier
+        # (plain $count(**) COMPILES as of round 11 — static cardinality)
+        "{'n': $count([**])}",
         output_schema=out_schema,
     )
     assert "Exchange RoundRobinPartitioning" not in plan_of(wide)
@@ -436,7 +438,7 @@ def test_interpreter_repartition_is_conditional(spark, sf_dir, tmp_path):
         1
     ).write.parquet(narrow_dir)
     narrow = transform(
-        spark.read.parquet(narrow_dir), "{'n': $count(**)}", output_schema=out_schema
+        spark.read.parquet(narrow_dir), "{'n': $count([**])}", output_schema=out_schema
     )
     assert "Exchange RoundRobinPartitioning" in plan_of(narrow)
 
@@ -444,7 +446,7 @@ def test_interpreter_repartition_is_conditional(spark, sf_dir, tmp_path):
     spark.conf.set("spark.jsonataspark.interpreter.repartition", "never")
     try:
         forced = transform(
-            spark.read.parquet(narrow_dir), "{'n': $count(**)}", output_schema=out_schema
+            spark.read.parquet(narrow_dir), "{'n': $count([**])}", output_schema=out_schema
         )
         assert "Exchange RoundRobinPartitioning" not in plan_of(forced)
     finally:
