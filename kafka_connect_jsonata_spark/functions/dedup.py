@@ -1845,6 +1845,66 @@ def _list_partition_dirs(spark, base: str, part_col: str) -> dict[int, str]:
     return out
 
 
+def _heal_partition_swaps(spark, base: str, part_col: str) -> tuple[int, int]:
+    """Heal partition-level ``<dir>__old`` residue left by a crashed
+    :func:`delete_from_sketch_store` swap (round-12 ADVICE fix). The
+    previous heal iterated :func:`_list_partition_dirs`, which only
+    returns EXISTING well-formed dirs and skips names like
+    ``__p=5__old`` (the int parse fails) — the restore branch was
+    unreachable dead code, and a crash between rename-aside and swap-in
+    stranded that partition's rows in ``__p=5__old``, which the pruned
+    reader silently treated as an EMPTY partition (missed near-dup
+    matches) until a full compaction happened to rewrite the half.
+
+    This lists the half dir directly and parses the partition value
+    BEFORE the suffix: residue whose base dir is MISSING holds the only
+    copy of the data — restore it; residue whose base dir EXISTS is a
+    completed swap's leftover — drop it. Idempotent; one FS listing of
+    <= P entries. Returns ``(restored, cleared)``."""
+    fs, hbase, jvm = _hadoop_fs(spark, base)
+    if not fs.exists(hbase):
+        return 0, 0
+    HPath = jvm.org.apache.hadoop.fs.Path
+    prefix, suffix = f"{part_col}=", "__old"
+    restored = cleared = 0
+    for st in fs.listStatus(hbase):
+        name = st.getPath().getName()
+        if not (
+            st.isDirectory()
+            and name.startswith(prefix)
+            and name.endswith(suffix)
+        ):
+            continue
+        try:
+            int(name[len(prefix):-len(suffix)])
+        except ValueError:
+            continue
+        dst = HPath(f"{base}/{name[:-len(suffix)]}")
+        if fs.exists(dst):
+            fs.delete(st.getPath(), True)
+            cleared += 1
+        else:
+            if not fs.rename(st.getPath(), dst):
+                raise IOError(
+                    f"heal_sketch_store: could not restore {name} in {base}"
+                )
+            restored += 1
+    return restored, cleared
+
+
+def heal_sketch_store(spark, store_path: str) -> dict:
+    """Restore both halves of a sketch store after a crashed
+    partition-level swap (see :func:`_heal_partition_swaps`). Called
+    automatically by every store entry point that lists partitions
+    (match, delete, compaction, maintenance) so a crashed
+    :func:`delete_from_sketch_store` converges on the next touch instead
+    of silently losing a partition; also public for explicit repair.
+    Returns ``{"restored": n, "cleared": n}``."""
+    ri, ci = _heal_partition_swaps(spark, f"{store_path}/index", "__p")
+    rs, cs = _heal_partition_swaps(spark, f"{store_path}/sigs", "__q")
+    return {"restored": ri + rs, "cleared": ci + cs}
+
+
 def _check_store_halves(spark, store_path: str) -> None:
     """Corruption guard (round-11 ADVICE fix): a store whose meta exists
     but whose ``index/`` or ``sigs/`` dir is MISSING is a crashed
@@ -2044,6 +2104,9 @@ def minhash_match_against_store(
     if meta is None:
         raise ValueError(f"no sketch store at {store_path}")
     _check_store_halves(spark, store_path)
+    # converge a crashed delete swap before pruning against the listing —
+    # a stranded __p=N__old otherwise reads as an EMPTY partition
+    heal_sketch_store(spark, store_path)
     params = {
         k: meta[k] for k in ("num_hashes", "n_bands", "ngram", "seed")
     }
@@ -2204,13 +2267,27 @@ def delete_from_sketch_store(
     match — a production 100-TB corpus must retract documents for
     licensing/takedown, and the store previously had no delete.
 
-    ``df`` carries the ids to remove. When ``text_col`` is present the
-    retracted docs are re-sketched with the STORE's own params, so the
-    affected index partitions are computed from their own buckets —
-    everything is pruned, per-delete cost O(delete batch). With ids only
-    (``text_col=None`` or absent), the index half is scanned ONCE
-    (map-side semi-join; read-only) to locate the affected partitions —
-    the documented fallback for content-free takedown lists.
+    ``df`` carries the ids to remove. When ``text_col`` is present it
+    must be the EXACT text that was ingested: the retracted docs are
+    re-sketched with the STORE's own params, so the affected index
+    partitions are computed from their own buckets — everything is
+    pruned, per-delete cost O(delete batch). If the supplied text has
+    drifted since ingest (doc updated in place), the pruned path targets
+    the wrong partitions; the removal-count cross-check below detects
+    that (the index holds >= n_bands rows per stored id) and falls back
+    to the ids-only scan, so the delete still converges instead of
+    silently stranding stale index rows. With ids only (``text_col=None``
+    or absent), the index half is scanned ONCE (map-side semi-join;
+    read-only) to locate the affected partitions — the documented path
+    for content-free takedown lists.
+
+    **Match-safety guarantee**: the sigs half is rewritten FIRST, and it
+    alone already guarantees no ghost matches — a candidate whose
+    signature row is gone drops out of the verify join regardless of any
+    stale index rows. The index rewrite (and its drift fallback) is
+    hygiene that keeps candidate generation from probing dead ids, not
+    the correctness barrier; a crash between the two halves leaves the
+    store match-safe.
 
     Rewrites are PARTITION-LOCAL and layout-preserving: only the dirs the
     deleted rows live in are rewritten (anti-join; AQE broadcasts the
@@ -2229,12 +2306,32 @@ def delete_from_sketch_store(
     if meta is None:
         raise ValueError(f"no sketch store at {store_path}")
     _check_store_halves(spark, store_path)
+    # converge any prior crashed swap for BOTH halves before listing
+    # anything — stranded __p=N__old dirs are invisible to
+    # _list_partition_dirs, so healing inside rewrite_half alone could
+    # never reach them (round-12 ADVICE fix)
+    heal_sketch_store(spark, store_path)
     P = int(meta["index_partitions"])
     Q = int(meta["sig_partitions"])
     ids = barrier(df.select(F.col(id_col).alias("id")).distinct())
 
     fs, _, jvm = _hadoop_fs(spark, store_path)
     HPath = jvm.org.apache.hadoop.fs.Path
+
+    def pvals_from_index_scan():
+        idx_all = spark.read.option("basePath", f"{store_path}/index").parquet(
+            f"{store_path}/index"
+        )
+        return [
+            r[0]
+            # no broadcast HINT: a takedown list is usually tiny (AQE
+            # broadcasts it automatically under the threshold), but a
+            # bulk retraction must not be forced through driver memory
+            for r in idx_all.join(ids, "id", "left_semi")
+            .select("__p")
+            .distinct()
+            .collect()  # bounded by P
+        ]
 
     if text_col is not None and text_col in df.columns:
         params = {
@@ -2248,20 +2345,10 @@ def delete_from_sketch_store(
             .distinct()
             .collect()  # bounded by P
         ]
+        pruned_by_text = True
     else:
-        idx_all = spark.read.option("basePath", f"{store_path}/index").parquet(
-            f"{store_path}/index"
-        )
-        pvals = [
-            r[0]
-            # no broadcast HINT: a takedown list is usually tiny (AQE
-            # broadcasts it automatically under the threshold), but a
-            # bulk retraction must not be forced through driver memory
-            for r in idx_all.join(ids, "id", "left_semi")
-            .select("__p")
-            .distinct()
-            .collect()  # bounded by P
-        ]
+        pvals = pvals_from_index_scan()
+        pruned_by_text = False
     qvals = [
         r[0]
         for r in ids.select(
@@ -2273,15 +2360,12 @@ def delete_from_sketch_store(
 
     def rewrite_half(sub: str, part_col: str, vals) -> tuple[int, int]:
         base = f"{store_path}/{sub}"
+        # heal again right before the rewrite: the pvals/qvals scans above
+        # may be long on a bulk retraction, and a listing-based heal is one
+        # cheap FS call — unlike the pre-round-12 loop over
+        # _list_partition_dirs, this actually SEES __p=N__old names
+        _heal_partition_swaps(spark, base, part_col)
         dirs = _list_partition_dirs(spark, base, part_col)
-        # heal any prior crashed swap before touching the half
-        for v, path in list(dirs.items()):
-            old = HPath(path + "__old")
-            if fs.exists(old):
-                if fs.exists(HPath(path)):
-                    fs.delete(old, True)
-                else:
-                    fs.rename(old, HPath(path))
         want = sorted(set(int(v) for v in vals) & set(dirs))
         if not want:
             return 0, 0
@@ -2320,8 +2404,21 @@ def delete_from_sketch_store(
         fs.delete(HPath(tmp_root), True)
         return before - after, len(want)
 
-    idx_removed, idx_parts = rewrite_half("index", "__p", pvals)
+    # sigs FIRST: its removal alone guarantees no ghost matches (verify
+    # joins on the signature row), so a crash between halves is match-safe
     sig_removed, sig_parts = rewrite_half("sigs", "__q", qvals)
+    idx_removed, idx_parts = rewrite_half("index", "__p", pvals)
+    # Drift cross-check (round-12 ADVICE fix): a stored id owns >= n_bands
+    # index rows (one per band; replay dups only add more), so removing
+    # fewer than n_bands * stored-ids means the supplied text differs from
+    # the ingested text and the sketch-pruned partition set missed rows.
+    # Fall back to the ids-only index scan, which finds rows WHEREVER they
+    # live — the delete converges instead of reporting success over a
+    # stale index.
+    if pruned_by_text and idx_removed < int(meta["n_bands"]) * sig_removed:
+        r2, p2 = rewrite_half("index", "__p", pvals_from_index_scan())
+        idx_removed += r2
+        idx_parts += p2
     return {
         "index_rows_removed": idx_removed,
         "sigs_rows_removed": sig_removed,

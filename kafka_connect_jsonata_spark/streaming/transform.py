@@ -592,6 +592,9 @@ def compact_sketch_store(
         src = HPath(f"{store_path}/{sub}")
         fs = src.getFileSystem(conf)
         _recover_swap(fs, src, "compact_sketch_store")
+        # partition-LEVEL residue from a crashed delete swap would break
+        # (or silently skew) the hive-discovery read below — heal it first
+        D._heal_partition_swaps(spark, str(src), part_col)
         df = spark.read.parquet(str(src))
         files_before = len(df.inputFiles())
         out = (
@@ -669,6 +672,9 @@ def maintain_sketch_store(
     if meta is None:
         raise ValueError(f"no sketch store at {store_path}")
     D._check_store_halves(spark, store_path)
+    # heal before measuring: stranded __old residue would both skew the
+    # byte/file stats and (if left) break the compaction read
+    D.heal_sketch_store(spark, store_path)
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     HPath = jvm.org.apache.hadoop.fs.Path

@@ -1195,6 +1195,124 @@ def test_sketch_store_delete_no_ghost_matches(spark, sf_dir, tmp_path):
     assert got3 == want
 
 
+def test_sketch_store_delete_crash_states_recover(spark, sf_dir, tmp_path):
+    """Partition-level mirror of test_swap_dirs_crash_states_recover
+    (round-12 ADVICE fix): delete_from_sketch_store's per-dir rename-aside
+    can crash (a) between rename-aside and swap-in — only ``__p=N__old``
+    exists, which _list_partition_dirs SKIPS, so the pre-fix heal loop
+    could never see it and the pruned reader silently read the partition
+    as EMPTY — and (b) after swap-in but before residue cleanup. Both
+    states must heal on the next store touch with match results intact."""
+    import os
+    import shutil
+
+    from kafka_connect_jsonata_spark.functions import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 != 0)
+    store = str(tmp_path / "store")
+    dedup.write_sketch_store(hist, store, num_hashes=32, n_bands=8)
+    want = sorted(
+        tuple(r)
+        for r in dedup.minhash_match_against_store(
+            batch, store, threshold=0.5
+        ).collect()
+    )
+    assert want
+
+    def populated_dirs(sub):
+        return sorted(
+            d
+            for d in os.listdir(f"{store}/{sub}")
+            if d.startswith("__") and "=" in d and not d.endswith("__old")
+        )
+
+    # (a) rename-aside done, swap-in not: the partition exists ONLY as
+    # __p=N__old. Pre-fix this silently dropped every match that lived in
+    # the stranded partition; now the match path heals it first.
+    victims = populated_dirs("index")[:2]
+    for d in victims:
+        shutil.move(f"{store}/index/{d}", f"{store}/index/{d}__old")
+    got = sorted(
+        tuple(r)
+        for r in dedup.minhash_match_against_store(
+            batch, store, threshold=0.5
+        ).collect()
+    )
+    assert got == want
+    for d in victims:
+        assert os.path.isdir(f"{store}/index/{d}")
+        assert not os.path.exists(f"{store}/index/{d}__old")
+
+    # same crash state on the sigs half
+    sig_victim = populated_dirs("sigs")[0]
+    shutil.move(f"{store}/sigs/{sig_victim}", f"{store}/sigs/{sig_victim}__old")
+    got = sorted(
+        tuple(r)
+        for r in dedup.minhash_match_against_store(
+            batch, store, threshold=0.5
+        ).collect()
+    )
+    assert got == want
+    assert os.path.isdir(f"{store}/sigs/{sig_victim}")
+
+    # (b) swap-in done, residue not cleaned: base dir holds the CURRENT
+    # data; the stale aside copy must be dropped, not restored over it.
+    keeper = populated_dirs("index")[0]
+    shutil.copytree(f"{store}/index/{keeper}", f"{store}/index/{keeper}__old")
+    res = dedup.heal_sketch_store(spark, store)
+    assert res["cleared"] == 1 and res["restored"] == 0
+    assert not os.path.exists(f"{store}/index/{keeper}__old")
+
+    # a delete over crash state (a) converges: same result as a delete on
+    # a healthy store (the stranded partition's rows are found and removed)
+    gone = hist.limit(5)
+    victim2 = populated_dirs("index")[0]
+    shutil.move(f"{store}/index/{victim2}", f"{store}/index/{victim2}__old")
+    r = dedup.delete_from_sketch_store(gone, store)
+    assert r["sigs_rows_removed"] == 5
+    after = dedup.minhash_match_against_store(batch, store, threshold=0.5)
+    gone_ids = {x[0] for x in gone.select("doc_id").collect()}
+    assert after.filter(F.col("ref_doc_id").isin(gone_ids)).count() == 0
+    # the healed-then-rewritten store carries no residue anywhere
+    for sub in ("index", "sigs"):
+        assert not [d for d in os.listdir(f"{store}/{sub}") if d.endswith("__old")]
+
+
+def test_sketch_store_delete_text_drift_fallback(spark, sf_dir, tmp_path):
+    """Round-12 ADVICE fix: when the takedown df's text has DRIFTED from
+    the ingested text, the sketch-pruned partition set is wrong — the
+    removal-count cross-check (index holds >= n_bands rows per stored id)
+    must detect the shortfall and fall back to the ids-only index scan,
+    so no stale index row survives a delete that reports success."""
+    from kafka_connect_jsonata_spark.functions import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    store = str(tmp_path / "store")
+    dedup.write_sketch_store(hist, store, num_hashes=32, n_bands=8)
+
+    gone = hist.limit(8)
+    drifted = gone.select(
+        "doc_id",
+        F.concat(
+            F.lit("ENTIRELY DIFFERENT PREAMBLE "),
+            F.reverse(F.col("text")),
+        ).alias("text"),
+    )
+    res = dedup.delete_from_sketch_store(drifted, store)
+    assert res["sigs_rows_removed"] == 8
+    # every index row for the retracted ids is gone, drift notwithstanding
+    idx = spark.read.option("basePath", f"{store}/index").parquet(
+        f"{store}/index"
+    )
+    gone_keys = gone.select(F.col("doc_id").alias("id")).distinct()
+    assert idx.join(gone_keys, "id", "left_semi").count() == 0
+    # and the index removal actually accounted for the full n_bands rows
+    assert res["index_rows_removed"] >= 8 * 8
+
+
 def test_sketch_store_delete_mid_stream(spark, sf_dir, tmp_path):
     """Deletion between micro-batches leaves the streaming path intact:
     batches after the takedown keep docs that only matched the removed
