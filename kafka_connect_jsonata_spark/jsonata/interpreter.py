@@ -215,8 +215,13 @@ def _sig_type_of(v) -> str:
 
 def validate_signature(specs, args):
     """Validate + coerce ``args`` against parsed ``specs`` (T0410 on
-    mismatch). Returns the coerced argument list. Undefined arguments
-    always pass (undefined-propagation, as in the jsonata-js builtins)."""
+    mismatch). Returns the coerced argument list. A SUPPLIED undefined
+    argument always passes (undefined-propagation, as in the jsonata-js
+    builtins); a MISSING argument for a non-optional, non-context spec
+    raises T0410 (round-12 ADVICE fix — jsonata-js signature.js anchors
+    its validation regex, so ``function($x)<n>{...}()`` is an error, not
+    a silent undefined), and extra arguments beyond a non-variadic
+    signature raise T0410 for the same reason."""
     out = []
     for idx, spec in enumerate(specs):
         if spec["variadic"]:
@@ -231,6 +236,16 @@ def validate_signature(specs, args):
                     )
             out.extend(rest)
             return out
+        if (
+            idx >= len(args)
+            and not spec["optional"]
+            and not spec["context"]
+        ):
+            raise JsonataError(
+                "T0410",
+                f"argument {idx + 1} of function is required by its "
+                f"signature but was not supplied",
+            )
         a = args[idx] if idx < len(args) else UNDEFINED
         t = _sig_type_of(a)
         if t == "undefined":
@@ -255,19 +270,32 @@ def validate_signature(specs, args):
                         f"of {spec['subtypes']}",
                     )
         out.append(a)
-    out.extend(args[len(specs):])
+    if len(args) > len(specs):
+        raise JsonataError(
+            "T0410",
+            f"function expects at most {len(specs)} argument(s) by its "
+            f"signature but {len(args)} were supplied",
+        )
     return out
 
 
 class Builtin:
     jsonata_callable = True
 
-    __slots__ = ("name", "fn", "ctx_arity")
+    __slots__ = ("name", "fn", "ctx_arity", "pysig")
 
     def __init__(self, name, fn, ctx_arity):
         self.name = name
         self.fn = fn
         self.ctx_arity = ctx_arity
+        # bound once at registry construction: invoke() arity-checks with
+        # pysig.bind BEFORE the call, so a TypeError raised DEEP inside the
+        # builtin (a user extension callable under $map/$reduce, or a real
+        # interpreter bug) propagates as itself instead of being mislabeled
+        # T0410 (round-12 ADVICE fix)
+        import inspect
+
+        self.pysig = inspect.signature(fn)
 
 
 class Partial:
@@ -1028,16 +1056,18 @@ class Jsonata:
     def invoke(self, func, args):
         self._check()
         if isinstance(func, Builtin):
+            # arity is validated BEFORE the call (round 11: $count([1],[2])
+            # crashed raw; round 12: the blanket `except TypeError` around
+            # the execution mislabeled deep TypeErrors from user lambdas /
+            # extension callables under $map/$filter/$reduce as T0410)
             try:
-                return func.fn(self, *args)
+                func.pysig.bind(self, *args)
             except TypeError as e:
-                # a Python arity TypeError must surface as the jsonata
-                # argument-mismatch error, not escape as a raw TypeError
-                # (round 11: $count([1],[2]) crashed instead of T0410)
                 raise JsonataError(
                     "T0410",
                     f"arguments of {func.name} do not match signature: {e}",
                 ) from e
+            return func.fn(self, *args)
         if isinstance(func, Closure):
             self._depth += 1
             if self._depth > self.max_depth:

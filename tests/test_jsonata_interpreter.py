@@ -271,3 +271,45 @@ def test_noop_identity():
     """reference JsonataTransformationTest.java:40-61 — '$' round-trips."""
     record = {"topic": "t", "value": {"a": [1, {"b": None}]}, "headers": [{"key": "h"}]}
     assert jsonata("$").evaluate(record) == record
+
+
+def test_signature_missing_required_arg_raises():
+    """Round-12 ADVICE fix: jsonata-js anchors its signature regex, so a
+    missing argument for a non-optional spec is T0410, not a silent
+    undefined. Optional (?) and supplied-undefined still pass."""
+    with pytest.raises(JsonataError) as exc:
+        ev("($f := function($x)<n>{$x + 1}; $f())")
+    assert "T0410" in str(exc.value)
+    # optional spec: missing arg is fine
+    assert ev("($f := function($x)<n?>{$x ? $x : 99}; $f())") == 99
+    # SUPPLIED undefined propagates (undefined != missing)
+    assert ev("($f := function($x)<n?>{$x ? $x : 99}; $f(nothing))") == 99
+    # and a signatureless lambda keeps its unconstrained arity
+    assert ev("($f := function($x){$x ? $x : 7}; $f())") == 7
+
+
+def test_signature_too_many_args_raises():
+    """Extra arguments beyond a non-variadic signature are T0410 (the
+    anchored-regex behavior of jsonata-js signature.js)."""
+    with pytest.raises(JsonataError) as exc:
+        ev("($f := function($x)<n>{$x}; $f(1, 2))")
+    assert "T0410" in str(exc.value)
+    # variadic (+) still takes any count
+    assert ev("($f := function($xs)<n+>{$xs}; $f(1))") == 1
+
+
+def test_extension_typeerror_not_mislabeled_t0410():
+    """Round-12 ADVICE fix: a TypeError raised INSIDE a user extension
+    callable evaluated by a higher-order builtin ($map) must propagate as
+    itself — the old blanket `except TypeError -> T0410` around builtin
+    execution mislabeled it as an argument-signature mismatch."""
+
+    def boom(v):
+        raise TypeError("user extension blew up")
+
+    with pytest.raises(TypeError, match="user extension blew up"):
+        jsonata("$map([1,2,3], $boom)").evaluate(None, {"boom": boom})
+    # while a genuine ARITY mismatch of the builtin itself is still T0410
+    with pytest.raises(JsonataError) as exc:
+        ev("$count([1], [2])")
+    assert "T0410" in str(exc.value)
