@@ -114,6 +114,9 @@ _UNDEF_PROPAGATING_FNS = frozenset(
         "substringBefore", "substringAfter", "string", "number", "abs",
         "floor", "ceil", "round", "sqrt", "power", "not", "pad",
         "formatNumber", "formatBase", "formatInteger", "split", "contains",
+        # round 12: array fns that map undefined -> undefined (NOT $zip,
+        # which gives [])
+        "distinct", "reverse", "sort", "shuffle",
     }
 )
 
@@ -352,6 +355,13 @@ class Typed:
     elem_parents: tuple = ()
 
 
+class _UndefArg(Typed):
+    """Sentinel :class:`Typed` marking a function argument whose value is
+    PROVABLY undefined (schema-absent path) — distinct from a literal null
+    VALUE, which also compiles to a NullType column. Only produced by
+    ``_call.arg_of`` for handlers that opt in ($append)."""
+
+
 @dataclass
 class CompiledLambda:
     """A lambda bound to a variable inside a block (``$f := function..``),
@@ -395,7 +405,20 @@ class Compiler:
         # (round-9 fix: $$ used to alias the current ctx, which is only
         # correct at the top level; a[b = $$.t] read t off the ELEMENT)
         self._root_ctx = root
-        return self._c(ast, root, {})
+        try:
+            return self._c(ast, root, {})
+        except StaticallyUndefined:
+            # round 12: the TOP level is the ultimate catch site — an
+            # expression whose WHOLE value is provably undefined for every
+            # row (`5 + nothing`, `a.b.c` stepping into a scalar) compiles
+            # to a constant NULL (the A4 tombstone / undefined rendering),
+            # exactly what the interpreter tier produces row by row. Gated
+            # on _undef_value_node like every other catch site: shapes
+            # where undefined does NOT propagate resolve inside their own
+            # handlers and never re-raise.
+            if _undef_value_node(ast):
+                return Typed(F.lit(None).cast("string"), T.StringType())
+            raise
 
     def _fold(self, node):
         """Evaluate a provably-constant subtree once through the tier-2
@@ -839,8 +862,27 @@ class Compiler:
             et = items[0].dtype if items else T.StringType()
             return Typed(F.array(*[i.col for i in items]), T.ArrayType(et or T.StringType()))
         if t == "range":
-            lhs = self._c(node["lhs"], ctx, env)
-            rhs = self._c(node["rhs"], ctx, env)
+            try:
+                lhs = self._c(node["lhs"], ctx, env)
+                rhs = self._c(node["rhs"], ctx, env)
+            except StaticallyUndefined:
+                # an undefined endpoint makes the range an EMPTY sequence
+                # ([nothing..3] -> []; round 12). The catch can't tell
+                # WHICH endpoint raised, so — like the filter arm of
+                # _undef_value_node — every endpoint that could raise must
+                # be propagation-sound for the fold to be valid.
+                ok_l = _undef_value_node(node["lhs"]) or not _node_can_raise(
+                    node["lhs"]
+                )
+                ok_r = _undef_value_node(node["rhs"]) or not _node_can_raise(
+                    node["rhs"]
+                )
+                if ok_l and ok_r:
+                    return Typed(
+                        F.array().cast("array<long>"),
+                        T.ArrayType(T.LongType()),
+                    )
+                raise
             # JSONata: a descending range is EMPTY ([5..1] -> []), while
             # Spark's sequence() counts down (round-5 dual-tier sweep fix)
             return Typed(
@@ -1221,24 +1263,45 @@ class Compiler:
         if isinstance(dt, T.StructType):
             if not dt.fields:
                 raise NotCompilable("wildcard over empty struct")
-            fdts = [f.dataType for f in dt.fields]
-            ss = {d.simpleString() for d in fdts}
+            # each field CONTRIBUTES to the wildcard sequence: array-valued
+            # members splice their elements (flatten one level, the wildcard
+            # sequence rule), anything else adds one item — so the type to
+            # unify is the per-field contribution element, which lets a
+            # struct MIX array<T> and T members ({'a': [1,2], 'b': 3} -> *
+            # is [1,2,3]; round 12 — previously "heterogeneous" -> tier 2)
+            contrib = [
+                f.dataType.elementType
+                if isinstance(f.dataType, T.ArrayType)
+                else f.dataType
+                for f in dt.fields
+            ]
+            ss = {d.simpleString() for d in contrib}
             cast_to = None
             if ss == {"bigint", "double"}:
                 cast_to = T.DoubleType()
             elif len(ss) != 1:
                 raise NotCompilable("wildcard over heterogeneous struct")
-            et = cast_to or fdts[0]
-            cols = [
-                v.col.getField(f.name).cast(et) if cast_to
-                else v.col.getField(f.name)
-                for f in dt.fields
-            ]
-            arr = F.filter(F.array(*cols), lambda x: x.isNotNull())
-            if isinstance(et, T.ArrayType):
-                # array-valued members flatten one level into the sequence
-                return Typed(F.when(v.col.isNotNull(), F.flatten(arr)), et)
-            return Typed(F.when(v.col.isNotNull(), arr), T.ArrayType(et))
+            et = cast_to or contrib[0]
+            seq_t = T.ArrayType(et)
+            seqs = []
+            for f in dt.fields:
+                fc = v.col.getField(f.name)
+                if isinstance(f.dataType, T.ArrayType):
+                    s = F.filter(fc, lambda x: x.isNotNull())
+                    if cast_to is not None:
+                        s = F.transform(s, lambda x: x.cast(et))
+                    s = F.when(fc.isNotNull(), s).otherwise(
+                        F.array().cast(seq_t)
+                    )
+                else:
+                    item = fc.cast(et) if cast_to is not None else fc
+                    # null members drop (the engine's null==absent rule)
+                    s = F.when(fc.isNotNull(), F.array(item)).otherwise(
+                        F.array().cast(seq_t)
+                    )
+                seqs.append(s)
+            arr = seqs[0] if len(seqs) == 1 else F.concat(*seqs)
+            return Typed(F.when(v.col.isNotNull(), arr), seq_t)
         raise NotCompilable(f"wildcard over {dt}")
 
     def _descendant_field(self, src: Typed, name: str) -> Typed:
@@ -1633,6 +1696,12 @@ class Compiler:
                 # cannot reach here.
                 if name in ("count", "exists") and _undef_value_node(a):
                     return Typed(F.lit(None), T.NullType())
+                if name == "append" and _undef_value_node(a):
+                    # $append with a provably-undefined operand returns the
+                    # OTHER operand unchanged (round 12) — marked with the
+                    # sentinel subclass so _fn_append can tell a statically
+                    # ABSENT argument from a literal null VALUE
+                    return _UndefArg(F.lit(None), T.NullType())
                 raise
 
         typed_args = [arg_of(a) for a in args]
@@ -2494,6 +2563,15 @@ class Compiler:
         return Typed(a[0].col.isNotNull(), T.BooleanType())
 
     def _fn_append(self, a, ctx, env, raw):
+        # a statically-undefined operand (the _UndefArg sentinel from
+        # _call.arg_of) yields the OTHER operand unchanged — the jsonata
+        # rule ($append(nothing, 1) = 1); both undefined stays tier 2
+        if isinstance(a[0], _UndefArg) and isinstance(a[1], _UndefArg):
+            raise NotCompilable("$append of two undefined operands")
+        if isinstance(a[0], _UndefArg):
+            return a[1]
+        if isinstance(a[1], _UndefArg):
+            return a[0]
         l = a[0].col if isinstance(a[0].dtype, T.ArrayType) else F.array(a[0].col)
         r = a[1].col if isinstance(a[1].dtype, T.ArrayType) else F.array(a[1].col)
         et = _elem_type(a[0]) if isinstance(a[0].dtype, T.ArrayType) else a[0].dtype

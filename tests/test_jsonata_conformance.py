@@ -976,6 +976,11 @@ GROUPS["signatures"] = [
     ('($f := function($x)<a:n>{ $count($x) }; $f(5))', None, 1),
     ('($f := function($x)<(ns):s>{ $string($x) }; $f(5))', None, '5'),
     ('(5).($add2 := function($x, $y)<n-n:n>{ $x + $y }; $add2(2))', None, 7),
+    # round-12: optional specs and SUPPLIED undefined still pass where a
+    # MISSING required arg now raises (see the errors group)
+    ('($f := function($x)<n?>{ $x ? $x : 99 }; $f())', None, 99),
+    ("($f := function($x)<n?>{ $x ? $x : 99 }; $f(blank))", None, 99),
+    ('($f := function($xs)<n+>{ $sum([$xs]) }; $f(1))', None, 1),
 ]
 
 GROUPS["encoding2"] = [
@@ -1224,6 +1229,11 @@ GROUPS["errors"] = [
     '$single([], function($v){true})',
     '$power(-8, 1/3)',
     '$zip()',
+    # round-12 ADVICE: anchored-signature arity — a missing required arg
+    # and extra args beyond a non-variadic signature are both T0410
+    '($f := function($x)<n>{ $x + 1 }; $f())',
+    '($f := function($x)<n>{ $x }; $f(1, 2))',
+    '($f := function($x, $y)<nn>{ $x }; $f(1))',
 ]
 
 
@@ -1466,8 +1476,10 @@ def test_dual_tier_constant_corpus_sweep(spark):
     # round-8 constant folding lifted the share from ~300 to 371/384;
     # round-10 ($eval non-literal context, parent-in-step ancestry) to 377;
     # round-11 grows the corpus itself by ~420 suite-port cases — measured
-    # 631 compiled / 22 interpreter-only on the grown corpus
-    assert compiled_n >= 620, (compiled_n, skipped)
+    # 631 compiled / 22 interpreter-only on the grown corpus; round-12
+    # (top-level StaticallyUndefined fold, range/append undefined
+    # operands, spliced wildcards): measured 646 / 22
+    assert compiled_n >= 640, (compiled_n, skipped)
     print(f"\nconstant-sweep compiled: {compiled_n}, interpreter-only: {skipped}")
 
 
@@ -1558,8 +1570,9 @@ def test_dual_tier_context_corpus_sweep(spark):
                 compiled_n += 1
     assert not failures, failures[:5]
     # round-9 binds/keep-array/expression-step tranche lifted 30 -> 35;
-    # round-11 suite port + per-item step predicates: measured 124
-    assert compiled_n >= 115, (compiled_n, skipped)
+    # round-11 suite port + per-item step predicates: measured 124;
+    # round-12 undefined-fold + wildcard-splice tranche: measured 155
+    assert compiled_n >= 150, (compiled_n, skipped)
     print(f"\ncontext-sweep compiled: {compiled_n}, interpreter-only: {skipped}")
 
 

@@ -263,8 +263,16 @@ def test_compiler_open_world_mode():
     assert closed_c.compile("value = 'x' ? 'a' : 'b'") is not None
     # type-based undefined proofs survive in open-world ($exists folds it)
     assert open_c.compile("$exists(topic.sub) ? 1 : 0") is not None
-    with pytest.raises(StaticallyUndefined):
-        open_c.compile("topic.sub")
+    # ... and as of round 12 a whole-expression type-based proof FOLDS to
+    # the constant tombstone at the top level (the declared types are
+    # trustworthy even when field existence is open), instead of escaping
+    # as StaticallyUndefined
+    folded = open_c.compile("topic.sub")
+    assert isinstance(folded.dtype, T.StringType)
+    # while an absent-FIELD reference still refuses to compile entirely
+    with pytest.raises(NotCompilable) as exc:
+        open_c.compile("nope.sub")
+    assert not isinstance(exc.value, StaticallyUndefined)
 
 
 def test_node_can_raise_covers_filter_nodes():
