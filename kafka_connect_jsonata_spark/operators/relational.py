@@ -715,3 +715,50 @@ def funnel_counts(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_cols: Sequence[str] = ("text",),
+) -> DataFrame:
+    """C87: dataset snapshot diff — classify every document across two
+    corpus snapshots as ``added`` / ``removed`` / ``changed`` /
+    ``unchanged``. The dataset-versioning primitive a production corpus
+    needs around every ingest, takedown, or recrawl: "what exactly moved
+    between v1 and v2" as data, auditable and joinable (e.g. against a
+    takedown list to prove the delete landed, or to build the incremental
+    slice for downstream re-processing).
+
+    Identity is ``id_col`` (unique per snapshot, the corpus contract);
+    content equality is an md5 fingerprint over ``content_cols`` joined
+    with a 0x1f separator — md5 is computed identically by Spark and
+    DuckDB, which keeps the operator oracle-checkable, and any content
+    drift in any compared column flips the row to ``changed``.
+
+    Scale shape: each snapshot is scanned ONCE and reduced map-side to
+    (id, 16-byte fingerprint) before the shuffle, so the full-outer join
+    moves two narrow columns regardless of document width; the join key
+    is the unique id (no skew by construction) and AQE sizes the
+    exchange. No driver-side state, no window, output is one row per id
+    in either snapshot.
+    """
+    def fp(df: DataFrame):
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            for c in content_cols
+        ]
+        joined = parts[0] if len(parts) == 1 else F.concat_ws("\x1f", *parts)
+        return F.md5(joined.cast("binary"))
+
+    o = old.select(F.col(id_col).alias("__id"), fp(old).alias("__fp_old"))
+    n = new.select(F.col(id_col).alias("__id"), fp(new).alias("__fp_new"))
+    j = o.join(n, "__id", "full_outer")
+    status = (
+        F.when(F.col("__fp_old").isNull(), F.lit("added"))
+        .when(F.col("__fp_new").isNull(), F.lit("removed"))
+        .when(F.col("__fp_old") == F.col("__fp_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col("__id").alias(id_col), status.alias("status"))

@@ -5044,6 +5044,45 @@ FROM kept GROUP BY lang ORDER BY lang
 """
 
 
+def dataset_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C87: dataset snapshot diff — classify every doc across two corpus
+    snapshots as added / removed / changed / unchanged
+    (:func:`~kafka_connect_jsonata_spark.operators.relational.snapshot_diff`).
+    The versioning/audit primitive around every ingest, takedown, or
+    recrawl of a production corpus. Snapshots are simulated
+    deterministically from the documents table: v1 drops doc_id % 7 == 0,
+    v2 drops doc_id % 5 == 0 and rewrites the text of doc_id % 11 == 0.
+    Scale shape: two map-side (id, md5) reductions into one full-outer
+    join on the unique id — the shuffle carries 16-byte fingerprints, not
+    documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 7 != 0)
+    v2 = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return R.snapshot_diff(v1, v2, id_col="doc_id").orderBy("doc_id")
+
+
+DATASET_DIFF_SQL = """
+WITH v1 AS (
+  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 7 <> 0),
+v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS fp
+  FROM documents WHERE doc_id % 5 <> 0)
+SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            WHEN v1.fp = v2.fp THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5133,7 +5172,6 @@ FROM kept GROUP BY lang ORDER BY lang
 # cleaning: boilerplate_removal in-window).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- relational / text / similarity / jsonata representatives --
-    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "filter_project_events": filter_project_events,
     "json_props_extract": json_props_extract,
     "topk_per_group": topk_per_group,
@@ -5142,12 +5180,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_events_orders": asof_join_events_orders,
     "dedup_exact_docs": dedup_exact_docs,
     "char_entropy_docs": char_entropy_docs,
-    "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
-    "dup_span_removal_docs": dup_span_removal_docs,
-    "ann_lsh_topk": ann_lsh_topk,
+    "dataset_diff_docs": dataset_diff_docs,
+    "ann_ivf_topk": ann_ivf_topk,
     "minhash_dedup_docs": minhash_dedup_docs,
     "semantic_clusters_vecs": semantic_clusters_vecs,
-    "temperature_mix_docs": temperature_mix_docs,
+    "weighted_sample_docs": weighted_sample_docs,
     "pack_token_budget_docs": pack_token_budget_docs,
     "safe_transform_dlq": safe_transform_dlq,
     "bm25_search": bm25_search,
@@ -5157,19 +5194,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jsonata_flagship": jsonata_flagship,
     "quality_classifier_docs": quality_classifier_docs,
     "jsonata_interpreter": jsonata_interpreter,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "unpivot_lineitem": unpivot_lineitem,
     # -- streaming / sketch / multimodal / curation gates --
     "sessionize_events": sessionize_events,
     "percentile_summary": percentile_summary,
     "q2_minimum_cost_supplier": q2_minimum_cost_supplier,
-    "gopher_quality_docs": gopher_quality_docs,
+    "tumbling_window_agg": tumbling_window_agg,
     "embedding_dup_pairs": embedding_dup_pairs_q,
     "multimodal_frame_sample": multimodal_frame_sample,
     "funnel_events": funnel_events,
-    "pii_redact_docs": pii_redact_docs,
+    "normalize_docs": normalize_docs,
     "q20_potential_promotion_suppliers": q20_potential_promotion_suppliers,
     "ngram_jaccard_dups": ngram_jaccard_dups,
-    "minhash_lsh_dups": minhash_lsh_dups,
-    "jsonata_transform_update": jsonata_transform_update,
+    "interval_join_parts": interval_join_parts,
+    "bigram_logprob_docs": bigram_logprob_docs,
     "quantile_filter_docs": quantile_filter_docs,
     "minhash_dedup_incr_docs": minhash_dedup_incr_docs,
     "q11_important_stock": q11_important_stock,
@@ -5178,13 +5217,32 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup_pairs": semantic_dedup_pairs,
     "dsir_gumbel_docs": dsir_gumbel_docs,
     "q7_volume_shipping": q7_volume_shipping,
-    "dedup_group_ids": dedup_group_ids,
+    "chunk_overlap_docs": chunk_overlap_docs,
     "simhash_dup_pairs_docs": simhash_dup_pairs_docs,
     "scrub_spans_docs": scrub_spans_docs,
-    "zipf_fit_docs": zipf_fit_docs,
+    "dup_ngram_coverage_docs": dup_ngram_coverage_docs,
     "knn_graph_edges": knn_graph_edges,
     "curation_pipeline_v3_docs": curation_pipeline_v3_docs,
     # -- past the gate window: oracle-registered siblings (builder sweep) --
+    # round-12 window demotions (families stay represented in-window:
+    # TPC-H by q2/q6/q7/q11/q20, ANN by ann_ivf_topk + embedding_dup_pairs
+    # + knn_graph_edges, near-dup by ngram_jaccard/minhash_dedup(_incr)/
+    # simhash, span signals by scrub_spans + dup_ngram_coverage, mixing by
+    # weighted_sample + dsir_gumbel, quality by quality_classifier +
+    # char_entropy + quantile_filter, redaction by scrub_spans, jsonata by
+    # flagship/interpreter/safe_transform_dlq, corpus stats by
+    # char_entropy):
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
+    "dup_span_removal_docs": dup_span_removal_docs,
+    "ann_lsh_topk": ann_lsh_topk,
+    "temperature_mix_docs": temperature_mix_docs,
+    "gopher_quality_docs": gopher_quality_docs,
+    "pii_redact_docs": pii_redact_docs,
+    "jsonata_transform_update": jsonata_transform_update,
+    "minhash_lsh_dups": minhash_lsh_dups,
+    "dedup_group_ids": dedup_group_ids,
+    "zipf_fit_docs": zipf_fit_docs,
     # round-10 window demotions (judge verdict item 2: the eleven
     # round-9 judge-green gates rotated in; each demoted family stays
     # represented in-window -- TPC-H by q7+the ten new shapes, dedup by
@@ -5264,23 +5322,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_first_line": dedup_first_line,
     "explode_term_freq": explode_term_freq,
     "pivot_returnflag": pivot_returnflag,
-    "unpivot_lineitem": unpivot_lineitem,
     "token_count_summary": token_count_summary,
-    "ann_ivf_topk": ann_ivf_topk,
     "hash_split_counts": hash_split_counts,
     "embedding_quantize_stats": embedding_quantize_stats,
     "jsonata_string_ops": jsonata_string_ops,
-    "tumbling_window_agg": tumbling_window_agg,
     "skew_split_right_join": skew_split_right_join,
-    "interval_join_parts": interval_join_parts,
     "asof_forward_events_orders": asof_forward_events_orders,
     "shuffle_positions_docs": shuffle_positions_docs,
-    "normalize_docs": normalize_docs,
-    "bigram_logprob_docs": bigram_logprob_docs,
-    "chunk_overlap_docs": chunk_overlap_docs,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "dup_ngram_coverage_docs": dup_ngram_coverage_docs,
-    "weighted_sample_docs": weighted_sample_docs,
     "jsonata_object_ops": jsonata_object_ops,
     "decontaminate_docs": decontaminate_docs,
     # -- rows-only (driver-side eigh / iterative / rng payloads) --
@@ -5409,6 +5457,7 @@ ORACLES: dict[str, str] = {
     "q18_large_volume_customer": Q18_SQL,
     "dsir_gumbel_docs": DSIR_GUMBEL_SQL,
     "char_entropy_docs": CHAR_ENTROPY_SQL,
+    "dataset_diff_docs": DATASET_DIFF_SQL,
     "semantic_clusters_vecs": SEMANTIC_CLUSTERS_SQL,
     "scrub_spans_docs": SCRUB_SPANS_SQL,
     "resample_gapfill_events": RESAMPLE_GAPFILL_SQL,
