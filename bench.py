@@ -128,6 +128,7 @@ HEADLINE = [
     "scrub_spans_docs",
     "cluster_balanced_docs",
     "funnel_events",
+    "dataset_diff_docs",
     "curation_pipeline_v2_docs",
     # round 8 additions
     "minhash_dedup_docs",

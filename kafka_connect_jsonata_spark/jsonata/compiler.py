@@ -534,7 +534,18 @@ class Compiler:
                     },
                 }
                 return self._bound_step(merged, rhs_node, ctx, env)
-            lhs = self._c(node["lhs"], ctx, env)
+            try:
+                lhs = self._c(node["lhs"], ctx, env)
+            except NotCompilable:
+                # `*.*` / `*.name` where the FIRST wildcard's members are
+                # type-heterogeneous: the fan-out is static, so fuse the
+                # two steps per schema field and unify only the final
+                # leaves (round 12)
+                if node["lhs"]["type"] == "wildcard":
+                    fused = self._wildcard_fuse(ctx, rhs_node)
+                    if fused is not None:
+                        return fused
+                raise
             if (
                 isinstance(lhs.dtype, T.ArrayType)
                 and rhs_node["type"]
@@ -1303,6 +1314,95 @@ class Compiler:
             arr = seqs[0] if len(seqs) == 1 else F.concat(*seqs)
             return Typed(F.when(v.col.isNotNull(), arr), seq_t)
         raise NotCompilable(f"wildcard over {dt}")
+
+    def _wildcard_fuse(self, ctx: Typed, rhs_node: dict) -> Typed | None:
+        """``*.*`` / ``*.name`` over a struct whose MEMBER types are too
+        heterogeneous for :meth:`_wildcard`'s single element type
+        (round 12): the first wildcard's fan-out is STATIC — one branch
+        per schema field — so compile each member's contribution
+        separately, apply the NEXT step per branch, and unify only the
+        final leaf types. Branches where the next step is provably
+        undefined (wildcard/name over a scalar member) drop, the jsonata
+        sequence rule. Returns None when ``ctx`` is not a struct or the
+        final leaves still don't unify (genuine tier-2 territory)."""
+        dt = ctx.dtype
+        if not isinstance(dt, T.StructType) or rhs_node["type"] not in (
+            "wildcard",
+            "name",
+        ):
+            return None
+        branch_cols: list = []
+        branch_ets: list = []
+        for f in dt.fields:
+            fc = ctx.col.getField(f.name)
+            ft = f.dataType
+            # first `*`: array members splice their elements, others
+            # contribute a singleton (same rule as _wildcard)
+            if isinstance(ft, T.ArrayType):
+                seq, et = fc, ft.elementType
+            else:
+                seq = F.when(fc.isNotNull(), F.array(fc))
+                et = ft
+            # second step per element of this branch. A branch may DROP
+            # only when the step is PROVABLY undefined for its member type
+            # (wildcard/name over a scalar — the jsonata sequence rule);
+            # any other compile failure (e.g. a heterogeneous SUB-struct)
+            # means the branch has values tier 1 can't express — the whole
+            # fusion must abort to tier 2, never silently lose the branch.
+            if rhs_node["type"] == "wildcard" and not isinstance(
+                et, (T.StructType, T.MapType, T.ArrayType)
+            ):
+                continue  # wildcard of a scalar member: undefined, drops
+            et_box: list = []
+
+            def make_step(_et, _box):
+                # factory closure: pyspark derives the SQL lambda's arity
+                # from the Python function's parameter count, so the step
+                # must take exactly one argument (no default-arg captures)
+                def step(e):
+                    elem = Typed(e, _et)
+                    if rhs_node["type"] == "wildcard":
+                        r = self._wildcard(elem)
+                    else:
+                        r = self._field(elem, rhs_node["value"])
+                    _box.append(r.dtype)
+                    return r.col
+
+                return step
+
+            try:
+                mapped = F.transform(seq, make_step(et, et_box))
+            except StaticallyUndefined:
+                continue  # name step provably absent on this member type
+            except NotCompilable:
+                return None  # branch inexpressible -> whole path to tier 2
+            rt = et_box[0]
+            if isinstance(rt, T.ArrayType):
+                # array-valued step results splice (path flatten rule);
+                # null entries (element had no value there) drop first
+                col = F.flatten(F.filter(mapped, lambda x: x.isNotNull()))
+                branch_ets.append(rt.elementType)
+            else:
+                col = F.filter(mapped, lambda x: x.isNotNull())
+                branch_ets.append(rt)
+            branch_cols.append(col)
+        if not branch_cols:
+            return None
+        ss = {d.simpleString() for d in branch_ets}
+        cast_to = None
+        if ss == {"bigint", "double"}:
+            cast_to = T.DoubleType()
+        elif len(ss) != 1:
+            return None
+        out_et = cast_to or branch_ets[0]
+        seq_t = T.ArrayType(out_et)
+        parts = []
+        for col in branch_cols:
+            if cast_to is not None:
+                col = F.transform(col, lambda x: x.cast(out_et))
+            parts.append(F.coalesce(col, F.array().cast(seq_t)))
+        arr = parts[0] if len(parts) == 1 else F.concat(*parts)
+        return Typed(F.when(ctx.col.isNotNull(), arr), seq_t)
 
     def _descendant_field(self, src: Typed, name: str) -> Typed:
         """`**.name` over a static schema (round 8, SURVEY B1.5): every

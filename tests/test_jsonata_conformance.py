@@ -1571,7 +1571,7 @@ def test_dual_tier_context_corpus_sweep(spark):
     assert not failures, failures[:5]
     # round-9 binds/keep-array/expression-step tranche lifted 30 -> 35;
     # round-11 suite port + per-item step predicates: measured 124;
-    # round-12 undefined-fold + wildcard-splice tranche: measured 155
+    # round-12 undefined-fold + wildcard-splice + *.* fusion: measured 157
     assert compiled_n >= 150, (compiled_n, skipped)
     print(f"\ncontext-sweep compiled: {compiled_n}, interpreter-only: {skipped}")
 

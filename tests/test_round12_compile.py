@@ -51,7 +51,37 @@ ROUND12_CASES = [
     ("*[0]", {"a": [1, 2], "b": 3}),
     ("*", {"a": [1.5], "b": 3}),     # bigint/double promote across members
     ("$sum(*)", {"a": [1, 2], "b": 3}),
+    # (e) *.* / *.name fusion over heterogeneous mid-structs: the first
+    # wildcard's fan-out is static, so each member branch compiles
+    # separately and only the FINAL leaves unify
+    ("*.*", {"a": {"x": 1}, "b": {"y": 2}}),
+    ("*.*", {"a": {"x": 1.5}, "b": {"y": 2}}),
+    ("*.*", {"a": [{"x": 1}], "b": {"y": 2}, "c": 3}),  # arrays splice, scalars drop
+    ("*.x", {"a": {"x": 1}, "b": 5}),
+    ("$sum(*.*)", {"a": {"x": 1}, "b": {"y": 2}}),
 ]
+
+
+def test_wildcard_fuse_heterogeneous_leaves_stay_tier2(spark):
+    """A branch whose values tier 1 cannot express (heterogeneous SUB-
+    struct) must abort the WHOLE fusion — silently dropping the branch
+    would lose values tier 2 returns."""
+    import json
+
+    from kafka_connect_jsonata_spark.jsonata.compiler import (
+        Compiler,
+        NotCompilable,
+    )
+
+    for data in [
+        {"a": {"x": {"deep": 1}}, "b": {"y": "s"}},
+        {"a": {"x": 1, "y": "mix"}},
+    ]:
+        df = spark.read.json(
+            spark.sparkContext.parallelize([json.dumps(data)])
+        )
+        with pytest.raises(NotCompilable):
+            Compiler(df.schema).compile("*.*")
 
 
 def test_round12_cases_compile_and_agree(spark):
