@@ -90,6 +90,25 @@ class StaticallyUndefined(NotCompilable):
     (review finding, round 7)."""
 
 
+class ProvablyUndefinedValue(StaticallyUndefined):
+    """Raised when :meth:`Compiler._fold` EVALUATED a provably-constant
+    subtree through the tier-2 interpreter and the result was undefined
+    (round 12). Unlike a plain :class:`StaticallyUndefined` escaping an
+    arbitrary inner position, this is a direct proof that the NODE'S OWN
+    VALUE is undefined — catch sites may accept it without the syntactic
+    :func:`_undef_value_node` gate (evaluation proof >= syntactic proof).
+    Valid in open-world mode too: the subtree was constant, so no open
+    field existence was assumed."""
+
+
+def _proves_undef(exc: Exception, node: dict) -> bool:
+    """Gate for StaticallyUndefined catch sites with a SINGLE raising
+    child: the child's value is proven undefined either by evaluation
+    (:class:`ProvablyUndefinedValue`) or syntactically
+    (:func:`_undef_value_node`)."""
+    return isinstance(exc, ProvablyUndefinedValue) or _undef_value_node(node)
+
+
 def _pure_path_node(node: dict) -> bool:
     """True when the raw AST node is a bare path (name / name.name...) —
     the only shape whose static absence implies the VALUE of the whole
@@ -407,7 +426,7 @@ class Compiler:
         self._root_ctx = root
         try:
             return self._c(ast, root, {})
-        except StaticallyUndefined:
+        except StaticallyUndefined as _e:
             # round 12: the TOP level is the ultimate catch site — an
             # expression whose WHOLE value is provably undefined for every
             # row (`5 + nothing`, `a.b.c` stepping into a scalar) compiles
@@ -416,7 +435,7 @@ class Compiler:
             # on _undef_value_node like every other catch site: shapes
             # where undefined does NOT propagate resolve inside their own
             # handlers and never re-raise.
-            if _undef_value_node(ast):
+            if _proves_undef(_e, ast):
                 return Typed(F.lit(None).cast("string"), T.StringType())
             raise
 
@@ -436,7 +455,13 @@ class Compiler:
         except Exception:
             return None
         if v is UNDEFINED:
-            return None
+            # evaluation PROVED the constant's value is undefined — the
+            # strongest form of the StaticallyUndefined proof (round 12):
+            # $keys('str'), $spread([]) etc. fold through the same catch
+            # sites as schema-absent paths
+            raise ProvablyUndefinedValue(
+                "constant subtree evaluates to undefined"
+            )
         return _fold_lit(v)
 
     # ------------------------------------------------------------------ core
@@ -709,10 +734,10 @@ class Compiler:
         if t == "condition":
             try:
                 cond = self._c(node["condition"], ctx, env)
-            except StaticallyUndefined:
+            except StaticallyUndefined as _e:
                 # an undefined condition is falsy -> the else branch
                 # (round 9; `nothing ? 1 : 2` -> 2 in the interpreter)
-                if not _undef_value_node(node["condition"]):
+                if not _proves_undef(_e, node["condition"]):
                     raise
                 if node["else"] is None:
                     raise  # whole expression undefined; let callers fold
@@ -781,8 +806,8 @@ class Compiler:
                     raise NotCompilable("computed object key not a string")
                 try:
                     vv = self._c(vexpr, ctx, env)
-                except StaticallyUndefined:
-                    if _undef_value_node(vexpr):
+                except StaticallyUndefined as _e:
+                    if _proves_undef(_e, vexpr):
                         return Typed(
                             F.create_map().cast("map<string,string>"),
                             T.MapType(T.StringType(), T.StringType()),
@@ -814,7 +839,7 @@ class Compiler:
                 key = kexpr["value"]
                 try:
                     val = self._c(vexpr, ctx, env)
-                except StaticallyUndefined:
+                except StaticallyUndefined as _e:
                     # a pair whose value is PROVABLY undefined (schema-absent
                     # field) is omitted from the constructed object — the
                     # JSONata rule, foldable at compile time because the
@@ -824,7 +849,7 @@ class Compiler:
                     # operators with DEFINED results over an absent field
                     # (b = 1, b & 'x') resolve inside _binary and never
                     # re-raise, so they cannot reach this catch.
-                    if _undef_value_node(vexpr):
+                    if _proves_undef(_e, vexpr):
                         continue
                     raise
                 fields.append(val.col.alias(key))
@@ -847,11 +872,11 @@ class Compiler:
                 try:
                     items.append(self._c(e, ctx, env))
                     exprs.append(e)
-                except StaticallyUndefined:
+                except StaticallyUndefined as _exc:
                     # an undefined element is OMITTED from the constructed
                     # array ([1, nope, 2] -> [1, 2]), foldable because the
                     # absence holds for every row (round 9)
-                    if not _undef_value_node(e):
+                    if not _proves_undef(_exc, e):
                         raise
             node = dict(node, expressions=exprs)
             if not items:
@@ -876,19 +901,21 @@ class Compiler:
             try:
                 lhs = self._c(node["lhs"], ctx, env)
                 rhs = self._c(node["rhs"], ctx, env)
-            except StaticallyUndefined:
+            except StaticallyUndefined as _e:
                 # an undefined endpoint makes the range an EMPTY sequence
-                # ([nothing..3] -> []; round 12). The catch can't tell
-                # WHICH endpoint raised, so — like the filter arm of
-                # _undef_value_node — every endpoint that could raise must
-                # be propagation-sound for the fold to be valid.
+                # ([nothing..3] -> []; round 12) — and tier 2 short-circuits
+                # BEFORE endpoint type checks, so one undefined endpoint is
+                # sufficient proof. A ProvablyUndefinedValue is that proof
+                # directly; otherwise the catch can't tell WHICH endpoint
+                # raised, so — like the filter arm of _undef_value_node —
+                # every endpoint that could raise must be propagation-sound.
                 ok_l = _undef_value_node(node["lhs"]) or not _node_can_raise(
                     node["lhs"]
                 )
                 ok_r = _undef_value_node(node["rhs"]) or not _node_can_raise(
                     node["rhs"]
                 )
-                if ok_l and ok_r:
+                if isinstance(_e, ProvablyUndefinedValue) or (ok_l and ok_r):
                     return Typed(
                         F.array().cast("array<long>"),
                         T.ArrayType(T.LongType()),
@@ -1619,9 +1646,9 @@ class Compiler:
         def side(which):
             try:
                 return self._c(node[which], ctx, env)
-            except StaticallyUndefined:
-                if op in ("=", "!=", "in", "&", "and", "or") and _undef_value_node(
-                    node[which]
+            except StaticallyUndefined as _e:
+                if op in ("=", "!=", "in", "&", "and", "or") and _proves_undef(
+                    _e, node[which]
                 ):
                     return None  # provably-undefined operand marker
                 raise
@@ -1786,7 +1813,7 @@ class Compiler:
                 return None
             try:
                 return self._c(a, ctx, env)
-            except StaticallyUndefined:
+            except StaticallyUndefined as _e:
                 # $count/$exists have defined constants for a provably
                 # undefined argument (round 7, widened round 9 to every
                 # propagation-sound shape; NOT $boolean — the interpreter
@@ -1794,9 +1821,9 @@ class Compiler:
                 # tier 2. An operator over the absent field with a defined
                 # result ($count(b = 1) = 1) resolves inside _binary and
                 # cannot reach here.
-                if name in ("count", "exists") and _undef_value_node(a):
+                if name in ("count", "exists") and _proves_undef(_e, a):
                     return Typed(F.lit(None), T.NullType())
-                if name == "append" and _undef_value_node(a):
+                if name == "append" and _proves_undef(_e, a):
                     # $append with a provably-undefined operand returns the
                     # OTHER operand unchanged (round 12) — marked with the
                     # sentinel subclass so _fn_append can tell a statically

@@ -1478,7 +1478,8 @@ def test_dual_tier_constant_corpus_sweep(spark):
     # round-11 grows the corpus itself by ~420 suite-port cases — measured
     # 631 compiled / 22 interpreter-only on the grown corpus; round-12
     # (top-level StaticallyUndefined fold, range/append undefined
-    # operands, spliced wildcards): measured 646 / 22
+    # operands, spliced wildcards, ProvablyUndefinedValue evaluation
+    # proofs): measured 651 / 17
     assert compiled_n >= 640, (compiled_n, skipped)
     print(f"\nconstant-sweep compiled: {compiled_n}, interpreter-only: {skipped}")
 
