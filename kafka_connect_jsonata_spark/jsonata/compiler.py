@@ -3735,13 +3735,32 @@ def _fold_lit(v):
             elems = [Typed(e.col.cast(other), other) for e in elems]
             dts = {other.simpleString()}
         if len(dts) != 1:
+            # an all-object list whose struct shapes differ still lifts
+            # when every VALUE type unifies: render as array<map<string,T>>
+            # ($spread over a constant — [{a:1},{b:2},{c:3}]; round 12).
+            # The engine's map and struct renderings are interchangeable
+            # for object values (both collect to dicts).
+            if all(isinstance(e, dict) and e for e in v):
+                ms = [_fold_map_lit(e) for e in v]
+                if all(m is not None for m in ms) and len(
+                    {m.dtype.simpleString() for m in ms}
+                ) == 1:
+                    return Typed(
+                        F.array(*[m.col for m in ms]),
+                        T.ArrayType(ms[0].dtype),
+                    )
             return None
         return Typed(
             F.array(*[e.col for e in elems]), T.ArrayType(elems[0].dtype)
         )
     if isinstance(v, dict):
         if not v:
-            return None
+            # the engine's established empty-object rendering (the object
+            # constructor emits the same form when every pair is omitted)
+            return Typed(
+                F.create_map().cast("map<string,string>"),
+                T.MapType(T.StringType(), T.StringType()),
+            )
         cols, fields = [], []
         for k, val in v.items():
             tv = _fold_lit(val)
@@ -3751,6 +3770,28 @@ def _fold_lit(v):
             fields.append(T.StructField(k, tv.dtype))
         return Typed(F.struct(*cols), T.StructType(fields))
     return None
+
+
+def _fold_map_lit(d: dict):
+    """Lift a non-empty dict constant as a ``map<string,T>`` literal when
+    every value's fold type unifies (bigint/double promote); None
+    otherwise. Used by :func:`_fold_lit` for all-object lists whose
+    struct shapes differ (round 12)."""
+    vals = [_fold_lit(x) for x in d.values()]
+    if any(x is None for x in vals):
+        return None
+    dts = {x.dtype.simpleString() for x in vals}
+    if dts == {"bigint", "double"}:
+        vals = [Typed(x.col.cast("double"), T.DoubleType()) for x in vals]
+        dts = {"double"}
+    if len(dts) != 1:
+        return None
+    entries = []
+    for k, tv in zip(d.keys(), vals):
+        entries.extend([F.lit(k), tv.col])
+    return Typed(
+        F.create_map(*entries), T.MapType(T.StringType(), vals[0].dtype)
+    )
 
 
 def _mentions_var(node, name: str) -> bool:
