@@ -1895,10 +1895,17 @@ def _heal_partition_swaps(spark, base: str, part_col: str) -> tuple[int, int]:
 def heal_sketch_store(spark, store_path: str) -> dict:
     """Restore both halves of a sketch store after a crashed
     partition-level swap (see :func:`_heal_partition_swaps`). Called
-    automatically by every store entry point that lists partitions
-    (match, delete, compaction, maintenance) so a crashed
-    :func:`delete_from_sketch_store` converges on the next touch instead
-    of silently losing a partition; also public for explicit repair.
+    automatically by the MUTATION entry points (delete, compaction,
+    maintenance) so a crashed :func:`delete_from_sketch_store` converges
+    on the next write touch; also public for explicit repair. The READ
+    path (:func:`minhash_match_against_store`) deliberately does NOT heal
+    (round 13): it reads stranded rename-aside dirs in place, so readers
+    never mutate the store and cannot race an in-flight delete's swap.
+
+    Single-writer contract: at most one mutation (delete / compact /
+    maintain / heal) may run against a store at a time — two concurrent
+    mutations can each interpret the other's in-flight rename-aside as
+    crash residue. Readers are safe concurrently with a single writer.
     Returns ``{"restored": n, "cleared": n}``."""
     ri, ci = _heal_partition_swaps(spark, f"{store_path}/index", "__p")
     rs, cs = _heal_partition_swaps(spark, f"{store_path}/sigs", "__q")
@@ -1939,16 +1946,50 @@ def _check_store_halves(spark, store_path: str) -> None:
 def _pruned_read(spark, base: str, part_col: str, vals) -> DataFrame | None:
     """Read ONLY the partition dirs of ``base`` whose value is in ``vals``
     (explicit path selection + basePath so ``part_col`` stays a column).
-    None when nothing matches — callers treat it as an empty history."""
+    None when nothing matches — callers treat it as an empty history.
+
+    Read-only crash tolerance (round 13, ADVICE r12 medium): a wanted
+    partition whose base dir is MISSING but whose ``<dir>__old``
+    rename-aside exists is read FROM the aside copy — that copy is the
+    pre-delete snapshot, which is exactly the store state for a CRASHED
+    delete (it never completed) and a consistent read during an in-flight
+    one. The previous behavior healed (renamed) from this read path,
+    which could race an in-flight :func:`delete_from_sketch_store`:
+    restoring ``__p=N__old`` between the delete's rename-aside and
+    swap-in makes the swap-in fail or, on rename-into-existing-dir
+    filesystems, nests the source. Readers now never mutate the store;
+    healing happens only in mutation/maintenance entry points and the
+    explicit :func:`heal_sketch_store`."""
     dirs = _list_partition_dirs(spark, base, part_col)
-    want = sorted(set(int(v) for v in vals) & set(dirs))
-    if not want:
+    wanted = sorted(set(int(v) for v in vals))
+    want = [v for v in wanted if v in dirs]
+    aside = []
+    missing = [v for v in wanted if v not in dirs]
+    if missing:
+        fs, _, jvm = _hadoop_fs(spark, base)
+        HPath = jvm.org.apache.hadoop.fs.Path
+        for v in missing:
+            p = f"{base}/{part_col}={v}__old"
+            if fs.exists(HPath(p)):
+                aside.append(p)
+    parts = []
+    if want:
+        parts.append(
+            spark.read.option("basePath", base)
+            .parquet(*[dirs[v] for v in want])
+            .drop(part_col)
+        )
+    for p in aside:
+        # direct dir read: hive layout keeps part_col in the dir name, so
+        # the files hold exactly the data columns the basePath read yields
+        # after .drop(part_col)
+        parts.append(spark.read.parquet(p))
+    if not parts:
         return None
-    return (
-        spark.read.option("basePath", base)
-        .parquet(*[dirs[v] for v in want])
-        .drop(part_col)
-    )
+    out = parts[0]
+    for extra in parts[1:]:
+        out = out.unionByName(extra)
+    return out
 
 
 def _pow2ceil(n: int) -> int:
@@ -2104,9 +2145,12 @@ def minhash_match_against_store(
     if meta is None:
         raise ValueError(f"no sketch store at {store_path}")
     _check_store_halves(spark, store_path)
-    # converge a crashed delete swap before pruning against the listing —
-    # a stranded __p=N__old otherwise reads as an EMPTY partition
-    heal_sketch_store(spark, store_path)
+    # NO healing here (round 13, ADVICE r12): this is a read path, and
+    # renaming __p=N__old back while a delete is in flight races its
+    # swap-in. _pruned_read reads stranded rename-aside dirs in place —
+    # a crashed delete's data is visible without mutating the store; the
+    # actual repair happens on the next mutation/maintenance touch or an
+    # explicit heal_sketch_store().
     params = {
         k: meta[k] for k in ("num_hashes", "n_bands", "ngram", "seed")
     }
@@ -2295,7 +2339,11 @@ def delete_from_sketch_store(
     being forced through driver memory)
     and swapped in with the crash-safe rename-aside order; a partition
     whose rows are all deleted is removed outright (absent partition ==
-    empty partition for the pruned reader). A crash mid-swap leaves
+    empty partition for the pruned reader). Single-writer contract
+    (round 13): at most one mutation (delete / compact / maintain) may
+    run per store at a time — see :func:`heal_sketch_store`; concurrent
+    READERS are safe (they read rename-aside dirs in place and never
+    mutate). A crash mid-swap leaves
     ``<dir>__old`` residue that the next delete/compaction heals; the
     operation is idempotent — re-running it converges.
 

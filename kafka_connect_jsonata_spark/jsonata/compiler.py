@@ -95,18 +95,44 @@ class ProvablyUndefinedValue(StaticallyUndefined):
     subtree through the tier-2 interpreter and the result was undefined
     (round 12). Unlike a plain :class:`StaticallyUndefined` escaping an
     arbitrary inner position, this is a direct proof that the NODE'S OWN
-    VALUE is undefined — catch sites may accept it without the syntactic
-    :func:`_undef_value_node` gate (evaluation proof >= syntactic proof).
-    Valid in open-world mode too: the subtree was constant, so no open
-    field existence was assumed."""
+    VALUE is undefined. The proof names its node (``self.node``): catch
+    sites accept it ONLY for that exact AST node (round 13 — an untagged
+    acceptance let a proof for ``$keys({})`` escape through ``$zip``,
+    whose undefined-arg result is DEFINED, and wrongly fold the whole
+    enclosing expression). Positions through which undefined provably
+    propagates re-tag via :func:`_reraise_propagated`. Valid in
+    open-world mode too: the subtree was constant, so no open field
+    existence was assumed."""
+
+    def __init__(self, msg: str, node: dict | None = None):
+        super().__init__(msg)
+        self.node = node
 
 
 def _proves_undef(exc: Exception, node: dict) -> bool:
     """Gate for StaticallyUndefined catch sites with a SINGLE raising
     child: the child's value is proven undefined either by evaluation
-    (:class:`ProvablyUndefinedValue`) or syntactically
-    (:func:`_undef_value_node`)."""
-    return isinstance(exc, ProvablyUndefinedValue) or _undef_value_node(node)
+    (a :class:`ProvablyUndefinedValue` tagged with THIS node — an
+    evaluation proof is only a proof about the node it was raised for)
+    or syntactically (:func:`_undef_value_node`)."""
+    return (
+        isinstance(exc, ProvablyUndefinedValue)
+        and getattr(exc, "node", None) is node
+    ) or _undef_value_node(node)
+
+
+def _reraise_propagated(exc: Exception, inner_node: dict, outer_node: dict):
+    """Re-raise ``exc`` from a position where undefined provably
+    propagates (f(undefined) -> undefined): when ``exc`` proves
+    ``inner_node``'s value undefined, the proof transfers to
+    ``outer_node``, so raise a fresh :class:`ProvablyUndefinedValue`
+    tagged with it; otherwise re-raise unchanged (the outer catch sites
+    fall back to the syntactic gate / tier 2)."""
+    if _proves_undef(exc, inner_node):
+        raise ProvablyUndefinedValue(
+            str(exc) or "propagated undefined", node=outer_node
+        ) from exc
+    raise exc
 
 
 def _pure_path_node(node: dict) -> bool:
@@ -219,13 +245,17 @@ def _node_can_raise(node) -> bool:
     filter node (the sources of StaticallyUndefined — a filter can raise
     without any name present: a constant out-of-range index into a
     singleton, e.g. ``$v[5]`` with ``$v`` env-bound to a scalar; round-10
-    advisor fix)? Used to rule out escapes from non-propagating positions
-    inside :func:`_undef_value_node` arms."""
+    advisor fix)? Since round 12, CALL nodes can raise too: a provably-
+    constant call like ``$keys({})`` evaluates through :meth:`_fold`,
+    which raises :class:`ProvablyUndefinedValue` when the value is
+    undefined — so calls count as raise-capable (round 13). Used to rule
+    out escapes from non-propagating positions inside
+    :func:`_undef_value_node` arms."""
     if isinstance(node, (list, tuple)):
         return any(_node_can_raise(x) for x in node)
     if not isinstance(node, dict):
         return False
-    if node.get("type") in ("name", "filter"):
+    if node.get("type") in ("name", "filter", "call"):
         return True
     return any(
         _node_can_raise(v)
@@ -460,7 +490,7 @@ class Compiler:
             # $keys('str'), $spread([]) etc. fold through the same catch
             # sites as schema-absent paths
             raise ProvablyUndefinedValue(
-                "constant subtree evaluates to undefined"
+                "constant subtree evaluates to undefined", node=node
             )
         return _fold_lit(v)
 
@@ -729,7 +759,11 @@ class Compiler:
         if t == "binary":
             return self._binary(node, ctx, env)
         if t == "unary":
-            inner = self._c(node["expression"], ctx, env)
+            try:
+                inner = self._c(node["expression"], ctx, env)
+            except StaticallyUndefined as _e:
+                # -undefined is undefined: transfer the proof to this node
+                _reraise_propagated(_e, node["expression"], node)
             return Typed(-inner.col, inner.dtype)
         if t == "condition":
             try:
@@ -740,7 +774,9 @@ class Compiler:
                 if not _proves_undef(_e, node["condition"]):
                     raise
                 if node["else"] is None:
-                    raise  # whole expression undefined; let callers fold
+                    # no else branch -> the whole expression is undefined;
+                    # the proof about the condition transfers to this node
+                    _reraise_propagated(_e, node["condition"], node)
                 return self._c(node["else"], ctx, env)
             then = self._c(node["then"], ctx, env)
             els = (
@@ -784,7 +820,15 @@ class Compiler:
                     child[expr["var"]] = self._c(rhs, ctx, child)
                     result = child[expr["var"]]
                 else:
-                    result = self._c(expr, ctx, child)
+                    try:
+                        result = self._c(expr, ctx, child)
+                    except StaticallyUndefined as _e:
+                        if expr is node["expressions"][-1]:
+                            # the block's value IS its final expression's
+                            # value: the proof transfers to the block node
+                            # (round 13)
+                            _reraise_propagated(_e, expr, node)
+                        raise
             if result is None:
                 raise NotCompilable("empty block (or block valued as a lambda)")
             return result
@@ -915,7 +959,11 @@ class Compiler:
                 ok_r = _undef_value_node(node["rhs"]) or not _node_can_raise(
                     node["rhs"]
                 )
-                if isinstance(_e, ProvablyUndefinedValue) or (ok_l and ok_r):
+                endpoint_proof = isinstance(_e, ProvablyUndefinedValue) and (
+                    getattr(_e, "node", None) is node["lhs"]
+                    or getattr(_e, "node", None) is node["rhs"]
+                )
+                if endpoint_proof or (ok_l and ok_r):
                     return Typed(
                         F.array().cast("array<long>"),
                         T.ArrayType(T.LongType()),
@@ -1651,6 +1699,11 @@ class Compiler:
                     _e, node[which]
                 ):
                     return None  # provably-undefined operand marker
+                if op in ("+", "-", "*", "/", "%", "<", "<=", ">", ">="):
+                    # undefined propagates through arithmetic and order
+                    # comparison: a proof about the operand is a proof
+                    # about the whole binary node (round 13)
+                    _reraise_propagated(_e, node[which], node)
                 raise
 
         lhs = side("lhs")
@@ -1829,6 +1882,18 @@ class Compiler:
                     # sentinel subclass so _fn_append can tell a statically
                     # ABSENT argument from a literal null VALUE
                     return _UndefArg(F.lit(None), T.NullType())
+                if name in _UNDEF_PROPAGATING_FNS and a is args[0]:
+                    # f(undefined, ...) -> undefined for these builtins —
+                    # FIRST argument only, matching _undef_value_node's
+                    # call arm ($power(2, nope) throws T0410; $substring(
+                    # 'abc', nope) is 'abc') — so the proof about the
+                    # argument transfers to the call node (round 13). For
+                    # any other function or position the re-raise carries
+                    # no proof about the call: an outer catch may only
+                    # accept it on syntactic grounds, never via the
+                    # evaluation tag (e.g. $zip drops undefined args and
+                    # returns a DEFINED value).
+                    _reraise_propagated(_e, a, node)
                 raise
 
         typed_args = [arg_of(a) for a in args]

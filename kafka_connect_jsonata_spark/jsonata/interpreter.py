@@ -13,6 +13,8 @@ can't translate (``**``, ``%``, ``$eval``, recursion, schema-as-data).
 
 from __future__ import annotations
 
+import functools as _functools
+import inspect as _inspect
 import math
 import re as _re
 import sys
@@ -279,6 +281,39 @@ def validate_signature(specs, args):
     return out
 
 
+@_functools.lru_cache(maxsize=None)
+def _cached_signature(fn):
+    return _inspect.signature(fn)
+
+
+_SHARED_BUILTINS: tuple | None = None
+
+
+def _shared_builtins() -> dict:
+    """One immutable :class:`Builtin` per ``lib.REGISTRY`` entry, shared
+    across every :class:`Jsonata` instance (round-13 ADVICE fix): the
+    instances hold only static registry properties, and ``Compiler._fold``
+    constructs a fresh ``Jsonata`` per constant subtree — per-instance
+    construction paid ~dozens of signature introspections per fold.
+    Rebuilt only if the registry object or its size changes (it is not
+    mutated at runtime today)."""
+    global _SHARED_BUILTINS
+    if (
+        _SHARED_BUILTINS is None
+        or _SHARED_BUILTINS[0] is not lib.REGISTRY
+        or _SHARED_BUILTINS[1] != len(lib.REGISTRY)
+    ):
+        _SHARED_BUILTINS = (
+            lib.REGISTRY,
+            len(lib.REGISTRY),
+            {
+                name: Builtin(name, fn, ctx)
+                for name, (fn, ctx) in lib.REGISTRY.items()
+            },
+        )
+    return _SHARED_BUILTINS[2]
+
+
 class Builtin:
     jsonata_callable = True
 
@@ -288,14 +323,15 @@ class Builtin:
         self.name = name
         self.fn = fn
         self.ctx_arity = ctx_arity
-        # bound once at registry construction: invoke() arity-checks with
-        # pysig.bind BEFORE the call, so a TypeError raised DEEP inside the
-        # builtin (a user extension callable under $map/$reduce, or a real
-        # interpreter bug) propagates as itself instead of being mislabeled
-        # T0410 (round-12 ADVICE fix)
-        import inspect
-
-        self.pysig = inspect.signature(fn)
+        # invoke() arity-checks with pysig.bind BEFORE the call, so a
+        # TypeError raised DEEP inside the builtin (a user extension
+        # callable under $map/$reduce, or a real interpreter bug)
+        # propagates as itself instead of being mislabeled T0410
+        # (round-12 ADVICE fix). The signature is a static property of
+        # the function: memoized per fn (round-13 ADVICE fix — Compiler
+        # _fold creates a Jsonata per constant subtree, and introspecting
+        # every builtin per instance was pure overhead).
+        self.pysig = _cached_signature(fn)
 
 
 class Partial:
@@ -401,11 +437,12 @@ class Jsonata:
         self._depth = 0
         self._ticks = 0
         self.timestamp_ms = 0
-        # builtins are immutable: bind them once per instance; each evaluate()
-        # works in a child frame so per-record binds never touch this one
+        # builtins are immutable and SHARED across instances (round-13
+        # ADVICE fix); each evaluate() works in a child frame so
+        # per-record binds never touch this one
         self._builtins = Frame()
-        for name, (fn, ctx) in lib.REGISTRY.items():
-            self._builtins.bind(name, Builtin(name, fn, ctx))
+        for name, b in _shared_builtins().items():
+            self._builtins.bind(name, b)
         # closure-compile the AST (microseconds, once per instance): hot
         # node types become direct Python closures, the rest fall back to
         # the tree walker per subtree. Not cached on the AST dict — that
@@ -1184,8 +1221,8 @@ class Jsonata:
         else:
             env = Frame()
             env.bind("$", context)
-            for name, (fn, ctx_ar) in lib.REGISTRY.items():
-                env.bind(name, Builtin(name, fn, ctx_ar))
+            for name, b in _shared_builtins().items():
+                env.bind(name, b)
         ctx = (
             context
             if not is_undef(context)

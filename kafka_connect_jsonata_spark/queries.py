@@ -5066,12 +5066,18 @@ def dataset_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.snapshot_diff(v1, v2, id_col="doc_id").orderBy("doc_id")
 
 
+# fingerprint mirrors snapshot_diff's NULL sentinel (relational.py:
+# coalesce to \x00) so a NULL text present in both snapshots hashes
+# equal on both sides instead of NULL = NULL -> 'changed' (ADVICE r12)
 DATASET_DIFF_SQL = """
 WITH v1 AS (
-  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 7 <> 0),
+  SELECT doc_id, md5(coalesce(text, chr(0))) AS fp
+  FROM documents WHERE doc_id % 7 <> 0),
 v2 AS (
   SELECT doc_id,
-         md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS fp
+         md5(coalesce(
+           CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END,
+           chr(0))) AS fp
   FROM documents WHERE doc_id % 5 <> 0)
 SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
        CASE WHEN v1.doc_id IS NULL THEN 'added'

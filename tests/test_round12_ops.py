@@ -60,3 +60,36 @@ def test_snapshot_diff_fingerprint_is_mapside(spark, sf_dir):
     # and no text column crosses the exchange boundary upward
     head = plan[:ex]
     assert "text#" not in head.split("Exchange")[0].split("Project")[0]
+
+
+def test_dataset_diff_oracle_null_text_parity(spark, tmp_path):
+    """ADVICE r12 (low): DATASET_DIFF_SQL must mirror snapshot_diff's
+    NULL sentinel (coalesce to \\x00) — a NULL text present in both
+    snapshots is 'unchanged' on BOTH sides, including when the %11
+    mutation branch turns NULL || ' v2' into NULL."""
+    import duckdb
+
+    from kafka_connect_jsonata_spark.queries import (
+        DATASET_DIFF_SQL,
+        dataset_diff_docs,
+    )
+
+    # doc_ids chosen to hit every branch with NULL text: 11 (%11 mutation),
+    # 13 (plain), 10 (v1-only -> removed), 7 (v2-only -> added)
+    rows = [(11, None), (13, None), (10, None), (7, None), (3, "kept")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pq = str(tmp_path / "documents.parquet")
+    docs.coalesce(1).write.parquet(pq)
+
+    got = {
+        r["doc_id"]: r["status"]
+        for r in dataset_diff_docs(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM parquet_scan('{pq}/*.parquet')"
+    )
+    want = dict(con.execute(DATASET_DIFF_SQL).fetchall())
+    assert got == want
+    assert got[11] == "unchanged" and got[13] == "unchanged"
+    assert got[10] == "removed" and got[7] == "added"

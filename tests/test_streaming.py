@@ -1230,7 +1230,11 @@ def test_sketch_store_delete_crash_states_recover(spark, sf_dir, tmp_path):
 
     # (a) rename-aside done, swap-in not: the partition exists ONLY as
     # __p=N__old. Pre-fix this silently dropped every match that lived in
-    # the stranded partition; now the match path heals it first.
+    # the stranded partition. Round 13 (ADVICE r12 medium): the match
+    # path is READ-ONLY — it reads the aside copy in place (the
+    # pre-delete snapshot IS the store state for a crashed delete) and
+    # leaves the crash state for a mutation/explicit heal, so a reader
+    # can never race an in-flight delete's swap-in.
     victims = populated_dirs("index")[:2]
     for d in victims:
         shutil.move(f"{store}/index/{d}", f"{store}/index/{d}__old")
@@ -1242,10 +1246,11 @@ def test_sketch_store_delete_crash_states_recover(spark, sf_dir, tmp_path):
     )
     assert got == want
     for d in victims:
-        assert os.path.isdir(f"{store}/index/{d}")
-        assert not os.path.exists(f"{store}/index/{d}__old")
+        # read-only: the crash state is untouched by the match
+        assert not os.path.exists(f"{store}/index/{d}")
+        assert os.path.isdir(f"{store}/index/{d}__old")
 
-    # same crash state on the sigs half
+    # same crash state on the sigs half — still read-only, still intact
     sig_victim = populated_dirs("sigs")[0]
     shutil.move(f"{store}/sigs/{sig_victim}", f"{store}/sigs/{sig_victim}__old")
     got = sorted(
@@ -1255,7 +1260,24 @@ def test_sketch_store_delete_crash_states_recover(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert got == want
+    assert os.path.isdir(f"{store}/sigs/{sig_victim}__old")
+    assert not os.path.exists(f"{store}/sigs/{sig_victim}")
+
+    # the explicit heal API restores every stranded partition; results
+    # unchanged afterwards
+    res = dedup.heal_sketch_store(spark, store)
+    assert res["restored"] == 3 and res["cleared"] == 0
+    for d in victims:
+        assert os.path.isdir(f"{store}/index/{d}")
+        assert not os.path.exists(f"{store}/index/{d}__old")
     assert os.path.isdir(f"{store}/sigs/{sig_victim}")
+    got = sorted(
+        tuple(r)
+        for r in dedup.minhash_match_against_store(
+            batch, store, threshold=0.5
+        ).collect()
+    )
+    assert got == want
 
     # (b) swap-in done, residue not cleaned: base dir holds the CURRENT
     # data; the stale aside copy must be dropped, not restored over it.
