@@ -156,6 +156,8 @@ HEADLINE = [
     "q15_top_supplier",
     "q16_parts_supplier_relationship",
     "jsonata_transform_update",
+    # round 13: sorted-neighborhood blocking
+    "sorted_neighbor_dups_docs",
 ]
 
 

@@ -2500,3 +2500,150 @@ def delete_from_parquet_table(
     kept.write.mode("overwrite").parquet(str(tmp))
     _swap_dirs(fs, src, tmp, "delete_from_parquet_table")
     return removed
+
+
+# ---------------------------------------------------------------------------
+# C88: sorted-neighborhood near-dup blocking (round 13)
+# ---------------------------------------------------------------------------
+
+def snm_sort_key(text_col: str | Column, key_len: int = 80) -> Column:
+    """The sorted-neighborhood blocking key: lowercase, strip every
+    non-alphanumeric, truncate. Near-identical documents (whitespace /
+    punctuation / casing edits, trailing additions) collapse onto equal
+    or shared-prefix keys and become SORT NEIGHBORS."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.substring(
+        F.regexp_replace(F.lower(c), "[^a-z0-9]", ""), 1, key_len
+    )
+
+
+def sorted_neighbor_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 1,
+    key_len: int = 80,
+    prefix_len: int = 40,
+    exact: bool | str = "auto",
+    exact_cap: int = 5_000_000,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood method (SNM) near-dup blocking (Hernandez &
+    Stolfo, SIGMOD '95): sort the corpus on a normalized key and compare
+    each record only to its ``window`` successors in sort order — a
+    THIRD blocking family next to LSH (minhash_lsh_pairs) and prefix-
+    filtered set-similarity (ngram_jaccard_pairs). It catches the exact
+    class LSH is weakest on at tiny cost: boilerplate-prefix families
+    and casing/punctuation mutants, which land adjacent after key
+    normalization. Total comparisons are ``window * N`` — no candidate
+    explosion by construction.
+
+    A pair (earlier-rank ``a_id``, later ``b_id``, rank distance
+    ``gap``) is emitted when the two keys are equal OR share a
+    ``prefix_len``-char prefix (both at least that long).
+
+    Two tiers, identical output (parity test-pinned):
+
+    - ``exact=True`` (gate tier, SQL-reproducible): global
+      ``row_number`` over (key, id) — one-task window, only safe below
+      ``exact_cap`` rows.
+    - ``exact=False`` (the 100 TB tier): ranks come from a range
+      exchange, NOT a global window — ``repartitionByRange(key, id)``
+      + in-partition sort gives globally ordered partitions; a
+      per-partition count aggregation (P rows) cumsums on the driver
+      into partition offsets, and a mapInPandas running counter adds
+      the local rank. No single-task stage anywhere; driver state is
+      O(partitions).
+
+    Pairing is a rank equi-self-join: ranks are dense and unique, so the
+    shuffle keys are uniform (skew-free by construction) and the join
+    fans out exactly ``window`` rows per record. ``exact='auto'`` probes
+    ``df.count()`` once.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    spark = df.sparkSession
+    keyed = df.select(
+        F.col(id_col).alias("__id"),
+        snm_sort_key(text_col, key_len).alias("__key"),
+    ).filter(F.col("__key").isNotNull())
+    if exact == "auto":
+        exact = keyed.count() <= int(exact_cap)
+    if exact:
+        w = Window.orderBy(F.col("__key").asc(), F.col("__id").asc())
+        ranked = keyed.withColumn(
+            "__rnk", F.row_number().over(w).cast("long") - 1
+        )
+    else:
+        P = int(
+            n_parts
+            or spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        parts = keyed.repartitionByRange(
+            P, F.col("__key").asc(), F.col("__id").asc()
+        ).sortWithinPartitions("__key", "__id")
+        withpid = parts.withColumn("__pid", F.spark_partition_id())
+        counts = {
+            r["__pid"]: r["n"]
+            for r in withpid.groupBy("__pid").agg(
+                F.count("*").alias("n")
+            ).collect()  # P rows
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        out_schema = (
+            "__id "
+            + dict(keyed.dtypes)["__id"]
+            + ", __key string, __rnk long"
+        )
+
+        def attach_rank(it):
+            # mapInPandas iterates the batches of ONE (sorted) partition;
+            # a running counter is the local rank, the broadcast offset
+            # lifts it to the global one
+            local = 0
+            for pdf in it:
+                pid = int(pdf["__pid"].iloc[0])
+                n = len(pdf)
+                pdf = pdf[["__id", "__key"]].copy()
+                pdf["__rnk"] = range(
+                    offsets[pid] + local, offsets[pid] + local + n
+                )
+                local += n
+                yield pdf
+
+        ranked = withpid.mapInPandas(attach_rank, out_schema)
+    lhs = ranked.select(
+        F.col("__id").alias("a_id"),
+        F.col("__key").alias("__akey"),
+        F.explode(
+            F.sequence(
+                F.col("__rnk") + 1, F.col("__rnk") + F.lit(int(window))
+            )
+        ).alias("__rnk"),
+        (F.col("__rnk")).alias("__arnk"),
+    )
+    pairs = lhs.join(
+        ranked.select(
+            F.col("__id").alias("b_id"),
+            F.col("__key").alias("__bkey"),
+            "__rnk",
+        ),
+        "__rnk",
+    )
+    plen = int(prefix_len)
+    match = (F.col("__akey") == F.col("__bkey")) | (
+        (F.length("__akey") >= plen)
+        & (F.length("__bkey") >= plen)
+        & (
+            F.substring("__akey", 1, plen)
+            == F.substring("__bkey", 1, plen)
+        )
+    )
+    return pairs.filter(match).select(
+        "a_id",
+        "b_id",
+        (F.col("__rnk") - F.col("__arnk")).cast("int").alias("gap"),
+    )

@@ -5089,6 +5089,44 @@ ORDER BY doc_id
 """
 
 
+def sorted_neighbor_dups_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C88: sorted-neighborhood near-dup blocking (Hernandez & Stolfo,
+    SIGMOD '95) — sort on the normalized key, compare each doc to its 2
+    sort successors, keep pairs with equal keys or a 40-char shared
+    prefix. The third blocking family beside LSH and prefix-filtered
+    set-similarity; comparisons are window*N by construction. Auto tier
+    takes the exact global-window path at gate scale; the 100 TB tier is
+    a range exchange + driver prefix-sum rank (no single-task stage) —
+    parity unit-pinned."""
+    from kafka_connect_jsonata_spark.functions.dedup import (
+        sorted_neighbor_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sorted_neighbor_pairs(
+        docs, window=2, key_len=80, prefix_len=40
+    ).orderBy("a_id", "b_id")
+
+
+SORTED_NEIGHBOR_SQL = """
+WITH k AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 80)
+           AS key
+  FROM documents WHERE text IS NOT NULL),
+r AS (
+  SELECT doc_id, key,
+         row_number() OVER (ORDER BY key, doc_id) AS rnk
+  FROM k)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(b.rnk - a.rnk AS INT) AS gap
+FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 2
+WHERE a.key = b.key
+   OR (length(a.key) >= 40 AND length(b.key) >= 40
+       AND substr(a.key, 1, 40) = substr(b.key, 1, 40))
+ORDER BY a_id, b_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5187,10 +5225,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_docs": dedup_exact_docs,
     "char_entropy_docs": char_entropy_docs,
     "dataset_diff_docs": dataset_diff_docs,
-    "ann_ivf_topk": ann_ivf_topk,
+    "inverted_index_terms": inverted_index_terms,
     "minhash_dedup_docs": minhash_dedup_docs,
     "semantic_clusters_vecs": semantic_clusters_vecs,
-    "weighted_sample_docs": weighted_sample_docs,
+    "cluster_balanced_docs": cluster_balanced_docs,
     "pack_token_budget_docs": pack_token_budget_docs,
     "safe_transform_dlq": safe_transform_dlq,
     "bm25_search": bm25_search,
@@ -5200,21 +5238,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jsonata_flagship": jsonata_flagship,
     "quality_classifier_docs": quality_classifier_docs,
     "jsonata_interpreter": jsonata_interpreter,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "unpivot_lineitem": unpivot_lineitem,
+    "score_normalize_docs": score_normalize_docs,
+    "curriculum_order_docs": curriculum_order_docs,
     # -- streaming / sketch / multimodal / curation gates --
     "sessionize_events": sessionize_events,
     "percentile_summary": percentile_summary,
-    "q2_minimum_cost_supplier": q2_minimum_cost_supplier,
-    "tumbling_window_agg": tumbling_window_agg,
+    "sorted_neighbor_dups_docs": sorted_neighbor_dups_docs,
+    "vocab_coverage_docs": vocab_coverage_docs,
     "embedding_dup_pairs": embedding_dup_pairs_q,
     "multimodal_frame_sample": multimodal_frame_sample,
     "funnel_events": funnel_events,
-    "normalize_docs": normalize_docs,
+    "unimax_mix_docs": unimax_mix_docs,
     "q20_potential_promotion_suppliers": q20_potential_promotion_suppliers,
     "ngram_jaccard_dups": ngram_jaccard_dups,
-    "interval_join_parts": interval_join_parts,
-    "bigram_logprob_docs": bigram_logprob_docs,
+    "clean_lines_docs": clean_lines_docs,
+    "dsir_select_docs": dsir_select_docs,
     "quantile_filter_docs": quantile_filter_docs,
     "minhash_dedup_incr_docs": minhash_dedup_incr_docs,
     "q11_important_stock": q11_important_stock,
@@ -5223,10 +5261,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup_pairs": semantic_dedup_pairs,
     "dsir_gumbel_docs": dsir_gumbel_docs,
     "q7_volume_shipping": q7_volume_shipping,
-    "chunk_overlap_docs": chunk_overlap_docs,
+    "embedding_quantize_stats": embedding_quantize_stats,
     "simhash_dup_pairs_docs": simhash_dup_pairs_docs,
     "scrub_spans_docs": scrub_spans_docs,
-    "dup_ngram_coverage_docs": dup_ngram_coverage_docs,
+    "multimodal_byte_stats": multimodal_byte_stats,
     "knn_graph_edges": knn_graph_edges,
     "curation_pipeline_v3_docs": curation_pipeline_v3_docs,
     # -- past the gate window: oracle-registered siblings (builder sweep) --
@@ -5261,10 +5299,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_discounted_revenue": q19_discounted_revenue,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "minhash_dedup_best_docs": minhash_dedup_best_docs,
-    "inverted_index_terms": inverted_index_terms,
-    "cluster_balanced_docs": cluster_balanced_docs,
+    "ann_ivf_topk": ann_ivf_topk,
+    "weighted_sample_docs": weighted_sample_docs,
     "embedding_diversify_docs": embedding_diversify_docs,
-    "unimax_mix_docs": unimax_mix_docs,
+    "normalize_docs": normalize_docs,
     "minhash_dedup_boiler_docs": minhash_dedup_boiler_docs,
     # round-9 window demotions (families stay represented in-window by
     # dup_span_removal_docs / char_entropy_docs):
@@ -5276,19 +5314,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_large_volume_customer": q18_large_volume_customer,
     "bloom_semi_join_lineitem": bloom_semi_join_lineitem,
     "curation_pipeline_v2_docs": curation_pipeline_v2_docs,
-    "score_normalize_docs": score_normalize_docs,
-    "curriculum_order_docs": curriculum_order_docs,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "unpivot_lineitem": unpivot_lineitem,
     "embedding_covariance_stats": embedding_covariance_stats,
     "unigram_logprob_docs": unigram_logprob_docs,
     "repetition_quality": repetition_quality,
-    "clean_lines_docs": clean_lines_docs,
+    "interval_join_parts": interval_join_parts,
     "text_doc_stats": text_doc_stats,
     "q8_market_share": q8_market_share,
     "q13_customer_distribution": q13_customer_distribution,
     "q9_product_type_profit": q9_product_type_profit,
     "curation_pipeline_docs": curation_pipeline_docs,
-    "dsir_select_docs": dsir_select_docs,
-    "vocab_coverage_docs": vocab_coverage_docs,
+    "bigram_logprob_docs": bigram_logprob_docs,
+    "tumbling_window_agg": tumbling_window_agg,
     "q5_local_supplier": q5_local_supplier,
     # round-9 TPC-H correlated-subquery tail (verdict item 4; sweep —
     # TPC-H family holds five in-window rows via the round-9 rotation)
@@ -5296,7 +5334,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udtf_explode_tokens": udtf_explode_tokens,
     "temperature_token_mix_docs": temperature_token_mix_docs,
     "embedding_outlier_docs": embedding_outlier_docs,
-    "multimodal_byte_stats": multimodal_byte_stats,
+    "dup_ngram_coverage_docs": dup_ngram_coverage_docs,
     "tfidf_top_terms": tfidf_top_terms,
     "kmeans_assign": kmeans_assign,
     "chunk_dedup_docs": chunk_dedup_docs,
@@ -5330,7 +5368,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_returnflag": pivot_returnflag,
     "token_count_summary": token_count_summary,
     "hash_split_counts": hash_split_counts,
-    "embedding_quantize_stats": embedding_quantize_stats,
+    "chunk_overlap_docs": chunk_overlap_docs,
     "jsonata_string_ops": jsonata_string_ops,
     "skew_split_right_join": skew_split_right_join,
     "asof_forward_events_orders": asof_forward_events_orders,
@@ -5346,6 +5384,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_audio_features": multimodal_audio_features,
     "pca_project_embeddings": pca_project_embeddings,
     "kmeans_clusters": kmeans_clusters,
+    "q2_minimum_cost_supplier": q2_minimum_cost_supplier,
     "stream_incremental_dedup_docs": stream_incremental_dedup_docs,
 }
 
@@ -5464,6 +5503,7 @@ ORACLES: dict[str, str] = {
     "dsir_gumbel_docs": DSIR_GUMBEL_SQL,
     "char_entropy_docs": CHAR_ENTROPY_SQL,
     "dataset_diff_docs": DATASET_DIFF_SQL,
+    "sorted_neighbor_dups_docs": SORTED_NEIGHBOR_SQL,
     "semantic_clusters_vecs": SEMANTIC_CLUSTERS_SQL,
     "scrub_spans_docs": SCRUB_SPANS_SQL,
     "resample_gapfill_events": RESAMPLE_GAPFILL_SQL,
