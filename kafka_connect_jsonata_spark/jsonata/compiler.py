@@ -181,10 +181,11 @@ def _undef_value_node(node: dict) -> bool:
     the catch site cannot tell which child raised."""
     t = node.get("type")
     if t in ("number", "string", "value", "regex", "variable"):
-        # literals and variable references cannot raise StaticallyUndefined
-        # themselves (an unbound variable raises plain NotCompilable), so
-        # they pass trivially; a NAME STEP over one ($$.t) can and does
-        # propagate
+        # literals cannot raise StaticallyUndefined themselves; a variable
+        # CAN since round 13 (unbound / _UNDEF_BINDING -> node-tagged
+        # ProvablyUndefinedValue), and that proof is precisely "this
+        # node's value is undefined", so the trivial True stays correct.
+        # A NAME STEP over one ($$.t) can and does propagate.
         return True
     if t == "name":
         return True
@@ -255,7 +256,10 @@ def _node_can_raise(node) -> bool:
         return any(_node_can_raise(x) for x in node)
     if not isinstance(node, dict):
         return False
-    if node.get("type") in ("name", "filter", "call"):
+    if node.get("type") in ("name", "filter", "call", "variable"):
+        # variables raise since round 13: an unbound variable (or an
+        # _UNDEF_BINDING lambda param) raises a node-tagged
+        # ProvablyUndefinedValue
         return True
     return any(
         _node_can_raise(v)
@@ -420,6 +424,13 @@ class CompiledLambda:
     params: list
     body: dict
     env: dict
+    sig: str | None = None  # raw "<n?>"-style signature, for optionality
+
+
+# binding marker for a lambda parameter whose argument is PROVABLY
+# undefined (or absent): referencing the variable raises a node-tagged
+# ProvablyUndefinedValue, exactly like tier 2 binding UNDEFINED (round 13)
+_UNDEF_BINDING = object()
 
 
 class Compiler:
@@ -519,8 +530,25 @@ class Compiler:
                 # detached sub-expression with no recorded root)
                 return getattr(self, "_root_ctx", None) or ctx
             if name in env:
-                return env[name]
-            raise NotCompilable(f"unbound variable ${name}")
+                bound = env[name]
+                if bound is _UNDEF_BINDING:
+                    raise ProvablyUndefinedValue(
+                        f"undefined binding ${name}", node=node
+                    )
+                return bound
+            from kafka_connect_jsonata_spark.jsonata import functions as _lib
+
+            if name in _lib.REGISTRY or hasattr(self, "_fn_" + name):
+                # a bare builtin reference is a FUNCTION value, not
+                # undefined — only tier 2 can represent it
+                raise NotCompilable(f"bare function reference ${name}")
+            # jsonata-js: referencing an undeclared variable is not an
+            # error — it evaluates to undefined (round 13); bindings are
+            # fully static in this compiler, so unbound here means
+            # unbound at runtime
+            raise ProvablyUndefinedValue(
+                f"unbound variable ${name}", node=node
+            )
         if t == "name":
             r = self._field(ctx, node["value"])
             if isinstance(ctx.dtype, (T.StructType, T.MapType)):
@@ -797,7 +825,10 @@ class Compiler:
                         # keep the lambda as AST + captured env; invocations
                         # and HOF references inline it later
                         child[expr["var"]] = CompiledLambda(
-                            rhs["args"], rhs["body"], dict(child)
+                            rhs["args"],
+                            rhs["body"],
+                            dict(child),
+                            rhs.get("signature"),
                         )
                         result = None  # a block VALUE of lambda type: tier 2
                         continue
@@ -1779,6 +1810,29 @@ class Compiler:
         return v.col.cast("string")
 
     # -------------------------------------------------------------- functions
+    def _lambda_param_optional(self, lam: "CompiledLambda", i: int) -> bool:
+        """May the i-th parameter of this bound lambda legally bind
+        undefined? Without a signature jsonata performs no validation
+        (undefined binds silently); with one, only ``?``-marked params
+        accept a missing/undefined argument — anything else (required,
+        context-substituting ``-``, variadic) is tier-2 territory."""
+        if not lam.sig:
+            return True
+        try:
+            from kafka_connect_jsonata_spark.jsonata.interpreter import (
+                parse_signature,
+            )
+
+            specs = parse_signature(lam.sig)
+        except Exception:
+            return False
+        if i >= len(specs):
+            return True
+        s = specs[i]
+        return bool(s.get("optional")) and not s.get("context") and not s.get(
+            "variadic"
+        )
+
     def _builtin_as_lambda(self, name: str, env: dict) -> "CompiledLambda":
         """Wrap a builtin reference ($uppercase in HOF/alias position) as a
         one-arg lambda calling it, so it inlines like a bound lambda."""
@@ -1811,8 +1865,29 @@ class Compiler:
             # inline the bound lambda: compile args in the CALLER's env,
             # evaluate the body in the lambda's captured env (closure)
             child = dict(lam.env)
-            for p, anode in zip(lam.params, node["arguments"]):
-                child[p] = self._c(anode, ctx, env)
+            for i, p in enumerate(lam.params):
+                if i >= len(node["arguments"]):
+                    # missing trailing argument binds undefined, exactly
+                    # like tier 2 (round 13) — unless a signature REQUIRES
+                    # it, in which case tier 2 raises T0410 and we must
+                    # not fold: route to tier 2
+                    if not self._lambda_param_optional(lam, i):
+                        raise NotCompilable(
+                            "missing required lambda argument"
+                        )
+                    child[p] = _UNDEF_BINDING
+                    continue
+                anode = node["arguments"][i]
+                try:
+                    child[p] = self._c(anode, ctx, env)
+                except StaticallyUndefined as _e:
+                    if not _proves_undef(_e, anode):
+                        raise
+                    # a SUPPLIED-but-undefined argument binds undefined
+                    # regardless of the signature (tier-2 semantics:
+                    # validate_signature only rejects MISSING required
+                    # args; supplied-undefined propagates into the body)
+                    child[p] = _UNDEF_BINDING
             return self._c(lam.body, ctx, child)
         if proc["type"] != "variable":
             raise NotCompilable("computed function reference")

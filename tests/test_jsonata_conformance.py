@@ -1479,8 +1479,10 @@ def test_dual_tier_constant_corpus_sweep(spark):
     # 631 compiled / 22 interpreter-only on the grown corpus; round-12
     # (top-level StaticallyUndefined fold, range/append undefined
     # operands, spliced wildcards, ProvablyUndefinedValue evaluation
-    # proofs): measured 651 / 17
-    assert compiled_n >= 640, (compiled_n, skipped)
+    # proofs): measured 651 / 17; round-13 (node-tagged PUV proofs,
+    # unbound-variable-as-undefined, undefined lambda-arg bindings):
+    # measured 655 / 13
+    assert compiled_n >= 650, (compiled_n, skipped)
     print(f"\nconstant-sweep compiled: {compiled_n}, interpreter-only: {skipped}")
 
 
@@ -1573,7 +1575,9 @@ def test_dual_tier_context_corpus_sweep(spark):
     # round-9 binds/keep-array/expression-step tranche lifted 30 -> 35;
     # round-11 suite port + per-item step predicates: measured 124;
     # round-12 undefined-fold + wildcard-splice + *.* fusion: measured 157
-    assert compiled_n >= 150, (compiled_n, skipped)
+    # (round-13 re-measured 157 after the PUV node-tagging soundness fix
+    # — the tightening lost nothing)
+    assert compiled_n >= 155, (compiled_n, skipped)
     print(f"\ncontext-sweep compiled: {compiled_n}, interpreter-only: {skipped}")
 
 

@@ -98,3 +98,41 @@ def test_zip_object_pair_not_omitted_compiled_refuses(spark):
         return
     got = [_norm(r) for r in out.collect()]
     assert got != [{}] and got != [None], got
+
+
+# round-13 tranche 2: unbound variables and undefined lambda-arg bindings
+UNBOUND_CASES = [
+    ("$x", {"a": 1}),
+    ("$x + 1", {"a": 1}),
+    ("{'a': $x}", {"a": 1}),
+    ("[$x, 5]", {"a": 1}),
+    ("$count($x)", {"a": 1}),
+    ("($f := function($x)<n?>{ $x ? $x : 99 }; $f(blank))", {"a": 1}),
+    ("($f := function($v)<n>{ $v ? $v : 99 }; $f(nope))", {"a": 1}),
+    ("($f := function($a,$b){ $exists($b) ? $b : 'nb' }; $f(1))", {"a": 1}),
+    ("($f := function($a,$b)<nn?>{ $exists($b) ? $b : 'nb' }; $f(1))",
+     {"a": 1}),
+    ("($f := function($v){ $v ? 'y' : 'n' }; {'r': $f($x)})", {"a": 1}),
+]
+
+
+@pytest.mark.parametrize("expr,data", UNBOUND_CASES)
+def test_unbound_and_undefined_bindings_compile(spark, expr, data):
+    cval, want = _both_tiers(spark, expr, data)
+    assert _agree(cval, want), f"{expr}: compiled {cval}, want {want}"
+
+
+def test_missing_required_lambda_arg_routes_to_tier2(spark):
+    """A MISSING argument for a signature-required param is a tier-2
+    T0410, never a compiled fold."""
+    df = spark.createDataFrame([(1,)], "x int")
+    expr = "($f := function($a,$b)<nn>{ $a }; $f(1))"
+    with pytest.raises(NotCompilable):
+        transform(df, expr, force_tier="compiled")
+
+
+def test_bare_builtin_reference_stays_tier2(spark):
+    """$uppercase alone is a FUNCTION value, not undefined."""
+    df = spark.createDataFrame([(1,)], "x int")
+    with pytest.raises(NotCompilable):
+        transform(df, "$uppercase", force_tier="compiled")
