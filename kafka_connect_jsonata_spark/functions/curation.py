@@ -1378,6 +1378,7 @@ def fuzzy_contamination_pairs(
     from kafka_connect_jsonata_spark.functions.dedup import (
         _minhash_sketch_fn,
         barrier,
+        minhash_sketches,
     )
 
     eval_id_col = eval_id_col or id_col
@@ -1385,8 +1386,13 @@ def fuzzy_contamination_pairs(
     kernel = _minhash_sketch_fn(num_hashes, n_bands, ngram, seed)
 
     def sketch(d: DataFrame, idc: str, txc: str) -> DataFrame:
+        from kafka_connect_jsonata_spark.functions.dedup import spread_narrow_scan
+
         norm = F.lower(F.regexp_replace(F.trim(F.col(txc)), r"\s+", " "))
-        base = d.repartition(d.sparkSession.sparkContext.defaultParallelism).select(
+        # prune-then-spread-then-normalize, conditional on a narrow scan
+        # (round 13, guide §2.3/§2.4 — same contract as
+        # dedup.minhash_lsh_pairs; the regex runs on the spread partitions)
+        base = spread_narrow_scan(d.select(F.col(idc), F.col(txc))).select(
             F.col(idc).alias("id"), norm.alias("__s")
         )
         id_type = base.schema["id"].dataType.simpleString()
@@ -1394,8 +1400,44 @@ def fuzzy_contamination_pairs(
             kernel, f"id {id_type}, __h array<bigint>, bkts array<bigint>"
         ).transform(barrier)
 
-    tr = sketch(train, id_col, text_col)
-    ev = sketch(eval_set, eval_id_col, eval_text_col)
+    # One fused kernel stage for BOTH sides when the id/text types line up
+    # (round 13, guide §4 — fewer JVM<->Python crossings): sketch the
+    # side-tagged union once, split by tag. A doc's sketch depends only on
+    # (text, params), so tr/ev hold byte-identical values to the two
+    # separate stages this replaces; types differing falls back to them.
+    if (
+        train.schema[id_col].dataType == eval_set.schema[eval_id_col].dataType
+        and train.schema[text_col].dataType
+        == eval_set.schema[eval_text_col].dataType
+    ):
+        both = train.select(
+            F.col(id_col).alias("__uid"),
+            F.lit(0).cast("int").alias("__side"),
+            F.col(text_col).alias("__utxt"),
+        ).unionByName(
+            eval_set.select(
+                F.col(eval_id_col).alias("__uid"),
+                F.lit(1).cast("int").alias("__side"),
+                F.col(eval_text_col).alias("__utxt"),
+            )
+        )
+        sk_all = barrier(
+            minhash_sketches(
+                both,
+                id_col="__uid",
+                text_col="__utxt",
+                num_hashes=num_hashes,
+                n_bands=n_bands,
+                ngram=ngram,
+                seed=seed,
+                passthrough=("__side",),
+            )
+        )
+        tr = sk_all.filter(F.col("__side") == 0).drop("__side")
+        ev = sk_all.filter(F.col("__side") == 1).drop("__side")
+    else:
+        tr = sketch(train, id_col, text_col)
+        ev = sketch(eval_set, eval_id_col, eval_text_col)
 
     # Probe the eval sketch's payload before committing to a broadcast:
     # rows x (band keys + row overhead) + 8 bytes per shingle hash. Over

@@ -59,6 +59,44 @@ def barrier(df: DataFrame, eager: bool = True) -> DataFrame:
     return df.localCheckpoint(eager=eager)
 
 
+def spread_narrow_scan(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Round-robin spread of a compute-bound stage's input across every
+    core — but ONLY when the scan behind it is actually narrow (guide §2.4:
+    remove shuffles outright; §2: partitioning must be scale-adaptive, not
+    a constant tuned for one deployment).
+
+    A single local parquet file scans as one partition, so an expensive
+    per-row projection (SimHash's per-token bit votes, shingle hashing)
+    serializes on one core; a 100 TB scan already yields thousands of
+    partitions and a blanket ``repartition(parallelism)`` there is a full
+    shuffle of the corpus for nothing. Width probe: ``df.inputFiles()`` —
+    a driver-side catalog listing (no job). ``#files >= parallelism``
+    implies Spark's leaf-file packing already met the parallelism floor
+    (``spark.sql.files.minPartitionNum`` defaults to it); in-memory inputs
+    (no file source) keep the spread. Same probe/contract as
+    ``transform._spread_python_stage`` (round-1 verdict #6), exposed here
+    for the dedup/similarity compute kernels.
+
+    Conf escape hatch: ``spark.jsonataspark.spread`` = auto (default) |
+    always | never.
+    """
+    if df.isStreaming:
+        return df
+    spark = df.sparkSession
+    mode = spark.conf.get("spark.jsonataspark.spread", "auto")
+    if parallelism is None:
+        parallelism = spark.sparkContext.defaultParallelism
+    if mode == "never":
+        return df
+    if mode == "auto":
+        try:
+            if len(df.inputFiles()) >= parallelism:
+                return df
+        except Exception:
+            pass  # no file source behind this plan: fall through and spread
+    return df.repartition(parallelism)
+
+
 def broadcast_cap_bytes_of(spark, override: int | None = None) -> int:
     """The byte cap a probed broadcast must fit: the caller's ``override``,
     else spark.sql.autoBroadcastJoinThreshold when it is a plain positive
@@ -167,7 +205,7 @@ def ngram_jaccard_pairs(
     t = threshold
 
     base = (
-        df.repartition(par)
+        spread_narrow_scan(df.select(F.col(id_col), F.col(text_col)), par)
         .select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__w"))
         .select(
             F.col("id"),
@@ -362,6 +400,11 @@ def _minhash_sketch_fn(num_hashes: int, n_bands: int, ngram: int, seed: int):
         err = np.seterr(over="ignore")  # uint64 wraparound is the hash ring
         try:
             for pdf in batches:
+                # passthrough: every non-text input column rides along
+                # unchanged (id, plus any caller tags such as the fused
+                # new/ref side marker — round 13), so one kernel pass can
+                # sketch several logical corpora in a single Python stage
+                carry = [c for c in pdf.columns if c != "__s"]
                 hs_out, bkt_out = [], []
                 for s in pdf["__s"]:
                     if s is None:
@@ -396,7 +439,10 @@ def _minhash_sketch_fn(num_hashes: int, n_bands: int, ngram: int, seed: int):
                         bkt = bkt * P + sl[:, r]
                     hs_out.append(hs.view(np.int64))
                     bkt_out.append(mix(bkt).view(np.int64))
-                yield pd.DataFrame({"id": pdf["id"], "__h": hs_out, "bkts": bkt_out})
+                out = {c: pdf[c] for c in carry}
+                out["__h"] = hs_out
+                out["bkts"] = bkt_out
+                yield pd.DataFrame(out)
         finally:
             np.seterr(**err)
 
@@ -470,6 +516,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     seed: int = 0x5EED,
     bucket_cap: int | None = None,
+    sketches: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, verified with exact shingle
     Jaccard. rows_per_band = num_hashes / n_bands; a pair collides if any
@@ -480,19 +527,35 @@ def minhash_lsh_pairs(
     per-document math — shingle hashing, signature, band buckets — runs in
     ONE Arrow-batched numpy stage (``_minhash_sketch_fn``), so the corpus
     is read and shingled exactly once and the JVM expression footprint
-    stays small (fast codegen, see round-3 bench finding)."""
-    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    base = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
-        F.col(id_col).alias("id"), norm.alias("__s")
-    )
-    id_type = base.schema["id"].dataType.simpleString()
-    sketched = (
-        base.mapInPandas(
+    stays small (fast codegen, see round-3 bench finding).
+
+    ``sketches`` (round 13): a pre-computed :func:`minhash_sketches` table
+    covering EXACTLY ``df``'s rows (same params/seed) — skips the sketch
+    stage entirely; the caller keeps the one-sketch-pass invariant across
+    a larger pipeline (:func:`minhash_dedup_incremental` sketches its
+    batch once and reuses it here). Used AS GIVEN — pass a frame that is
+    materialized or cheap to recompute (it is referenced by the bucket
+    explode and the two verify fetches); re-checkpointing a filter of an
+    existing checkpoint here just copies the shingle arrays again
+    (round-13 A/B: the extra copies cost more than the re-reads)."""
+    if sketches is not None:
+        sketched = sketches
+    else:
+        norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+        # prune to (id, raw text) BEFORE the spread shuffle — the
+        # round-robin exchange otherwise carries every column of df (guide
+        # §2.3: project before the exchange) — but normalize AFTER it, so
+        # the regex pass runs on the spread partitions, not serialized in
+        # the narrow pre-shuffle stage; the spread itself is conditional
+        # on a narrow scan (guide §2: scale-adaptive partitioning)
+        base = spread_narrow_scan(
+            df.select(F.col(id_col), F.col(text_col))
+        ).select(F.col(id_col).alias("id"), norm.alias("__s"))
+        id_type = base.schema["id"].dataType.simpleString()
+        sketched = base.mapInPandas(
             _minhash_sketch_fn(num_hashes, n_bands, ngram, seed),
             f"id {id_type}, __h array<bigint>, bkts array<bigint>",
-        )
-        .transform(lambda d: barrier(d, eager=False))
-    )
+        ).transform(lambda d: barrier(d, eager=False))
     hashed = sketched.select("id", "__h")
     # the LSH shuffle moves ONLY (id, band, bkt) rows — the shingle-hash
     # arrays stay behind and are re-fetched by id for surviving candidates.
@@ -641,8 +704,8 @@ def embedding_dup_pairs_columns(
     GEMM variant below computes the identical result ~10x faster because the
     O(N^2 * d) inner loop runs in BLAS instead of per-element Catalyst
     lambda evaluation."""
-    a = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    a = spread_narrow_scan(
+        df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     )
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
@@ -688,9 +751,14 @@ def embedding_dup_pairs(
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy == "auto":
         broadcast_bytes_cap = broadcast_cap_bytes_of(spark, broadcast_bytes_cap)
-        first = side.select(F.size("v").alias("d")).first()
-        dim = int(first["d"]) if first else 0
-        n = side.count()
+        # one combined probe job (round 13): count + dim in a single
+        # aggregate pass instead of a first() job plus a count job
+        probe = side.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first(F.size("v"), ignorenulls=True).alias("d"),
+        ).first()
+        n = int(probe["n"])
+        dim = int(probe["d"] or 0)
         strategy = "broadcast" if n * dim * 8 <= broadcast_bytes_cap else "lsh"
     if strategy == "lsh":
         return embedding_dup_pairs_lsh(
@@ -723,7 +791,7 @@ def embedding_dup_pairs(
             )
             yield pd.DataFrame({"id_a": a_ids[ai], "id_b": b_ids[bi]})
 
-    rows = side.repartition(spark.sparkContext.defaultParallelism)
+    rows = spread_narrow_scan(side)
     cand = rows.mapInPandas(score, "id_a bigint, id_b bigint")
     va = side.select(F.col("id").alias("id_a"), F.col("v").alias("__va"))
     vb = side.select(F.col("id").alias("id_b"), F.col("v").alias("__vb"))
@@ -888,6 +956,7 @@ def minhash_dedup(
     score_col: str | None = None,
     collapse_exact: bool = True,
     bucket_cap: int | None = 1000,
+    sketches: DataFrame | None = None,
 ) -> DataFrame:
     """C79: document-level fuzzy dedup, composed end-to-end — THE most-run
     job on a production curation cluster (the Lee et al. 2021 / RefinedWeb
@@ -925,6 +994,13 @@ def minhash_dedup(
     byte-identical, template classes) via the hub overflow policy — see
     :func:`_bucket_candidate_pairs`. ``collapse_exact=False`` restores the
     round-8 single-stage composition (kept for parity testing).
+
+    ``sketches`` (round 13): a pre-computed :func:`minhash_sketches` table
+    covering exactly ``df``'s rows (same params/seed). The LSH stage then
+    reads the (semi-join-restricted) table instead of re-running the
+    sketch kernel — the reuse hook :func:`minhash_dedup_incremental` uses
+    to sketch each ingest batch exactly once. Value-identical: a doc's
+    sketch depends only on (text, params).
 
     Scale shape at 100 TB: the corpus is scanned once for the exact
     fingerprint (one groupBy on a 64-bit hash, map-side combined), the
@@ -973,7 +1049,7 @@ def minhash_dedup(
         )
 
     if not collapse_exact:
-        pairs = minhash_lsh_pairs(df, **lsh_kwargs)
+        pairs = minhash_lsh_pairs(df, sketches=sketches, **lsh_kwargs)
         groups = dup_groups_from_pairs(
             pairs, strategy=strategy, collect_cap=collect_cap
         )
@@ -983,6 +1059,9 @@ def minhash_dedup(
     # fingerprint (xxhash64 of the same normalization the shingles use, so
     # "identical" means identical shingle sets; 64-bit collision odds are
     # the same negligible n^2/2^65 already accepted for shingle hashing).
+    # Deliberately NOT spread: the hash feeds a map-side-combined groupBy,
+    # and an extra round-robin exchange costs more than the projection
+    # (round-13 A/B: +0.5 s at sf0.1 for no win).
     base = df.select(
         F.col(id_col).alias("__id"),
         F.xxhash64(normalize_for_shingles(F.col(text_col))).alias("__fp"),
@@ -994,7 +1073,18 @@ def minhash_dedup(
     reps = df.join(
         classes.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
     )
-    pairs = minhash_lsh_pairs(reps, **lsh_kwargs)
+    # sketch reuse (round 13): when the caller already holds df's sketch
+    # table, restrict it to the representatives instead of re-running the
+    # sketch kernel over them — the sketch of a doc depends only on
+    # (text, params), so the restricted table is value-identical
+    rep_sketches = (
+        sketches.join(
+            classes.select(F.col("__rep").alias("id")), "id", "left_semi"
+        )
+        if sketches is not None
+        else None
+    )
+    pairs = minhash_lsh_pairs(reps, sketches=rep_sketches, **lsh_kwargs)
     rep_groups = dup_groups_from_pairs(
         pairs, strategy=strategy, collect_cap=collect_cap
     ).select(F.col("doc_id").alias("__rep"), "group_id")
@@ -1073,8 +1163,19 @@ def simhash_dup_pairs(
         raise ValueError("max_hamming + 1 chunks must fit the signature width")
     width = nbits // n_chunks
     # (id, signature) — materialized once, referenced by the intra-class
-    # self-join and both legs of the cross-class expansion
-    sigs = df.select(F.col(id_col).alias("id"), sig.alias("__sig")).transform(barrier)
+    # self-join and both legs of the cross-class expansion. The signature
+    # projection is the compute-heavy stage (per-token hash + nbits bit
+    # votes, all Column math): spread a narrow scan across cores BEFORE
+    # computing it, exactly like simhash_docs / the minhash sketch paths —
+    # a 1-file gate-scale scan otherwise serializes the whole corpus'
+    # signature work on one task (round-13 measurement: the projection
+    # dominated the query's wall clock). Integer-only math, so the result
+    # is partitioning-independent.
+    sigs = (
+        spread_narrow_scan(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col).alias("id"), sig.alias("__sig"))
+        .transform(barrier)
+    )
 
     # intra-class pairs (identical signature, Hamming 0): a streaming
     # equi-join on the signature key — a key group buffers k ids, never
@@ -1155,21 +1256,37 @@ def minhash_sketches(
     n_bands: int = 16,
     ngram: int = 5,
     seed: int = 0x5EED,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """The reusable sketch table — ``(id, __h array<bigint> shingle
     hashes, bkts array<bigint> band buckets)`` — a production pipeline
     writes ONCE for its historical corpus and feeds back through
     :func:`minhash_match_against`'s ``ref_sketches=`` on every ingest
     (the materialize-once pattern of the DSIR ``features=`` hatch).
-    Parameters must match the matching call's."""
+    Parameters must match the matching call's.
+
+    ``passthrough`` names extra ``df`` columns to carry through the kernel
+    unchanged (appearing between ``id`` and ``__h``) — the round-13 hook
+    that lets one Python stage sketch a union of tagged corpora instead of
+    one stage per corpus (guide §4: fewer JVM<->Python crossings)."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    base = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    ).select(F.col(id_col).alias("id"), norm.alias("__s"))
+    # prune-then-spread-then-normalize, conditional on a narrow scan —
+    # same contract as minhash_lsh_pairs (round 13, guide §2.3/§2.4; the
+    # regex normalization runs on the spread partitions)
+    base = spread_narrow_scan(
+        df.select(F.col(id_col), *[F.col(c) for c in passthrough], F.col(text_col))
+    ).select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in passthrough],
+        norm.alias("__s"),
+    )
     id_type = base.schema["id"].dataType.simpleString()
+    extra = "".join(
+        f", {c} {base.schema[c].dataType.simpleString()}" for c in passthrough
+    )
     return base.mapInPandas(
         _minhash_sketch_fn(num_hashes, n_bands, ngram, seed),
-        f"id {id_type}, __h array<bigint>, bkts array<bigint>",
+        f"id {id_type}{extra}, __h array<bigint>, bkts array<bigint>",
     )
 
 
@@ -1185,6 +1302,8 @@ def minhash_match_against(
     threshold: float = 0.7,
     seed: int = 0x5EED,
     ref_sketches: DataFrame | None = None,
+    df_sketches: DataFrame | None = None,
+    barrier_sketches: bool = True,
 ) -> DataFrame:
     """Cross-corpus MinHash-LSH matching: near-dup pairs BETWEEN ``df``
     and a reference corpus ``ref`` (never within either side) — the
@@ -1199,7 +1318,16 @@ def minhash_match_against(
     ``ref_sketches`` (a :func:`minhash_sketches` table, typically read
     back from parquet) skips re-sketching the reference corpus — the
     dominant cost when history is 1000× the ingest batch. ``ref`` may be
-    None when sketches are supplied.
+    None when sketches are supplied. ``df_sketches`` (round 13) is the
+    symmetric hook for the NEW side: a caller that already holds the
+    batch's sketch table (e.g. :func:`minhash_dedup_incremental`, which
+    reuses it for the intra-batch dedup too) passes it here and the batch
+    is sketched zero additional times; it is used as given.
+    ``barrier_sketches`` keeps the historical contract that a supplied
+    ``ref_sketches`` (typically a parquet read, or a raw kernel frame) is
+    locally checkpointed so its multiple references don't recompute it —
+    pass False when the frame is already a cheap view of a checkpoint
+    (the fused incremental path), where the extra copy is pure overhead.
     """
     rid = ref_id_col or id_col
     if ref_sketches is None and ref is None:
@@ -1216,12 +1344,15 @@ def minhash_match_against(
             seed=seed,
         ).transform(lambda d: barrier(d, eager=False))
 
-    sk_new = sketched(df, id_col)
-    sk_ref = (
-        ref_sketches.transform(lambda d: barrier(d, eager=False))
-        if ref_sketches is not None
-        else sketched(ref, rid)
-    )
+    sk_new = df_sketches if df_sketches is not None else sketched(df, id_col)
+    if ref_sketches is not None:
+        sk_ref = (
+            barrier(ref_sketches, eager=False)
+            if barrier_sketches
+            else ref_sketches
+        )
+    else:
+        sk_ref = sketched(ref, rid)
     b_new = sk_new.select("id", F.posexplode("bkts").alias("band", "bkt"))
     b_ref = sk_ref.select(
         F.col("id").alias("__rid"), F.posexplode("bkts").alias("band", "bkt")
@@ -1319,33 +1450,86 @@ def minhash_dedup_incremental(
     (the standard incremental-index semantics; a full
     :func:`minhash_dedup` re-run over ref+new computes the transitive
     component and may drop such chained docs).
+
+    Round-13 sketch-pass accounting (guide §1.2/§4): the batch used to be
+    sketched TWICE (once for the history match, once inside the intra-
+    batch dedup) and ``ref`` once more — three Python kernel stages. Now
+    the batch — and, when ``ref`` arrives as raw documents of matching
+    id/text types, ``ref`` fused into the same tagged union — is sketched
+    in ONE kernel stage; the history match and the intra-batch dedup both
+    reuse that table (``df_sketches=`` / ``sketches=``). Sketch values
+    depend only on (text, params), so every downstream candidate/verify/
+    component step sees byte-identical inputs.
     """
-    matched = (
+    params = dict(
+        num_hashes=num_hashes, n_bands=n_bands, ngram=ngram, seed=seed
+    )
+    fuse_ref = (
+        ref_sketches is None
+        and ref is not None
+        and ref.schema[id_col].dataType == df.schema[id_col].dataType
+        and ref.schema[text_col].dataType == df.schema[text_col].dataType
+    )
+    if fuse_ref:
+        tagged = df.select(
+            F.col(id_col), F.lit(0).cast("int").alias("__side"), F.col(text_col)
+        ).unionByName(
+            ref.select(
+                F.col(id_col),
+                F.lit(1).cast("int").alias("__side"),
+                F.col(text_col),
+            )
+        )
+        sk_all = barrier(
+            minhash_sketches(
+                tagged,
+                id_col=id_col,
+                text_col=text_col,
+                passthrough=("__side",),
+                **params,
+            ),
+            eager=False,
+        )
+        sk_new = sk_all.filter(F.col("__side") == 0).drop("__side")
+        sk_ref = sk_all.filter(F.col("__side") == 1).drop("__side")
+    else:
+        sk_new = barrier(
+            minhash_sketches(df, id_col=id_col, text_col=text_col, **params),
+            eager=False,
+        )
+        sk_ref = ref_sketches
+    # the matched id set is REFERENCED many times downstream (the fresh
+    # anti-join feeds minhash_dedup's fingerprint/representative/loser/
+    # final passes, and the sketch reuse adds three more references) —
+    # materialize it once; it is tiny (history-dup ids only)
+    matched = barrier(
         minhash_match_against(
             df,
-            ref,
+            None if fuse_ref else ref,
             id_col=id_col,
             text_col=text_col,
-            num_hashes=num_hashes,
-            n_bands=n_bands,
-            ngram=ngram,
             threshold=threshold,
-            seed=seed,
-            ref_sketches=ref_sketches,
+            ref_sketches=sk_ref,
+            df_sketches=sk_new,
+            # sk_ref is a filter over the sk_all checkpoint (fused) or the
+            # caller's table; sk_new likewise — no extra copies
+            barrier_sketches=not fuse_ref,
+            **params,
         )
         .select(F.col(id_col))
         .distinct()
     )
     fresh = df.join(matched, id_col, "left_anti")
+    sk_fresh = sk_new.join(
+        matched.select(F.col(id_col).alias("id")), "id", "left_anti"
+    )
     return minhash_dedup(
         fresh,
         id_col=id_col,
         text_col=text_col,
-        num_hashes=num_hashes,
-        n_bands=n_bands,
-        ngram=ngram,
         threshold=threshold,
-        seed=seed,
+        sketches=sk_fresh,
+        **params,
         **dedup_kw,
     )
 

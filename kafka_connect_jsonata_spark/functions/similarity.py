@@ -376,8 +376,14 @@ def knn_graph(
         raise ValueError(f"unknown strategy: {strategy!r}")
     base = corpus.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__v"))
     if strategy == "auto":
-        n = base.count()
-        d = dim or len(base.select("__v").first()[0])
+        # one combined probe job (round 13): count + dim in a single
+        # aggregate pass instead of a count job plus a first() job
+        probe = base.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first(F.size("__v"), ignorenulls=True).alias("d"),
+        ).first()
+        n = int(probe["n"])
+        d = dim or int(probe["d"] or 0)
         strategy = "gemm" if n * d * 8 <= broadcast_cap_bytes else "lsh"
     id_type = corpus.schema[id_col].dataType.simpleString()
     if strategy == "gemm":

@@ -447,12 +447,15 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are sf-proportional (the round-8 no-hint rule) — AQE broadcasts both
     # at runtime while they fit, shuffles on the part key when they don't
     brand_lines = li.join(part, li.l_partkey == part.p_partkey)
-    thr = brand_lines.groupBy("l_partkey").agg(
-        (F.lit(0.2) * F.avg("l_quantity")).alias("__thr")
-    )
-    small = brand_lines.join(thr, "l_partkey").filter(
-        F.col("l_quantity") < F.col("__thr")
-    )
+    # round 13 (guide §2.4): the per-part threshold used to be a separate
+    # groupBy aggregate joined back, which built the lineitem⋈part subtree
+    # twice (two full lineitem scans at scale). An avg() window over the
+    # same rows computes it in one pass — value-identical: quantities are
+    # integral doubles, so the average is summation-order independent.
+    small = brand_lines.withColumn(
+        "__thr",
+        F.lit(0.2) * F.avg("l_quantity").over(Window.partitionBy("l_partkey")),
+    ).filter(F.col("l_quantity") < F.col("__thr"))
     return small.agg(
         (F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly")
     )
@@ -578,10 +581,17 @@ def q2_minimum_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     ps_eur = ps.join(eur, ps.sk == eur.s_suppkey)
-    minc = ps_eur.groupBy("pk").agg(F.min("cost").alias("__mc"))
+    # round 13 (guide §2.4/§7.2): the per-part minimum used to be a
+    # separate groupBy('pk') aggregate joined back — the physical plan
+    # built the whole ps_eur subtree (lineitem aggregate + supplier/nation/
+    # region joins) TWICE and merged the copies with a sort-merge join.
+    # A min() window over the part-joined rows is value-identical (the
+    # part join filters whole pk groups, never rows within one) and
+    # computes the minimum in the same exchange that already hash-
+    # partitions by pk: one subtree, one shuffle, no self-join.
     return (
         ps_eur.join(part, ps_eur.pk == part.p_partkey)
-        .join(minc, "pk")
+        .withColumn("__mc", F.min("cost").over(Window.partitionBy("pk")))
         .filter(F.col("cost") == F.col("__mc"))
         # min_cost ships UNROUNDED: both engines divide and MIN the same
         # doubles, so the raw value is bit-portable — a round(x, 4) is NOT
@@ -2755,10 +2765,11 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     core that the xxhash64 production variant (dedup.simhash64, pinned by
     unit tests) shares. Repartitioned so the compute-bound signature
     projection uses every core even when the scan is one small file (at
-    100 TB the scan itself yields thousands of partitions and the
-    repartition is a no-op to remove)."""
+    100 TB the scan itself yields thousands of partitions and
+    ``spread_narrow_scan`` detects that and skips the shuffle — round 13:
+    the spread is now conditional instead of unconditional)."""
     docs = load_table(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = dedup.spread_narrow_scan(docs.select("doc_id", "text"))
     return docs.select(
         "doc_id", dedup.simhash_portable(F.col("text")).alias("simhash")
     )
@@ -3008,7 +3019,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame via mapInPandas fan-out. Frame counts are closed-form in the id,
     so the oracle reproduces the exact (media_id, frame_idx) set."""
     docs = load_table(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = dedup.spread_narrow_scan(docs.select("doc_id"))
     vids = multimodal.synth_media(docs, "doc_id", multimodal.KIND_VIDEO)
     return multimodal.sample_frames(vids, stride=2).select("media_id", "frame_idx")
 
@@ -3023,7 +3034,7 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synth fake images -> decode -> per-image pixel stats (rng-dependent
     content: rows-only check; exact values pinned in unit tests)."""
     docs = load_table(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = dedup.spread_narrow_scan(docs.select("doc_id"))
     imgs = multimodal.synth_media(docs, "doc_id", multimodal.KIND_IMAGE)
     return multimodal.image_stats(imgs)
 
@@ -3031,7 +3042,7 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synth fake audio -> RMS + zero-crossing features (rows-only)."""
     docs = load_table(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = dedup.spread_narrow_scan(docs.select("doc_id"))
     auds = multimodal.synth_media(docs, "doc_id", multimodal.KIND_AUDIO)
     return multimodal.audio_features(auds)
 
@@ -4860,12 +4871,22 @@ def curation_pipeline_v3_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def curation_pipeline_v3(docs: DataFrame) -> DataFrame:
+    from kafka_connect_jsonata_spark.functions.dedup import barrier
+
     ent = text.char_entropy(docs)
-    survivors = docs.join(
-        ent.filter(F.col("char_entropy") >= 3.0).select(
-            "doc_id", "n_chars_counted"
-        ),
-        "doc_id",
+    # materialize the entropy-gated survivor set ONCE: minhash_dedup
+    # references its input four ways (fingerprint pass, representative
+    # semi-join, keep='best' score join, final anti-join) and the rollup
+    # reads it again — without the barrier the entropy explode+aggregate
+    # subtree re-executes per reference (round 13; the same round-7 fix
+    # curation_pipeline_v2 already carries)
+    survivors = barrier(
+        docs.join(
+            ent.filter(F.col("char_entropy") >= 3.0).select(
+                "doc_id", "n_chars_counted"
+            ),
+            "doc_id",
+        )
     )
     kept = dedup.minhash_dedup(
         survivors, num_hashes=32, n_bands=8, threshold=0.9,

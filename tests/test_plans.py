@@ -176,9 +176,10 @@ def test_tpch_no_forced_broadcast_on_sf_proportional_sides(spark, sf_dir):
             # must not be force-broadcast; q21 keeps only nation's hint
             "q17_small_quantity_revenue": 0,
             "q21_suppliers_kept_waiting": 1,  # nation (left_semi)
-            # nation + region, instantiated twice: the European supplier
-            # set feeds both the result join and the per-part MIN branch
-            "q2_minimum_cost_supplier": 4,
+            # nation + region, instantiated ONCE (round 13): the per-part
+            # MIN is a window over the part-joined rows now, so the
+            # European supplier subtree is no longer built twice
+            "q2_minimum_cost_supplier": 2,
             "q20_potential_promotion_suppliers": 1,  # nation
             # round-9 TPC-H completion: nation slices keep their hints
             # (constant 25 rows), supplier/customer/part and the one-row
