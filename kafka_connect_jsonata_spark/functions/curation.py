@@ -1421,6 +1421,8 @@ def fuzzy_contamination_pairs(
                 F.col(eval_text_col).alias("__utxt"),
             )
         )
+        # LAZY checkpoint: the eval-payload probe right below is the first
+        # action and materializes it — eager would add a scheduling round
         sk_all = barrier(
             minhash_sketches(
                 both,
@@ -1431,7 +1433,8 @@ def fuzzy_contamination_pairs(
                 ngram=ngram,
                 seed=seed,
                 passthrough=("__side",),
-            )
+            ),
+            eager=False,
         )
         tr = sk_all.filter(F.col("__side") == 0).drop("__side")
         ev = sk_all.filter(F.col("__side") == 1).drop("__side")

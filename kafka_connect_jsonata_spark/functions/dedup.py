@@ -852,8 +852,11 @@ def dup_groups_from_pairs(
     if strategy == "auto":
         # materialize the pair list before probing: the count action and
         # the subsequent collect/edge-build would otherwise each recompute
-        # the (often expensive) upstream near-dup join (round-7 review fix)
-        pairs = barrier(pairs)
+        # the (often expensive) upstream near-dup join (round-7 review
+        # fix). LAZY checkpoint (round 13): the count right below is the
+        # materializing action, so an eager checkpoint would just run one
+        # extra scheduling round for the same work.
+        pairs = barrier(pairs, eager=False)
         strategy = "driver" if pairs.count() <= int(collect_cap) else "distributed"
     if strategy == "driver":
         rows = pairs.select(F.col(id_a), F.col(id_b)).collect()  # probe-bounded

@@ -226,12 +226,15 @@ def heavy_hitter_terms(
     batch instead of per token.
 
     EAGERNESS CONTRACT (round-4 review): unlike the other operators in
-    this module, calling this function RUNS two Spark jobs immediately
-    (the candidate re-count and the guard's token-count scan — both
-    required to decide whether the MG guarantee held) and, when the guard
-    passes, returns the k-row result as a LOCAL relation rather than a
-    lazy plan. Callers composing lazy pipelines should treat the result
-    as materialized driver-side state (it is at most k rows).
+    this module, calling this function RUNS Spark jobs immediately (the
+    MG summary pass, the candidate re-count, and the guard decision —
+    all required to decide whether the MG guarantee held) and, when the
+    guard passes, returns the k-row result as a LOCAL relation rather
+    than a lazy plan. Callers composing lazy pipelines should treat the
+    result as materialized driver-side state (it is at most k rows).
+    Round 13: the guard's token count rides the MG pass itself (one
+    NULL-term row per partition), so the corpus is tokenized twice per
+    call instead of three times.
     """
     words = df.select(F.explode(tokens(F.col(text_col))).alias("term"))
 
@@ -239,15 +242,27 @@ def heavy_hitter_terms(
         import pandas as pd
 
         counters: dict[str, int] = {}
+        n_seen = 0
         for b in batches:
+            n_seen += len(b)
             for t, c in b["term"].value_counts().items():
                 counters[t] = counters.get(t, 0) + int(c)
             if len(counters) > capacity:
                 cut = sorted(counters.values(), reverse=True)[capacity]
                 counters = {t: c - cut for t, c in counters.items() if c > cut}
-        yield pd.DataFrame({"term": list(counters)})
+        # one NULL-term row carries the partition's exact token count, so
+        # the MG scan double-duties as the guard's corpus token count —
+        # round 13: this removes the separate map-side token-count scan
+        # (the corpus used to be tokenized three times per call: MG input,
+        # exact re-count, guard count; now twice)
+        yield pd.DataFrame(
+            {"term": list(counters) + [None], "n": [None] * len(counters) + [n_seen]}
+        )
 
-    cands = words.mapInPandas(mg, "term string").distinct()
+    from kafka_connect_jsonata_spark.functions.dedup import barrier
+
+    summary = barrier(words.mapInPandas(mg, "term string, n bigint"))
+    cands = summary.filter(F.col("term").isNotNull()).select("term").distinct()
     exact = (
         words.join(F.broadcast(cands), "term", "left_semi")
         .groupBy("term")
@@ -255,7 +270,10 @@ def heavy_hitter_terms(
     )
     topk = exact.orderBy(F.col("freq").desc(), F.col("term").asc()).limit(k)
     got = topk.collect()
-    n_tokens = df.select(F.sum(F.size(tokens(F.col(text_col)))).alias("n")).collect()[0]["n"] or 0
+    n_tokens = (
+        summary.filter(F.col("term").isNull()).agg(F.sum("n").alias("n")).first()["n"]
+        or 0
+    )
     if len(got) >= k and got[-1]["freq"] > n_tokens / (capacity + 1):
         # guard passed: the k-row result is already materialized (bounded
         # driver state); hand it back as a local relation instead of
