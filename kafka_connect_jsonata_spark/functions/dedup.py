@@ -56,7 +56,23 @@ def barrier(df: DataFrame, eager: bool = True) -> DataFrame:
     mode = df.sparkSession.conf.get("spark.jsonataspark.checkpoint", "local")
     if mode == "reliable":
         return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=eager)
+    if not eager:
+        return df.localCheckpoint(eager=False)
+    # label the materialization job after its call site (guide §1.5) so a
+    # profiler/UI reader can attribute each barrier's cost; the description
+    # is thread-local driver state, cleared right after the eager job
+    import sys
+
+    caller = sys._getframe(1)
+    while caller and caller.f_code.co_name in ("<lambda>", "transform"):
+        caller = caller.f_back
+    site = f"barrier:{caller.f_code.co_name}:{caller.f_lineno}" if caller else "barrier"
+    sc = df.sparkSession.sparkContext
+    sc.setJobDescription(site)
+    try:
+        return df.localCheckpoint(eager=True)
+    finally:
+        sc.setJobDescription(None)
 
 
 def spread_narrow_scan(df: DataFrame, parallelism: int | None = None) -> DataFrame:
@@ -857,9 +873,19 @@ def dup_groups_from_pairs(
         # materializing action, so an eager checkpoint would just run one
         # extra scheduling round for the same work.
         pairs = barrier(pairs, eager=False)
-        strategy = "driver" if pairs.count() <= int(collect_cap) else "distributed"
+        sc = pairs.sparkSession.sparkContext
+        sc.setJobDescription("cc:probe-count")
+        try:
+            strategy = "driver" if pairs.count() <= int(collect_cap) else "distributed"
+        finally:
+            sc.setJobDescription(None)
     if strategy == "driver":
-        rows = pairs.select(F.col(id_a), F.col(id_b)).collect()  # probe-bounded
+        sc = pairs.sparkSession.sparkContext
+        sc.setJobDescription("cc:collect-edges")
+        try:
+            rows = pairs.select(F.col(id_a), F.col(id_b)).collect()  # probe-bounded
+        finally:
+            sc.setJobDescription(None)
         parent: dict = {}
 
         def find(x):
