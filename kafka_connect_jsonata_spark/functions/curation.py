@@ -1463,26 +1463,54 @@ def fuzzy_contamination_pairs(
     ev_buckets = ev.select(
         F.col("id").alias("eval_id"), F.posexplode("bkts").alias("band", "bkt")
     )
+    # The candidate set is big at r=2 banding (P(band collision) = J^2, so
+    # a J=0.3 background pair still collides somewhere in 16 bands with
+    # p ~ 0.77 — measured 1.26M candidates for 5000x500 docs at the sf0.1
+    # gate) and is referenced three times below (size prefilter + the
+    # train-side semi-restriction + the pair join) — checkpoint it
+    # EAGERLY, it is narrow (two ids).
     cand = (
         tr_buckets.join(bc(ev_buckets), ["band", "bkt"])
         .filter(F.col("id") != F.col("eval_id"))
         .select("id", "eval_id")
         .dropDuplicates(["id", "eval_id"])
+        .transform(barrier)
     )
-    tr_h = tr.select("id", F.col("__h").alias("grams_a"), F.size("__h").alias("sz_a"))
-    ev_h = ev.select(
-        F.col("id").alias("eval_id"),
-        F.col("__h").alias("grams_b"),
-        F.size("__h").alias("sz_b"),
-    )
-    pairs = (
-        cand.join(tr_h, "id")
-        .join(bc(ev_h), "eval_id")
+    # Length-ratio prefilter FIRST, over narrow (id, eval_id, size) rows:
+    # J <= min/max of the distinct-shingle counts, so pairs outside ratio
+    # `threshold` can never pass — and only the SURVIVORS materialize
+    # shingle arrays (guide §8: decide with small rows, move heavy bytes
+    # once; measured 1.26M -> 230k at the gate, ~5x fewer array-bearing
+    # rows through the verify).
+    sz_tr = tr.select("id", F.size("__h").alias("sz_a"))
+    sz_ev = ev.select(F.col("id").alias("eval_id"), F.size("__h").alias("sz_b"))
+    surv = (
+        cand.join(sz_tr, "id")
+        .join(bc(sz_ev), "eval_id")
         .filter(
             (F.col("sz_a").cast("double") >= threshold * F.col("sz_b"))
             & (F.col("sz_b").cast("double") >= threshold * F.col("sz_a"))
         )
+        .select("id", "eval_id", "sz_a", "sz_b")
     )
+    # Pin the verify tail's partitioning: the pair join needs an exchange
+    # on id either way, but the exchange's BYTES are narrow pair rows
+    # while its OUTPUT carries two shingle arrays per row — AQE's
+    # byte-based coalescing cannot see that amplification and squeezed the
+    # intersect stage onto 8 of 32 cores (20.7 core-sec serialized,
+    # measured). An explicit width (defaultParallelism — executor cores on
+    # a cluster) is not coalescible.
+    par = train.sparkSession.sparkContext.defaultParallelism
+    surv = surv.repartition(par, "id")
+    # semi-restrict the train arrays to candidate ids before they move —
+    # at 100 TB decontamination candidates are a small slice of the corpus
+    tr_h = tr.join(cand.select("id").distinct(), "id", "left_semi").select(
+        "id", F.col("__h").alias("grams_a")
+    )
+    ev_h = ev.select(
+        F.col("id").alias("eval_id"), F.col("__h").alias("grams_b")
+    )
+    pairs = surv.join(tr_h, "id").join(bc(ev_h), "eval_id")
     inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
     union = F.col("sz_a") + F.col("sz_b") - inter
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))

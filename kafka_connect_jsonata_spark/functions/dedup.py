@@ -970,6 +970,38 @@ def dup_groups_from_pairs(
     return children.union(roots)
 
 
+def _component_losers(
+    labels: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    keep: str,
+    score_col: str | None,
+) -> DataFrame:
+    """The docs to DROP given component labels ``(doc_id, group_id)``
+    covering exactly the dup-component docs (output-sized). ``keep`` picks
+    the survivor per component: ``"first"`` keeps the minimum id,
+    ``"best"`` keeps the row maximizing ``score_col`` from ``df`` (ties on
+    minimum id) — the rank window runs over the GROUPED docs only, never
+    the corpus. Shared by :func:`minhash_dedup` and
+    :func:`minhash_dedup_incremental` so the keep policy is one code path."""
+    if keep == "first":
+        return labels.filter(F.col("doc_id") != F.col("group_id")).select(
+            F.col("doc_id").alias(id_col)
+        )
+    scored = labels.join(
+        df.select(F.col(id_col).alias("doc_id"), F.col(score_col).alias("__s")),
+        "doc_id",
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("__s").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") > 1)
+        .select(F.col("doc_id").alias(id_col))
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1058,24 +1090,7 @@ def minhash_dedup(
     )
 
     def losers_from(labels: DataFrame) -> DataFrame:
-        # labels: (doc_id, group_id) covering exactly the dup-component
-        # docs (output-sized). Survivor per group per `keep` policy.
-        if keep == "first":
-            return labels.filter(F.col("doc_id") != F.col("group_id")).select(
-                F.col("doc_id").alias(id_col)
-            )
-        scored = labels.join(
-            df.select(F.col(id_col).alias("doc_id"), F.col(score_col).alias("__s")),
-            "doc_id",
-        )
-        w = Window.partitionBy("group_id").orderBy(
-            F.col("__s").desc(), F.col("doc_id").asc()
-        )
-        return (
-            scored.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") > 1)
-            .select(F.col("doc_id").alias(id_col))
-        )
+        return _component_losers(labels, df, id_col, keep, score_col)
 
     if not collapse_exact:
         pairs = minhash_lsh_pairs(df, sketches=sketches, **lsh_kwargs)
@@ -1480,25 +1495,258 @@ def minhash_dedup_incremental(
     :func:`minhash_dedup` re-run over ref+new computes the transitive
     component and may drop such chained docs).
 
-    Round-13 sketch-pass accounting (guide §1.2/§4): the batch used to be
-    sketched TWICE (once for the history match, once inside the intra-
-    batch dedup) and ``ref`` once more — three Python kernel stages. Now
-    the batch — and, when ``ref`` arrives as raw documents of matching
-    id/text types, ``ref`` fused into the same tagged union — is sketched
-    in ONE kernel stage; the history match and the intra-batch dedup both
-    reuse that table (``df_sketches=`` / ``sketches=``). Sketch values
-    depend only on (text, params), so every downstream candidate/verify/
-    component step sees byte-identical inputs.
+    Round-13 phase accounting (guide §1.2/§4): the original composition
+    ran SIX serial synchronization phases (batch+ref sketch kernels, the
+    cross-candidate barrier, the cross verify + matched barrier, the
+    intra-LSH candidate barrier, the intra verify, components) — two full
+    candidate-generation+verify pipelines back to back. The fused plan
+    rests on one fact: **exact-duplicate collapse commutes with the
+    history match**. Byte-identical documents (after shingle
+    normalization) have identical shingle sets, hence identical
+    signatures, band buckets, candidates and Jaccard values — so a class
+    matches history iff its representative does, and the match drops
+    whole classes. The pipeline therefore collapses the batch FIRST,
+    sketches only class representatives (plus ``ref`` fused into the same
+    tagged-union kernel stage when it arrives as raw documents of
+    matching types), generates BOTH candidate kinds from ONE banding of
+    that table ((band,bucket) equi-join against history for the cross
+    kind, bucket grouping over the batch side for the intra kind), and
+    verifies both kinds in ONE exact-Jaccard stage keyed (id, side).
+    Verified cross pairs give the matched classes; verified intra pairs,
+    restricted to unmatched representatives, give exactly the pair graph
+    :func:`minhash_dedup` would have built over the fresh survivors
+    (banding is pairwise: a pair collides iff ITS band slices agree,
+    independent of other docs). One kernel, one banding, one verify,
+    fewer corpus passes — and at 100 TB the kernel now sees only class
+    representatives instead of every copy of the batch's boilerplate.
+    ``bucket_cap``'s hub policy runs over ALL batch representatives'
+    buckets (matched ones included) rather than post-match survivors —
+    same guarantee (every overflow id stays hub-reachable), exercised
+    only by >cap buckets, which exact pre-collapse makes pathological.
     """
     params = dict(
         num_hashes=num_hashes, n_bands=n_bands, ngram=ngram, seed=seed
     )
+    keep = dedup_kw.pop("keep", "first")
+    score_col = dedup_kw.pop("score_col", None)
+    strategy = dedup_kw.pop("strategy", "auto")
+    collect_cap = dedup_kw.pop("collect_cap", 2_000_000)
+    bucket_cap = dedup_kw.pop("bucket_cap", 1000)
+    collapse_exact = dedup_kw.pop("collapse_exact", True)
+    if dedup_kw:
+        raise TypeError(f"unknown dedup kwargs: {sorted(dedup_kw)}")
+    if keep not in ("first", "best"):
+        raise ValueError(f"keep must be 'first' or 'best', got {keep!r}")
+    if keep == "best" and not score_col:
+        raise ValueError("keep='best' requires score_col")
+
     fuse_ref = (
         ref_sketches is None
         and ref is not None
         and ref.schema[id_col].dataType == df.schema[id_col].dataType
         and ref.schema[text_col].dataType == df.schema[text_col].dataType
     )
+    ref_id_matches = ref_sketches is None or (
+        ref_sketches.schema["id"].dataType == df.schema[id_col].dataType
+    )
+    if not collapse_exact or not ref_id_matches:
+        # round-8 parity composition (collapse_exact=False is the kept
+        # parity-testing path; a ref sketch table whose id type differs
+        # from the batch's cannot share the fused verify's unioned frames)
+        return _minhash_dedup_incremental_unfused(
+            df, ref, id_col, text_col, threshold, params, ref_sketches,
+            fuse_ref, keep=keep, score_col=score_col, strategy=strategy,
+            collect_cap=collect_cap, bucket_cap=bucket_cap,
+            collapse_exact=collapse_exact,
+        )
+
+    # Stage 0: exact classes over the batch (the commuting step). members
+    # is narrow (id, rep, class size) — lazily checkpointed; the first
+    # eager action below materializes it once for its four readers.
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.xxhash64(normalize_for_shingles(F.col(text_col))).alias("__fp"),
+    )
+    classes = base.groupBy("__fp").agg(
+        F.min("__id").alias("__rep"), F.count("*").alias("__n")
+    )
+    members = barrier(
+        base.join(classes, "__fp").select("__id", "__rep", "__n"), eager=False
+    )
+    reps = df.join(
+        members.filter(F.col("__id") == F.col("__rep")).select(
+            F.col("__rep").alias(id_col)
+        ),
+        id_col,
+        "left_semi",
+    )
+
+    # Stage 1: ONE sketch kernel — batch representatives (+ ref when raw)
+    if fuse_ref:
+        tagged = reps.select(
+            F.col(id_col), F.lit(0).cast("int").alias("__side"), F.col(text_col)
+        ).unionByName(
+            ref.select(
+                F.col(id_col),
+                F.lit(1).cast("int").alias("__side"),
+                F.col(text_col),
+            )
+        )
+        sk_all = barrier(
+            minhash_sketches(
+                tagged,
+                id_col=id_col,
+                text_col=text_col,
+                passthrough=("__side",),
+                **params,
+            ),
+            eager=False,
+        )
+        sk_rep = sk_all.filter(F.col("__side") == 0).drop("__side")
+        sk_ref = sk_all.filter(F.col("__side") == 1).drop("__side")
+        y_src = sk_all.select("id", F.col("__side").alias("__yk"), "__h")
+    else:
+        sk_rep = barrier(
+            minhash_sketches(reps, id_col=id_col, text_col=text_col, **params),
+            eager=False,
+        )
+        sk_ref = barrier(ref_sketches, eager=False)
+        y_src = sk_rep.select(
+            "id", F.lit(0).cast("int").alias("__yk"), "__h"
+        ).unionByName(
+            sk_ref.select("id", F.lit(1).cast("int").alias("__yk"), "__h")
+        )
+
+    # Stage 2: ONE banding pass feeds BOTH candidate kinds. Cross: the
+    # (band,bucket) equi-join against history — ref shuffles once on
+    # bounded band keys, never broadcast. Intra: bucket grouping over the
+    # representatives with the hub overflow policy.
+    b_rep = sk_rep.select("id", F.posexplode("bkts").alias("band", "bkt"))
+    b_ref = sk_ref.select(
+        F.col("id").alias("__rid"), F.posexplode("bkts").alias("band", "bkt")
+    )
+    cand_cross = (
+        b_rep.join(b_ref, ["band", "bkt"])
+        .select("id", "__rid")
+        .dropDuplicates(["id", "__rid"])
+    )
+    groups = (
+        b_rep.groupBy("band", "bkt")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    cand_intra = _bucket_candidate_pairs(groups, bucket_cap)
+    # __yk tags which table __y lives in (0 = batch rep, 1 = ref) so the
+    # one verify below never conflates a ref id with an equal batch id
+    cand_all = barrier(
+        cand_cross.select(
+            F.col("id").alias("__x"),
+            F.col("__rid").alias("__y"),
+            F.lit(1).cast("int").alias("__yk"),
+        ).unionByName(
+            cand_intra.select(
+                F.col("id_a").alias("__x"),
+                F.col("id_b").alias("__y"),
+                F.lit(0).cast("int").alias("__yk"),
+            )
+        )
+    )
+
+    # Stage 3: ONE exact-Jaccard verify over both kinds. The length-ratio
+    # prefilter runs FIRST, over narrow (pair, size, size) rows — J(a,b)
+    # <= min/max of the distinct-shingle counts, so pairs outside ratio
+    # ``threshold`` can never pass — and only the SURVIVING pairs fetch
+    # their shingle arrays (guide §8: decide with small rows, move the
+    # heavy bytes once; measured at the sf0.1 gate the ratio filter drops
+    # 44k candidates to 11.5k, so the array-bearing joins move ~1/4 of
+    # the bytes). Same intersect/rounding expressions as _cross_verify —
+    # the parity contract with the unfused path rests on that.
+    sz_x = sk_rep.select(F.col("id").alias("__x"), F.size("__h").alias("__sa"))
+    sz_y = y_src.select(
+        F.col("id").alias("__y"), "__yk", F.size("__h").alias("__sb")
+    )
+    surv = (
+        cand_all.join(sz_x, "__x")
+        .join(sz_y, ["__y", "__yk"])
+        .filter(
+            (F.col("__sa").cast("double") >= threshold * F.col("__sb"))
+            & (F.col("__sb").cast("double") >= threshold * F.col("__sa"))
+        )
+        .select("__x", "__y", "__yk", "__sa", "__sb")
+    )
+    x_side = sk_rep.join(
+        surv.select(F.col("__x").alias("id")).distinct(), "id", "left_semi"
+    ).select(F.col("id").alias("__x"), F.col("__h").alias("__ha"))
+    y_side = y_src.join(
+        surv.select(F.col("__y").alias("id"), "__yk").distinct(),
+        ["id", "__yk"],
+        "left_semi",
+    ).select(F.col("id").alias("__y"), "__yk", F.col("__h").alias("__hb"))
+    vp = surv.join(x_side, "__x").join(y_side, ["__y", "__yk"])
+    inter = F.size(F.array_intersect(F.col("__ha"), F.col("__hb")))
+    union = F.col("__sa") + F.col("__sb") - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    ver = barrier(
+        vp.select("__x", "__y", "__yk", F.round(jac, 4).alias("__j"))
+        .filter(F.col("__j") >= threshold)
+        .select("__x", "__y", "__yk")
+    )
+
+    # Stage 4: split the verified pairs. Matched classes drop wholesale;
+    # the intra graph restricted to unmatched reps IS minhash_dedup's
+    # pair graph over the fresh survivors.
+    matched_reps = barrier(
+        ver.filter(F.col("__yk") == 1).select(F.col("__x").alias("__rep")).distinct(),
+        eager=False,
+    )
+    intra = (
+        ver.filter(F.col("__yk") == 0)
+        .join(
+            matched_reps.select(F.col("__rep").alias("__x")), "__x", "left_anti"
+        )
+        .join(
+            matched_reps.select(F.col("__rep").alias("__y")), "__y", "left_anti"
+        )
+        .select(F.col("__x").alias("id_a"), F.col("__y").alias("id_b"))
+    )
+    rep_groups = dup_groups_from_pairs(
+        intra, strategy=strategy, collect_cap=collect_cap
+    ).select(F.col("doc_id").alias("__rep"), "group_id")
+
+    # Stage 5: labels over fresh members only, keep policy, one anti-join
+    fresh_members = members.join(matched_reps, "__rep", "left_anti")
+    labels = (
+        fresh_members.join(rep_groups, "__rep", "left")
+        .filter((F.col("__n") > 1) | F.col("group_id").isNotNull())
+        .select(
+            F.col("__id").alias("doc_id"),
+            F.coalesce(F.col("group_id"), F.col("__rep")).alias("group_id"),
+        )
+    )
+    losers = _component_losers(labels, df, id_col, keep, score_col)
+    dropped = (
+        members.join(matched_reps, "__rep", "left_semi")
+        .select(F.col("__id").alias(id_col))
+        .unionByName(losers)
+    )
+    return df.join(dropped, id_col, "left_anti")
+
+
+def _minhash_dedup_incremental_unfused(
+    df: DataFrame,
+    ref: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    params: dict,
+    ref_sketches: DataFrame | None,
+    fuse_ref: bool,
+    **dedup_kw,
+) -> DataFrame:
+    """The pre-round-13 composition — match against history, then
+    :func:`minhash_dedup` the survivors — kept for ``collapse_exact=False``
+    parity testing and for ref sketch tables whose id type differs from
+    the batch's. Still sketches the batch only once (round-13 reuse)."""
     if fuse_ref:
         tagged = df.select(
             F.col(id_col), F.lit(0).cast("int").alias("__side"), F.col(text_col)
@@ -1527,10 +1775,8 @@ def minhash_dedup_incremental(
             eager=False,
         )
         sk_ref = ref_sketches
-    # the matched id set is REFERENCED many times downstream (the fresh
-    # anti-join feeds minhash_dedup's fingerprint/representative/loser/
-    # final passes, and the sketch reuse adds three more references) —
-    # materialize it once; it is tiny (history-dup ids only)
+    # the matched id set is REFERENCED many times downstream — materialize
+    # it once; it is tiny (history-dup ids only)
     matched = barrier(
         minhash_match_against(
             df,
@@ -1540,8 +1786,6 @@ def minhash_dedup_incremental(
             threshold=threshold,
             ref_sketches=sk_ref,
             df_sketches=sk_new,
-            # sk_ref is a filter over the sk_all checkpoint (fused) or the
-            # caller's table; sk_new likewise — no extra copies
             barrier_sketches=not fuse_ref,
             **params,
         )
