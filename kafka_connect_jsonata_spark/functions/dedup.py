@@ -609,24 +609,38 @@ def minhash_lsh_pairs(
     # long-array intersect is measurably cheaper than string-array
     # intersect. The checkpoint also acts as the barrier that keeps
     # Catalyst from inlining shingling into the pair-join condition.
+    #
+    # Round 13: the length-ratio prefilter — J(a,b) <= min/max of the
+    # distinct-shingle counts, so pairs outside ratio `threshold` can
+    # never pass — runs FIRST over narrow (id_a, id_b, size, size) rows;
+    # only the surviving pairs materialize shingle arrays (guide §8:
+    # decide with small rows, move heavy bytes once; measured 50k -> 13k
+    # array-bearing pairs at the sf0.1 gate).
+    sizes = hashed.select("id", F.size("__h").alias("sz"))
+    surv = (
+        cand.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+        .filter(
+            (F.col("sz_a").cast("double") >= threshold * F.col("sz_b"))
+            & (F.col("sz_b").cast("double") >= threshold * F.col("sz_a"))
+        )
+        .select("id_a", "id_b", "sz_a", "sz_b")
+    )
+
     def side(tag: str):
         need = cand.select(F.col(f"id_{tag}").alias("id")).distinct()
         return hashed.join(need, "id", "left_semi").select(
             F.col("id").alias(f"id_{tag}"),
             F.col("__h").alias(f"grams_{tag}"),
-            F.size("__h").alias(f"sz_{tag}"),
         )
 
-    pairs = (
-        cand.join(side("a"), "id_a")
-        .join(side("b"), "id_b")
-        # length-ratio prefilter: J(a,b) <= min/max of set sizes, so pairs
-        # outside ratio `threshold` cannot pass — prune before intersecting
-        .filter(
-            (F.col("sz_a").cast("double") >= threshold * F.col("sz_b"))
-            & (F.col("sz_b").cast("double") >= threshold * F.col("sz_a"))
-        )
-    )
+    pairs = surv.join(side("a"), "id_a").join(side("b"), "id_b")
     # grams are distinct: |a ∪ b| = |a| + |b| - |a ∩ b|, one array op per pair
     inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
     union = F.col("sz_a") + F.col("sz_b") - inter
@@ -1433,24 +1447,31 @@ def _cross_verify(
     of corpus size. Used verbatim by the flat (:func:`minhash_match_against`)
     and prunable-store (:func:`minhash_match_against_store`) paths — the
     parity contract between them rests on this being the SAME code."""
-    new_side = sk_new.join(
-        cand.select("id").distinct(), "id", "left_semi"
-    ).select("id", F.col("__h").alias("__ha"), F.size("__h").alias("__sa"))
-    ref_side = sk_ref.join(
-        cand.select("__rid").distinct(), "__rid", "left_semi"
-    ).select(
-        "__rid",
-        F.col("__h").alias("__hb"),
-        F.size("__h").alias("__sb"),
-    )
-    pairs = (
-        cand.join(new_side, "id")
-        .join(ref_side, "__rid")
+    # Round 13: length-ratio prefilter FIRST over narrow (pair, size)
+    # rows — only survivors materialize shingle arrays (guide §8), and the
+    # survivor frame's pinned exchange width keeps the CPU-dense intersect
+    # from being squeezed onto one task by AQE's byte-based coalescing
+    # (the exchange replaces the ENSURE exchange the array join needs).
+    surv = (
+        cand.join(
+            sk_new.select("id", F.size("__h").alias("__sa")), "id"
+        )
+        .join(
+            sk_ref.select("__rid", F.size("__h").alias("__sb")), "__rid"
+        )
         .filter(
             (F.col("__sa").cast("double") >= threshold * F.col("__sb"))
             & (F.col("__sb").cast("double") >= threshold * F.col("__sa"))
         )
+        .select("id", "__rid", "__sa", "__sb")
     )
+    new_side = sk_new.join(
+        cand.select("id").distinct(), "id", "left_semi"
+    ).select("id", F.col("__h").alias("__ha"))
+    ref_side = sk_ref.join(
+        cand.select("__rid").distinct(), "__rid", "left_semi"
+    ).select("__rid", F.col("__h").alias("__hb"))
+    pairs = surv.join(new_side, "id").join(ref_side, "__rid")
     inter = F.size(F.array_intersect(F.col("__ha"), F.col("__hb")))
     union = F.col("__sa") + F.col("__sb") - inter
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
@@ -1675,10 +1696,10 @@ def minhash_dedup_incremental(
         .select("__x", "__y", "__yk", "__sa", "__sb")
     )
     x_side = sk_rep.join(
-        surv.select(F.col("__x").alias("id")).distinct(), "id", "left_semi"
+        cand_all.select(F.col("__x").alias("id")).distinct(), "id", "left_semi"
     ).select(F.col("id").alias("__x"), F.col("__h").alias("__ha"))
     y_side = y_src.join(
-        surv.select(F.col("__y").alias("id"), "__yk").distinct(),
+        cand_all.select(F.col("__y").alias("id"), "__yk").distinct(),
         ["id", "__yk"],
         "left_semi",
     ).select(F.col("id").alias("__y"), "__yk", F.col("__h").alias("__hb"))
