@@ -298,7 +298,18 @@ def ngram_jaccard_pairs(
             F.col("hgrams").alias(f"grams_{tag}"),
         )
 
-    pairs = cand.join(side("a"), "id_a").join(side("b"), "id_b")
+    # The final join's output rows carry BOTH gram arrays while its
+    # exchange bytes are one array per row — AQE's byte-based coalescing
+    # can't see that amplification (or the per-row intersect cost) and
+    # squeezed the verify onto 4 of 32 cores at the sf0.1 gate. Pinning
+    # BOTH join inputs to the same explicit (id_b, parallelism) hash
+    # partitioning replaces the ENSURE exchanges the join needs anyway —
+    # co-partitioned join, same shuffles, not coalescible (round 13).
+    pairs = (
+        cand.join(side("a"), "id_a")
+        .repartition(par, "id_b")
+        .join(side("b").repartition(par, "id_b"), "id_b")
+    )
     # grams are distinct, so |a ∪ b| = |a| + |b| - |a ∩ b|: one array op per
     # pair instead of two
     inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
@@ -640,6 +651,10 @@ def minhash_lsh_pairs(
             F.col("__h").alias(f"grams_{tag}"),
         )
 
+    # NO explicit partition pin here (unlike ngram_jaccard_pairs): the
+    # post-ratio survivor set is small enough that AQE converts these
+    # joins to broadcasts at runtime — zero exchanges — and a forced
+    # repartition measured strictly slower (round-13 A/B)
     pairs = surv.join(side("a"), "id_a").join(side("b"), "id_b")
     # grams are distinct: |a ∪ b| = |a| + |b| - |a ∩ b|, one array op per pair
     inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))

@@ -420,7 +420,17 @@ def knn_graph(
                     }
                 )
 
-        edges = corpus.select(id_col).mapInPandas(
+        # spread the winnow input: a one-file gate-scale scan is ONE
+        # partition, serializing the per-batch GEMM AND the downstream
+        # Catalyst cosine re-rank (which inherits this partitioning through
+        # the broadcast joins) on a single core — measured 1.5 s of a 2.9 s
+        # query inside semantic_clusters' edge barrier (round 13). The
+        # spread is conditional: a wide production scan is untouched.
+        from kafka_connect_jsonata_spark.functions.dedup import (
+            spread_narrow_scan,
+        )
+
+        edges = spread_narrow_scan(corpus.select(id_col)).mapInPandas(
             winnow, f"query_id {id_type}, neighbor_id {id_type}"
         )
         qv = base
