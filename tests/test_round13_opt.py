@@ -84,6 +84,38 @@ def test_incremental_fused_sketch_matches_unfused_paths(spark, sf_dir):
     assert _rows(fused) == _rows(via_sketches)
 
 
+def test_incremental_fused_edge_cases(spark):
+    # the round-13 fused single-banding/single-verify rewrite must keep
+    # the degenerate shapes exact: empty history, empty batch, everything
+    # matching history, keep='best', and the persisted-sketch ref path
+    rows = [
+        (1, "aaaa bbbb cccc dddd"),
+        (2, "aaaa bbbb cccc dddd"),
+        (3, "totally different text here"),
+        (4, "unrelated content words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    empty = df.filter(F.lit(False))
+    params = dict(num_hashes=16, n_bands=4, threshold=0.9)
+
+    kept = dedup.minhash_dedup_incremental(df, empty, **params)
+    assert sorted(r[0] for r in kept.select("doc_id").collect()) == [1, 3, 4]
+    assert dedup.minhash_dedup_incremental(empty, df, **params).count() == 0
+    assert dedup.minhash_dedup_incremental(df, df, **params).count() == 0
+    best = dedup.minhash_dedup_incremental(
+        df.withColumn("s", F.length("text")), empty,
+        keep="best", score_col="s", **params,
+    )
+    assert sorted(r[0] for r in best.select("doc_id").collect()) == [1, 3, 4]
+    sk = dedup.minhash_sketches(
+        df.filter(F.col("doc_id") == 1), num_hashes=16, n_bands=4
+    )
+    via_store = dedup.minhash_dedup_incremental(
+        df.filter(F.col("doc_id") > 1), None, ref_sketches=sk, **params
+    )
+    assert sorted(r[0] for r in via_store.select("doc_id").collect()) == [3, 4]
+
+
 def test_fuzzy_decontaminate_type_fallback_matches_fused(spark, sf_dir):
     from kafka_connect_jsonata_spark.functions import curation
 
