@@ -696,9 +696,19 @@ def project_components(
     component per row."""
     import numpy as np
 
+    import math
+
     cols = [F.col(id_col)]
     for c_i, w in enumerate(comps):
-        lit_w = F.array(*[F.lit(float(x)) for x in w])
+        # one expr string instead of d F.lit py4j round-trips (round 13,
+        # same pattern as assign_nearest_centroid; repr round-trips every
+        # finite double exactly, non-finite keeps the per-element path)
+        if all(math.isfinite(float(x)) for x in w):
+            lit_w = F.expr(
+                "array(" + ",".join(repr(float(x)) + "D" for x in w) + ")"
+            )
+        else:
+            lit_w = F.array(*[F.lit(float(x)) for x in w])
         centered_dot = F.aggregate(
             F.zip_with(F.col(vec_col), lit_w, lambda x, wv: x.cast("double") * wv),
             F.lit(0.0),

@@ -691,8 +691,14 @@ def simhash64(col: Column) -> Column:
     # bit i of the signature is set iff the majority of token hashes set it
     # (2*count > n). Powers are distinct bits, so bitwise-OR assembles the
     # signature; 1<<63 is represented as Long.MIN_VALUE (two's complement).
-    powers = F.array(
-        *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(64)]
+    # One expr string instead of 64 F.lit py4j round-trips (round 13, same
+    # pattern as assign_nearest_centroid — the Literal tree is identical;
+    # MIN_VALUE via a string cast because the SQL parser rejects the bare
+    # literal, whose unsigned magnitude overflows before unary minus).
+    powers = F.expr(
+        "array("
+        + ",".join(f"{1 << i}L" for i in range(63))
+        + ",CAST('-9223372036854775808' AS BIGINT))"
     )
     sig_bits = F.zip_with(
         counts, powers, lambda c, p: F.when(c * 2 > n, p).otherwise(F.lit(0).cast("long"))
