@@ -84,6 +84,34 @@ def test_incremental_fused_sketch_matches_unfused_paths(spark, sf_dir):
     assert _rows(fused) == _rows(via_sketches)
 
 
+def test_incremental_fused_matches_unfused_composition(spark, sf_dir):
+    # the round-13 single-banding/single-verify rewrite vs the round-8
+    # match-then-dedup composition (collapse_exact=False routes there):
+    # identical kept sets on the real corpus, both keep policies
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 3 != 0).withColumn(
+        "__q", F.length("text")
+    )
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    params = dict(num_hashes=32, n_bands=8, threshold=0.9)
+    for kw in (dict(), dict(keep="best", score_col="__q")):
+        fused = sorted(
+            r[0]
+            for r in dedup.minhash_dedup_incremental(new, ref, **params, **kw)
+            .select("doc_id")
+            .collect()
+        )
+        unfused = sorted(
+            r[0]
+            for r in dedup.minhash_dedup_incremental(
+                new, ref, collapse_exact=False, bucket_cap=None, **params, **kw
+            )
+            .select("doc_id")
+            .collect()
+        )
+        assert fused == unfused and fused
+
+
 def test_incremental_fused_edge_cases(spark):
     # the round-13 fused single-banding/single-verify rewrite must keep
     # the degenerate shapes exact: empty history, empty batch, everything
