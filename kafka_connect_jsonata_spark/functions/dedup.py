@@ -68,11 +68,14 @@ def barrier(df: DataFrame, eager: bool = True) -> DataFrame:
         caller = caller.f_back
     site = f"barrier:{caller.f_code.co_name}:{caller.f_lineno}" if caller else "barrier"
     sc = df.sparkSession.sparkContext
+    # restore the CALLER's description, not None — an enclosing harness may
+    # have labeled the surrounding action (round-13 advisor, low)
+    prev = sc.getLocalProperty("spark.job.description")
     sc.setJobDescription(site)
     try:
         return df.localCheckpoint(eager=True)
     finally:
-        sc.setJobDescription(None)
+        sc.setJobDescription(prev)
 
 
 def spread_narrow_scan(df: DataFrame, parallelism: int | None = None) -> DataFrame:
@@ -909,18 +912,20 @@ def dup_groups_from_pairs(
         # extra scheduling round for the same work.
         pairs = barrier(pairs, eager=False)
         sc = pairs.sparkSession.sparkContext
+        prev = sc.getLocalProperty("spark.job.description")
         sc.setJobDescription("cc:probe-count")
         try:
             strategy = "driver" if pairs.count() <= int(collect_cap) else "distributed"
         finally:
-            sc.setJobDescription(None)
+            sc.setJobDescription(prev)
     if strategy == "driver":
         sc = pairs.sparkSession.sparkContext
+        prev = sc.getLocalProperty("spark.job.description")
         sc.setJobDescription("cc:collect-edges")
         try:
             rows = pairs.select(F.col(id_a), F.col(id_b)).collect()  # probe-bounded
         finally:
-            sc.setJobDescription(None)
+            sc.setJobDescription(prev)
         parent: dict = {}
 
         def find(x):
@@ -1562,9 +1567,22 @@ def minhash_dedup_incremental(
     fewer corpus passes — and at 100 TB the kernel now sees only class
     representatives instead of every copy of the batch's boilerplate.
     ``bucket_cap``'s hub policy runs over ALL batch representatives'
-    buckets (matched ones included) rather than post-match survivors —
-    same guarantee (every overflow id stays hub-reachable), exercised
-    only by >cap buckets, which exact pre-collapse makes pathological.
+    buckets (matched ones included) rather than post-match survivors.
+    For a bucket at or under the cap this is value-identical (every pair
+    is enumerated either way). For a bucket ABOVE the cap whose minimum
+    id turns out to be history-matched, the hub pairs die with the hub in
+    the stage-4 anti-join and that bucket's overflow ids can lose their
+    only candidate from this bucket — a RECALL-ONLY divergence from the
+    unfused composition (which bands fresh survivors and re-hubs on the
+    fresh minimum); precision is untouched because every surviving pair
+    still passes the exact-Jaccard verify. Exercised only by >cap buckets
+    (cap defaults to 1000 ids in one band bucket), which exact
+    pre-collapse makes pathological; callers that need the unfused
+    overflow semantics on such corpora pass ``collapse_exact=False``
+    (round-13 advisor, medium: documented rather than restored — a
+    structural repair needs a second verify round over the affected
+    buckets, serializing the fused single-verify plan this function
+    exists to provide).
     """
     params = dict(
         num_hashes=num_hashes, n_bands=n_bands, ngram=ngram, seed=seed
@@ -1591,10 +1609,19 @@ def minhash_dedup_incremental(
     ref_id_matches = ref_sketches is None or (
         ref_sketches.schema["id"].dataType == df.schema[id_col].dataType
     )
-    if not collapse_exact or not ref_id_matches:
+    if (
+        not collapse_exact
+        or not ref_id_matches
+        or (ref_sketches is None and not fuse_ref)
+    ):
         # round-8 parity composition (collapse_exact=False is the kept
         # parity-testing path; a ref sketch table whose id type differs
-        # from the batch's cannot share the fused verify's unioned frames)
+        # from the batch's cannot share the fused verify's unioned frames,
+        # and a RAW ref with mismatched id/text types cannot be fused
+        # either — minhash_match_against sketches it separately, exactly
+        # like pre-round-13; round-13 advisor, high. ref=None +
+        # ref_sketches=None still raises inside minhash_match_against,
+        # same as it always did.)
         return _minhash_dedup_incremental_unfused(
             df, ref, id_col, text_col, threshold, params, ref_sketches,
             fuse_ref, keep=keep, score_col=score_col, strategy=strategy,

@@ -26,9 +26,25 @@ TABLES = (
 )
 
 
+# Plan-construction cache (round 14, guide §5 — the driver): one DataFrame
+# PLAN per (application, sf_dir, table). spark.read.parquet is pure driver
+# work — file listing, footer/schema read, ~50-70 ms per call — repeated
+# identically by every query that touches the same immutable table (TPC-H
+# shapes call it up to 6 times each). The cached object is an UNEXECUTED
+# logical plan: every action still scans the parquet files (nothing is
+# persisted or memoized about the DATA — .cache() is never called), so this
+# is the plan-level analogue of registering the table once per application,
+# not result caching. Keyed on applicationId so a new session (new JVM app)
+# rebuilds its own plans; bounded so long-lived multi-session processes
+# (pytest) cannot grow it without limit.
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_PLAN_CACHE_MAX = 256
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table. Plain parquet scan: predicate pushdown and
-    column pruning land automatically once callers filter/select.
+    """Read one testdata table (plan-cached per application — see
+    ``_PLAN_CACHE``). Plain parquet scan: predicate pushdown and column
+    pruning land automatically once callers filter/select.
 
     ``events.ts`` is stored as TIMESTAMP(NANOS). Spark 4.1+ reads it
     natively as TIMESTAMP_NTZ truncated to microseconds (UTC wall clock —
@@ -44,6 +60,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     epoch values out of ``ts``; bare ``unix_micros(ts)`` is a type error on
     the NTZ column.
     """
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     from pyspark.sql import functions as F
@@ -68,6 +88,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"),
             ),
         )
+    if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+        _PLAN_CACHE.clear()
+    _PLAN_CACHE[key] = df
     return df
 
 
