@@ -1320,6 +1320,14 @@ def remove_boilerplate_lines(
         .select("__grp", "__lh")
     )
 
+    # The probe count below is the materializing action for a LAZY
+    # checkpoint of the frequent set: the corpus-sized explode+agg that
+    # produces it used to run TWICE per call (probe, then again inside the
+    # returned plan) — round 14, guide §1.2/§5; the checkpointed rows are
+    # the (group, hash) frequent set, bounded by boilerplate lines, tiny.
+    from kafka_connect_jsonata_spark.functions.dedup import barrier
+
+    freq = barrier(freq, eager=False)
     n_freq = freq.count()  # bounded probe: one count over the frequent set
     if n_freq <= broadcast_cap:
         freq_arrays = freq.groupBy("__grp").agg(
@@ -1614,12 +1622,17 @@ def scrub_contaminated_spans(
         .distinct()
     )
     from kafka_connect_jsonata_spark.functions.dedup import (
+        barrier,
         broadcast_cap_bytes_of,
     )
 
     broadcast_cap_bytes = broadcast_cap_bytes_of(
         train.sparkSession, broadcast_cap_bytes
     )
+    # lazy checkpoint materialized by the size probe right below: the eval
+    # tokenize+shingle+distinct used to run twice per call (probe, then
+    # again inside the match join) — round 14, guide §1.2/§5
+    ev = barrier(ev, eager=False)
     est = ev.agg(
         F.count(F.lit(1)).alias("__n"),
         F.coalesce(F.sum(F.length("__g")), F.lit(0)).alias("__b"),

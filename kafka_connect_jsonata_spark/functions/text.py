@@ -31,19 +31,42 @@ def char_count(col: Column) -> Column:
     return F.length(col)
 
 
-def avg_token_len(col: Column) -> Column:
-    """Mean token length, NULL on empty text."""
-    t = tokens(col)
+def _avg_token_len_of(t: Column) -> Column:
+    """Mean token length from an ALREADY-BUILT token array Column."""
     return F.when(
         F.size(t) > 0,
         F.aggregate(t, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x)) / F.size(t),
     )
 
 
+def avg_token_len(col: Column) -> Column:
+    """Mean token length, NULL on empty text."""
+    return _avg_token_len_of(tokens(col))
+
+
+_STOPWORD_ARRS: dict[tuple[str, ...], Column] = {}
+
+
+def _stopword_arr(words: tuple[str, ...]) -> Column:
+    # one literal-array Column per word list, shared across every
+    # construction in the process (round 14, guide §5: a Column is an
+    # immutable JVM expression tree — rebuilding it is one py4j round trip
+    # per literal, for the identical tree)
+    arr = _STOPWORD_ARRS.get(words)
+    if arr is None:
+        arr = F.array(*[F.lit(w) for w in words])
+        _STOPWORD_ARRS[words] = arr
+    return arr
+
+
+def _stopword_hits_of(toks_lower: Column, words: tuple[str, ...]) -> Column:
+    """Stopword hit count from an ALREADY-BUILT lowercased token array."""
+    arr = _stopword_arr(words)
+    return F.size(F.filter(toks_lower, lambda t: F.array_contains(arr, t)))
+
+
 def _stopword_hits(col: Column, words: tuple[str, ...]) -> Column:
-    toks = tokens(F.lower(col))
-    arr = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return _stopword_hits_of(tokens(F.lower(col)), words)
 
 
 def stopword_ratio(col: Column, words: tuple[str, ...] = STOPWORDS_EN) -> Column:
@@ -58,27 +81,35 @@ def punct_ratio(col: Column) -> Column:
     return F.when(n > 0, punct.cast("double") / n).otherwise(F.lit(0.0))
 
 
-def quality_score(col: Column) -> Column:
-    """Composite [0,1] quality heuristic: enough tokens, sane mean token
-    length, some stopwords, low punctuation noise. Pure Column arithmetic."""
-    tc = token_count(col).cast("double")
-    atl = F.coalesce(avg_token_len(col), F.lit(0.0))
-    sw = stopword_ratio(col)
+def _quality_score_of(t: Column, tl: Column, col: Column) -> Column:
+    """Quality score from already-built token arrays (``t`` = tokens,
+    ``tl`` = lowercased tokens). Identical arithmetic to the public
+    :func:`quality_score` — shared sub-Columns, same expression tree."""
+    tc = F.size(t).cast("double")
+    atl = F.coalesce(_avg_token_len_of(t), F.lit(0.0))
+    sw = F.when(
+        F.size(t) > 0, _stopword_hits_of(tl, STOPWORDS_EN) / F.size(t)
+    ).otherwise(F.lit(0.0))
     pr = punct_ratio(col)
-    score = (
+    return (
         F.least(tc / F.lit(100.0), F.lit(1.0)) * 0.25
         + F.when((atl >= 3) & (atl <= 10), F.lit(1.0)).otherwise(F.lit(0.0)) * 0.25
         + F.least(sw * F.lit(5.0), F.lit(1.0)) * 0.25
         + (F.lit(1.0) - F.least(pr * F.lit(4.0), F.lit(1.0))) * 0.25
     )
-    return score
 
 
-def lang_id(col: Column) -> Column:
-    """Stopword-vote language ID heuristic: en/fr/de/unknown."""
-    en = _stopword_hits(col, STOPWORDS_EN)
-    fr = _stopword_hits(col, STOPWORDS_FR)
-    de = _stopword_hits(col, STOPWORDS_DE)
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: enough tokens, sane mean token
+    length, some stopwords, low punctuation noise. Pure Column arithmetic."""
+    return _quality_score_of(tokens(col), tokens(F.lower(col)), col)
+
+
+def _lang_id_of(tl: Column) -> Column:
+    """Language vote from an ALREADY-BUILT lowercased token array."""
+    en = _stopword_hits_of(tl, STOPWORDS_EN)
+    fr = _stopword_hits_of(tl, STOPWORDS_FR)
+    de = _stopword_hits_of(tl, STOPWORDS_DE)
     best = F.greatest(en, fr, de)
     return (
         F.when(best == 0, F.lit("unknown"))
@@ -86,6 +117,11 @@ def lang_id(col: Column) -> Column:
         .when(fr == best, F.lit("fr"))
         .otherwise(F.lit("de"))
     )
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-vote language ID heuristic: en/fr/de/unknown."""
+    return _lang_id_of(tokens(F.lower(col)))
 
 
 def fingerprint(col: Column) -> Column:
@@ -106,18 +142,29 @@ def term_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def doc_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document stats table: token count, char count, mean token length,
-    stopword ratio, punctuation ratio, quality, fingerprint, predicted lang."""
+    stopword ratio, punctuation ratio, quality, fingerprint, predicted lang.
+
+    Round 14 (guide §5 — the driver): the token arrays and stopword hit
+    counts are built ONCE and shared across the output columns (this used
+    to rebuild ``tokens(text)`` eleven times — ~1850 py4j round trips,
+    0.5 s of pure driver time per construction). Value-identical: the same
+    expression trees, constructed once instead of per column."""
     c = F.col(text_col)
+    t = tokens(c)
+    tl = tokens(F.lower(c))
+    sw = F.when(
+        F.size(t) > 0, _stopword_hits_of(tl, STOPWORDS_EN) / F.size(t)
+    ).otherwise(F.lit(0.0))
     return df.select(
         F.col(id_col),
-        token_count(c).alias("n_tokens"),
+        F.size(t).alias("n_tokens"),
         char_count(c).alias("n_chars_computed"),
-        F.round(F.coalesce(avg_token_len(c), F.lit(0.0)), 4).alias("avg_token_len"),
-        F.round(stopword_ratio(c), 4).alias("stopword_ratio"),
+        F.round(F.coalesce(_avg_token_len_of(t), F.lit(0.0)), 4).alias("avg_token_len"),
+        F.round(sw, 4).alias("stopword_ratio"),
         F.round(punct_ratio(c), 4).alias("punct_ratio"),
-        F.round(quality_score(c), 4).alias("quality"),
+        F.round(_quality_score_of(t, tl, c), 4).alias("quality"),
         fingerprint(c).alias("fingerprint"),
-        lang_id(c).alias("lang_pred"),
+        _lang_id_of(tl).alias("lang_pred"),
     )
 
 

@@ -75,6 +75,13 @@ def pack_token_budget(
         F.col(id_col).alias("id"),
         count_expr.cast("long").alias("n_tokens"),
     )
+    # (id, n_tokens) is referenced THREE times (bounds probe, bucket-total
+    # probe, final placement) — without a checkpoint the corpus is
+    # tokenized once per reference. Lazy; the bounds collect right below
+    # materializes it (round 14, guide §1.2/§5). Narrow rows: two longs.
+    from kafka_connect_jsonata_spark.functions.dedup import barrier
+
+    toks = barrier(toks, eager=False)
     bounds = toks.agg(F.min("id").alias("lo"), F.max("id").alias("hi")).collect()[0]
     if bounds["lo"] is None:
         return spark.createDataFrame(
