@@ -5241,11 +5241,28 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_props_extract": json_props_extract,
     "topk_per_group": topk_per_group,
     "rollup_lineitem": rollup_lineitem,
-    "range_join_parts": range_join_parts,
+    # round-14 rotations IN (round-13 verdict item 3: driver ground truth
+    # over the round-13 rewrites — O6 window rewrite, O12 literal arrays,
+    # O7 guard fold, O9 prefilter). Demoted with family kept represented:
+    # range_join_parts (range/interval joins: asof_join + skew_salted
+    # in-window), dedup_exact_docs (exact dedup: minhash_dedup_docs runs
+    # the same collapse-exact stage in-window), dataset_diff_docs
+    # (decontamination diff: fuzzy_decontaminate + decontaminate in
+    # sweep), envelope_reroute (jsonata: flagship + interpreter +
+    # safe_transform_dlq in-window), resample_gapfill_events +
+    # percentile_summary (events/agg: sessionize + asof_join + funnel +
+    # rollup + topk in-window), vocab_coverage_docs (corpus stats:
+    # char_entropy + clean_lines in-window). All seven stay
+    # oracle-registered in the builder/judge sweep.
+    "q2_minimum_cost_supplier": q2_minimum_cost_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "kmeans_assign": kmeans_assign,
+    "pca_project_fixed": pca_project_fixed,
+    "embedding_outlier_docs": embedding_outlier_docs,
+    "heavy_hitter_terms": heavy_hitter_terms,
+    "minhash_lsh_dups": minhash_lsh_dups,
     "asof_join_events_orders": asof_join_events_orders,
-    "dedup_exact_docs": dedup_exact_docs,
     "char_entropy_docs": char_entropy_docs,
-    "dataset_diff_docs": dataset_diff_docs,
     "inverted_index_terms": inverted_index_terms,
     "minhash_dedup_docs": minhash_dedup_docs,
     "semantic_clusters_vecs": semantic_clusters_vecs,
@@ -5254,8 +5271,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "safe_transform_dlq": safe_transform_dlq,
     "bm25_search": bm25_search,
     "skew_salted_join": skew_salted_join,
-    "envelope_reroute": envelope_reroute,
-    "resample_gapfill_events": resample_gapfill_events,
     "jsonata_flagship": jsonata_flagship,
     "quality_classifier_docs": quality_classifier_docs,
     "jsonata_interpreter": jsonata_interpreter,
@@ -5263,9 +5278,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curriculum_order_docs": curriculum_order_docs,
     # -- streaming / sketch / multimodal / curation gates --
     "sessionize_events": sessionize_events,
-    "percentile_summary": percentile_summary,
     "sorted_neighbor_dups_docs": sorted_neighbor_dups_docs,
-    "vocab_coverage_docs": vocab_coverage_docs,
     "embedding_dup_pairs": embedding_dup_pairs_q,
     "multimodal_frame_sample": multimodal_frame_sample,
     "funnel_events": funnel_events,
@@ -5289,6 +5302,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_graph_edges": knn_graph_edges,
     "curation_pipeline_v3_docs": curation_pipeline_v3_docs,
     # -- past the gate window: oracle-registered siblings (builder sweep) --
+    # round-14 window demotions (see the rotation-IN note above):
+    "range_join_parts": range_join_parts,
+    "dedup_exact_docs": dedup_exact_docs,
+    "dataset_diff_docs": dataset_diff_docs,
+    "envelope_reroute": envelope_reroute,
+    "resample_gapfill_events": resample_gapfill_events,
+    "percentile_summary": percentile_summary,
+    "vocab_coverage_docs": vocab_coverage_docs,
     # round-12 window demotions (families stay represented in-window:
     # TPC-H by q2/q6/q7/q11/q20, ANN by ann_ivf_topk + embedding_dup_pairs
     # + knn_graph_edges, near-dup by ngram_jaccard/minhash_dedup(_incr)/
@@ -5297,7 +5318,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # char_entropy + quantile_filter, redaction by scrub_spans, jsonata by
     # flagship/interpreter/safe_transform_dlq, corpus stats by
     # char_entropy):
-    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
     "dup_span_removal_docs": dup_span_removal_docs,
     "ann_lsh_topk": ann_lsh_topk,
@@ -5305,7 +5325,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality_docs": gopher_quality_docs,
     "pii_redact_docs": pii_redact_docs,
     "jsonata_transform_update": jsonata_transform_update,
-    "minhash_lsh_dups": minhash_lsh_dups,
     "dedup_group_ids": dedup_group_ids,
     "zipf_fit_docs": zipf_fit_docs,
     # round-10 window demotions (judge verdict item 2: the eleven
@@ -5354,14 +5373,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semi_join_customers": semi_join_customers,
     "udtf_explode_tokens": udtf_explode_tokens,
     "temperature_token_mix_docs": temperature_token_mix_docs,
-    "embedding_outlier_docs": embedding_outlier_docs,
     "dup_ngram_coverage_docs": dup_ngram_coverage_docs,
     "tfidf_top_terms": tfidf_top_terms,
-    "kmeans_assign": kmeans_assign,
     "chunk_dedup_docs": chunk_dedup_docs,
-    "heavy_hitter_terms": heavy_hitter_terms,
     "hash_sample_docs": hash_sample_docs,
-    "pca_project_fixed": pca_project_fixed,
     "mixture_sample_docs": mixture_sample_docs,
     "jsonata_picture_format": jsonata_picture_format,
     "sliding_window_agg": sliding_window_agg,
@@ -5405,7 +5420,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_audio_features": multimodal_audio_features,
     "pca_project_embeddings": pca_project_embeddings,
     "kmeans_clusters": kmeans_clusters,
-    "q2_minimum_cost_supplier": q2_minimum_cost_supplier,
     "stream_incremental_dedup_docs": stream_incremental_dedup_docs,
 }
 
