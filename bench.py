@@ -266,8 +266,13 @@ def main() -> None:
     }
     line = json.dumps(result, separators=(",", ":"))
     # Full per-query JSON always lands on disk (the durable artifact).
+    # Non-default configs (e.g. the driver's low-core scaling run) get
+    # their own file so they never clobber the default-config BENCH.json
+    # (round-13 verdict hygiene item).
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    bench_name = "BENCH.json" if cpus == "32" else f"BENCH_c{cpus}.json"
     bench_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH.json"
+        os.path.dirname(os.path.abspath(__file__)), bench_name
     )
     try:
         with open(bench_path, "w") as f:

@@ -35,7 +35,12 @@ from kafka_connect_jsonata_spark.functions import (
     text,
 )
 from kafka_connect_jsonata_spark.operators import relational as R
-from kafka_connect_jsonata_spark.sources.readers import load_table, ts_micros, ts_millis
+from kafka_connect_jsonata_spark.sources.readers import (
+    embedding_dim,
+    load_table,
+    ts_micros,
+    ts_millis,
+)
 from kafka_connect_jsonata_spark.transform import transform
 
 
@@ -1841,7 +1846,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hard; the pruning/recall tradeoff is pinned separately in
     tests/test_queries_smoke.py with aggressive parameters."""
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
+    # vector width via the per-application metadata memo (readers.py) —
+    # drops the single-row probe job from steady-state construction
+    dim = embedding_dim(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 5)
     return similarity.lsh_topk(q, emb, k=5, dim=dim, n_bands=32, band_bits=3)
 

@@ -94,6 +94,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Vector width of the embeddings table, probed once per (application,
+# dataset) — catalog-grade METADATA (the fixed array width of a column),
+# not a query result: the same session-scoped, applicationId-keyed
+# contract as _PLAN_CACHE. Saves one single-row probe job per
+# construction for queries that size driver-side structures (LSH
+# hyperplanes) off the vector width.
+_EMB_DIM_CACHE: dict[tuple[str, str], int] = {}
+
+
+def embedding_dim(spark: SparkSession, sf_dir: str) -> int:
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    dim = _EMB_DIM_CACHE.get(key)
+    if dim is None:
+        row = load_table(spark, sf_dir, "embeddings").select("embedding").first()
+        dim = len(row[0])
+        if len(_EMB_DIM_CACHE) >= _PLAN_CACHE_MAX:
+            _EMB_DIM_CACHE.clear()
+        _EMB_DIM_CACHE[key] = dim
+    return dim
+
+
 def _ntz_to_instant(col):
     """NTZ (UTC wall clock) -> TIMESTAMP instant, independent of the
     session timezone: epoch microseconds straight off the NTZ value
