@@ -34,8 +34,23 @@ from kafka_connect_jsonata_spark.functions.similarity import cosine
 from kafka_connect_jsonata_spark.functions.text import fingerprint, tokens
 
 
-def barrier(df: DataFrame, eager: bool = True) -> DataFrame:
+def barrier(
+    df: DataFrame, eager: bool = True, width: int | None = None
+) -> DataFrame:
     """Lineage-truncation barrier for iterative/multi-reference pipelines.
+
+    ``width``: round-robin repartition to this many partitions BEFORE the
+    checkpoint. A checkpoint stores its input's FINAL partitioning — for
+    small-byte frames that is usually ONE AQE-coalesced partition, and
+    then every stage downstream of the checkpoint runs on one task until
+    the next exchange, even when that stage's work is CPU-dense (round-14
+    measurement at the sf0.1 gate: candidate-pair checkpoints across the
+    dedup family stored 1-8 partitions; the fused incremental verify ran
+    its 11.5k array intersects 1.05 s on ONE task). Pass the parallelism
+    whenever downstream references do CPU-dense work; the added exchange
+    moves only rows the checkpoint was about to copy anyway. Leave None
+    when downstream consumption is trivial (probes, anti-join build
+    sides) — the exchange would be pure overhead.
 
     Mode via spark.jsonataspark.checkpoint:
 
@@ -53,6 +68,8 @@ def barrier(df: DataFrame, eager: bool = True) -> DataFrame:
     Reliable checkpoints are always eager (Spark materializes on write);
     ``eager=False`` only defers the local flavor.
     """
+    if width is not None and width > 1:
+        df = df.repartition(width)
     mode = df.sparkSession.conf.get("spark.jsonataspark.checkpoint", "local")
     if mode == "reliable":
         return df.checkpoint(eager=True)
@@ -612,6 +629,14 @@ def minhash_lsh_pairs(
         # runs exactly once instead of once per reference (a lazy checkpoint
         # still recomputes shared branches planned within one job). It is
         # tiny (bounded by LSH collisions), so materialization is cheap.
+        # NO width pin (round 14 A/B): this checkpoint stores one
+        # AQE-coalesced partition and the verify runs single-task — but
+        # spreading it measured STRICTLY SLOWER here (1.68 -> 2.20 s on
+        # minhash_lsh_dups): the 32-task overhead is paid once per
+        # downstream reference (pair join + two semi-joins) and exceeds
+        # the single-task verify cost at any gate scale. Contrast
+        # minhash_dedup_incremental's cand_all, where the single-task
+        # verify measured 1.05 s and the pin wins.
         .transform(barrier)
     )
     # verify: fetch the ALREADY-MATERIALIZED hashed shingles for candidate
@@ -1706,7 +1731,10 @@ def minhash_dedup_incremental(
     )
     cand_intra = _bucket_candidate_pairs(groups, bucket_cap)
     # __yk tags which table __y lives in (0 = batch rep, 1 = ref) so the
-    # one verify below never conflates a ref id with an equal batch id
+    # one verify below never conflates a ref id with an equal batch id.
+    # width pin (round 14): the un-pinned checkpoint stored ONE coalesced
+    # partition and the whole stage-3 verify (11.5k post-ratio array
+    # intersects at the sf0.1 gate) ran 1.05 s on one task.
     cand_all = barrier(
         cand_cross.select(
             F.col("id").alias("__x"),
@@ -1718,7 +1746,8 @@ def minhash_dedup_incremental(
                 F.col("id_b").alias("__y"),
                 F.lit(0).cast("int").alias("__yk"),
             )
-        )
+        ),
+        width=sk_rep.sparkSession.sparkContext.defaultParallelism,
     )
 
     # Stage 3: ONE exact-Jaccard verify over both kinds. The length-ratio

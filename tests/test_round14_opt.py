@@ -133,3 +133,55 @@ def test_barrier_restores_enclosing_job_description(spark):
         assert sc.getLocalProperty("spark.job.description") == "outer-label"
     finally:
         sc.setJobDescription(None)
+
+
+def test_barrier_width_pins_checkpoint_partitioning(spark):
+    """A checkpoint stores its input's final (usually AQE-coalesced, often
+    single) partitioning; barrier(width=) must override it so CPU-dense
+    downstream stages don't serialize (round 14: the fused incremental
+    verify ran its array intersects single-task off an un-pinned
+    candidate checkpoint)."""
+    df = (
+        spark.range(1000)
+        .groupBy((F.col("id") % 7).alias("k"))
+        .count()
+    )
+    pinned = dedup.barrier(df, width=8)
+    assert pinned.rdd.getNumPartitions() == 8
+    # values unchanged by the round-robin exchange
+    assert sorted(r["k"] for r in pinned.collect()) == sorted(
+        r["k"] for r in df.collect()
+    )
+    # width=None keeps the legacy behavior (whatever the plan produced)
+    plain = dedup.barrier(df)
+    assert plain.rdd.getNumPartitions() >= 1
+
+
+def test_incremental_fused_candidate_checkpoint_width(spark, sf_dir):
+    """The fused incremental path's one banding+verify pipeline must keep
+    its candidate checkpoint at full parallelism (the round-14 pin)."""
+    from kafka_connect_jsonata_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    seen = []
+    orig = dedup.barrier
+
+    def spy(df, eager=True, width=None):
+        out = orig(df, eager=eager, width=width)
+        if eager and set(df.columns) == {"__x", "__y", "__yk"}:
+            seen.append(out.rdd.getNumPartitions())
+        return out
+
+    try:
+        dedup.barrier = spy
+        dedup.minhash_dedup_incremental(
+            new, ref, num_hashes=32, n_bands=8, threshold=0.9
+        ).count()
+    finally:
+        dedup.barrier = orig
+    # cand_all is the first (__x,__y,__yk) barrier; ver (same columns) is
+    # deliberately un-pinned — downstream consumption is trivial
+    assert seen, "candidate barrier not observed"
+    assert seen[0] == spark.sparkContext.defaultParallelism
