@@ -212,6 +212,11 @@ def tfidf_top_terms(
     """
     if vocab_broadcast not in ("auto", "force"):
         raise ValueError(f"unknown vocab_broadcast {vocab_broadcast!r}")
+    # NO spread of the tokenize+explode (round-14 A/B): the two ~0.3 s
+    # single-task Generate stages sit off the critical path and the added
+    # exchange measured +25% on the query (0.88 -> 1.13 s) — contrast
+    # char_entropy, whose per-CHARACTER explode is ~an order of magnitude
+    # more CPU per input byte and wins from the same spread.
     words = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
     tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     n_docs = df.select(F.count("*").alias("__n"))

@@ -1719,6 +1719,10 @@ def minhash_dedup_incremental(
     b_ref = sk_ref.select(
         F.col("id").alias("__rid"), F.posexplode("bkts").alias("band", "bkt")
     )
+    # NO (band,bkt) width pin on the banding exchange (round-14 A/B): the
+    # AQE-coalesced 1-task final collect_list aggregates (2 x 0.4 s) run
+    # OFF the critical path (overlapped jobs), and the replacement
+    # user-specified repartition measured +0.2-0.4 s on the query.
     cand_cross = (
         b_rep.join(b_ref, ["band", "bkt"])
         .select("id", "__rid")

@@ -283,6 +283,11 @@ def heavy_hitter_terms(
     NULL-term row per partition), so the corpus is tokenized twice per
     call instead of three times.
     """
+    # NO spread of the token stream (round-14 A/B): spreading measured
+    # +25% (1.25 -> 1.61 s) — the exchange costs more than the 1-task
+    # tokenize stages it parallelizes (they overlap other jobs). The MG
+    # guard would stay exact under any partitioning, so this is purely a
+    # measured-cost call, not a correctness one.
     words = df.select(F.explode(tokens(F.col(text_col))).alias("term"))
 
     def mg(batches):
@@ -634,6 +639,7 @@ def char_entropy(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    spread: bool = True,
 ) -> DataFrame:
     """C72: per-document Shannon entropy (bits) of the character
     distribution — the cheap "is this text-shaped?" signal quality
@@ -656,7 +662,22 @@ def char_entropy(
     Returns (id, n_chars_counted, char_entropy). Empty/null text yields
     no row (no characters — no distribution), matching the oracle.
     """
-    chars = df.select(
+    from kafka_connect_jsonata_spark.functions.dedup import spread_narrow_scan
+
+    # round 14: the per-character explode is the CPU-dense stage and a
+    # single local parquet file scans as ONE partition, so it serialized
+    # on one task (0.63 s on curation_pipeline_v3's critical path at the
+    # sf0.1 gate). Conditional spread, same contract as the sketch
+    # kernels (no-op on an already-wide production scan); counts/sums are
+    # partitioning-independent. ``spread=False`` for callers whose input
+    # is a computed multi-stage frame rather than a narrow scan — the
+    # inputFiles probe sees only the leaf files there, and the forced
+    # repartition of the derived rows measured slower
+    # (curation_pipeline_v2 A/B: +5-10%).
+    base = df.select(F.col(id_col), F.col(text_col))
+    if spread:
+        base = spread_narrow_scan(base)
+    chars = base.select(
         F.col(id_col),
         F.explode(
             F.filter(F.split(F.col(text_col), ""), lambda c: c != "")
